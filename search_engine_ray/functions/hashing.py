@@ -1,0 +1,103 @@
+"""Deterministic, split-stable hashing kernels.
+
+Python's builtin ``hash`` is salted per process (PYTHONHASHSEED), so nothing
+here may use it: partition routing and dedup keys must be identical across
+workers, runs and cluster sizes (the checkpoint/resume contract keys
+manifests by these hashes).
+
+Vectorized over numpy where the call sites are hot (per-batch columns).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+
+_MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
+
+
+def stable_hash_str(s: str, seed: int = 0) -> int:
+    """64-bit stable hash of a string (blake2b, keyed by seed)."""
+    h = hashlib.blake2b(s.encode("utf-8"), digest_size=8, key=seed.to_bytes(8, "little"))
+    return int.from_bytes(h.digest(), "little")
+
+
+def stable_hash_array(strings, seed: int = 0) -> np.ndarray:
+    """64-bit stable hashes for an iterable of strings -> uint64 array."""
+    key = seed.to_bytes(8, "little")
+    out = np.empty(len(strings), dtype=np.uint64)
+    for i, s in enumerate(strings):
+        h = hashlib.blake2b(s.encode("utf-8"), digest_size=8, key=key)
+        out[i] = int.from_bytes(h.digest(), "little")
+    return out
+
+
+def md5_hex_array(strings) -> list[str]:
+    """md5 hexdigests (matches DuckDB ``md5()`` for the dedup oracle)."""
+    return [hashlib.md5(s.encode("utf-8")).hexdigest() for s in strings]
+
+
+# --- multiply-shift hash family over 64-bit token hashes -------------------
+# h_i(x) = (a_i * x + b_i) mod 2^64 — universal enough for MinHash banding;
+# parameters derived deterministically from the seed.
+
+def _hash_params(num: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, 2**62, size=num, dtype=np.int64).astype(np.uint64) * np.uint64(2) + np.uint64(1)
+    b = rng.randint(0, 2**62, size=num, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(token_hashes: np.ndarray, num_perm: int = 64, seed: int = 7) -> np.ndarray:
+    """MinHash signature (uint64[num_perm]) of a set of 64-bit token hashes."""
+    a, b = _hash_params(num_perm, seed)
+    if token_hashes.size == 0:
+        return np.full(num_perm, _MASK64, dtype=np.uint64)
+    x = token_hashes.astype(np.uint64)[:, None]
+    return (x * a[None, :] + b[None, :]).min(axis=0)
+
+
+def simhash(token_hashes: np.ndarray, weights: np.ndarray | None = None) -> int:
+    """64-bit SimHash of weighted token hashes."""
+    if token_hashes.size == 0:
+        return 0
+    bits = ((token_hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    w = np.ones(token_hashes.size, np.int64) if weights is None else np.asarray(weights, np.int64)
+    acc = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+    sig = np.uint64(0)
+    for i in range(64):
+        if acc[i] > 0:
+            sig |= np.uint64(1) << np.uint64(i)
+    return int(sig)
+
+
+_POPCNT8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.int64)
+
+
+def hamming64(a: np.ndarray, b: int) -> np.ndarray:
+    """Popcount of a^b for a uint64 array vs a scalar (vectorized)."""
+    x = a.astype(np.uint64) ^ np.uint64(b)
+    cnt = np.zeros(x.shape, np.int64)
+    for _ in range(8):
+        cnt += _POPCNT8[(x & np.uint64(0xFF)).astype(np.intp)]
+        x = x >> np.uint64(8)
+    return cnt
+
+
+def rolling_fingerprint(text: str, window: int = 8, base: int = 257, mod: int = (1 << 61) - 1) -> int:
+    """Deterministic document fingerprint: XOR of Rabin-Karp rolling hashes
+    over byte windows — stable under identical content, cheap to compute."""
+    data = text.encode("utf-8")
+    if len(data) < window:
+        return stable_hash_str(text)
+    h = 0
+    power = pow(base, window - 1, mod)
+    acc = 0
+    for i, byte in enumerate(data):
+        if i >= window:
+            h ^= acc
+            acc = (acc - data[i - window] * power) % mod
+        acc = (acc * base + byte) % mod
+    h ^= acc
+    return h

@@ -1,0 +1,186 @@
+"""Flagship pipeline: full-corpus index build (reference ``startIndexing``).
+
+Ray-native restatement of ``IndexingServiceImpl.startIndexing``
+(``services/IndexingServiceImpl.java:40-95`` + the recursive
+``PageAnalyzer`` crawl, SURVEY.md §3.1) as a linear streaming Dataset plan:
+
+    read_parquet(pages, columns=[url, warc_ts, html])      # prune at read
+      -> map_batches(assign_part)            # stateless; split-stable route
+      -> map_batches(part filter)            # resume: drop committed parts
+      -> map_batches(extract_batch)          # stateless HTML->text
+      -> map_batches(Lemmatizer, concurrency=actors)   # actor pool (ST1)
+      -> groupby("part").map_groups(build_segment)     # THE shuffle; writes
+      -> (tiny) stats rows  -> finalize: global dictionary + corpus stats
+
+No stage materializes the corpus; the executor streams blocks with
+backpressure end to end.  The reference's per-site locks / mutable counters
+(``PageAnalyzer.java:179-218``) are all replaced by the one shuffle + pure
+aggregates.  Concurrency is derived from ``ray.cluster_resources()`` — no
+hard-coded pool sizes (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+from dataclasses import asdict, dataclass
+
+import ray
+import ray.data as rd
+
+from ..config import IndexBuildConfig, derive_num_partitions
+from ..stages.extract import assign_part_batch, extract_batch, make_part_filter
+from ..stages.lemmatize import Lemmatizer
+from ..stages.segments import make_segment_builder
+from ..state.manifest import done_parts
+
+CORPUS_STATS = "corpus_stats.json"
+GLOBAL_DICT_DIR = "global_dict"
+
+
+@dataclass
+class BuildResult:
+    index_dir: str
+    num_partitions: int
+    built_parts: int
+    skipped_parts: int
+    n_docs: int
+    n_terms_sum: int
+    n_postings: int
+    total_tokens: int
+    bytes_postings: int
+
+
+def _config_hash(cfg: IndexBuildConfig, num_partitions: int) -> str:
+    payload = json.dumps(
+        {"p": num_partitions, "block": cfg.block_size, "morph": cfg.morphology,
+         "text": cfg.store_doc_text}, sort_keys=True)
+    return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
+
+
+def _pool_sizes() -> tuple[int, int]:
+    """(lemmatizer actors, cpus) from the cluster — leave headroom for the
+    read/extract/shuffle stages so no stage starves (SURVEY.md §4.1)."""
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    return max(2, cpus // 2), cpus
+
+
+def build_index(
+    pages: rd.Dataset,
+    index_dir: str,
+    cfg: IndexBuildConfig | None = None,
+    *,
+    num_docs_hint: int | None = None,
+    resume: bool = True,
+) -> BuildResult:
+    """Build (or resume) the inverted index for ``pages`` into ``index_dir``.
+
+    ``pages`` must carry url/warc_ts/html (input_hint shape); extra columns
+    are tolerated.  Idempotent: committed partitions are skipped when
+    ``resume=True``; output is deterministic given the input row SET
+    (any arrival order, any parallelism level).
+    """
+    cfg = cfg or IndexBuildConfig()
+    os.makedirs(index_dir, exist_ok=True)
+
+    if num_docs_hint is None:
+        num_docs_hint = pages.count()  # metadata-only for parquet sources
+    num_partitions = derive_num_partitions(num_docs_hint, cfg)
+    cfg_hash = _config_hash(cfg, num_partitions)
+
+    already = done_parts(index_dir) if resume else {}
+    todo = set(range(num_partitions)) - set(already)
+    lem_actors, cpus = _pool_sizes()
+
+    stats_rows = []
+    if todo:
+        keep = None if len(todo) == num_partitions else todo
+        ds = pages
+        if "text" in ds.schema().names:  # golden column: never ship it around
+            ds = ds.drop_columns([c for c in ("text", "lang") if c in ds.schema().names])
+        ds = ds.map_batches(assign_part_batch, batch_format="pyarrow",
+                            fn_kwargs={"num_partitions": num_partitions},
+                            batch_size=cfg.extract_batch_size)
+        if keep is not None:
+            ds = ds.map_batches(make_part_filter(keep), batch_format="pyarrow")
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                            batch_size=cfg.extract_batch_size)
+        ds = ds.map_batches(
+            Lemmatizer,
+            fn_constructor_kwargs={"morphology": cfg.morphology, "drop_text": True},
+            batch_format="pyarrow",
+            batch_size=cfg.lemmatizer_batch_size,
+            concurrency=lem_actors,
+            num_cpus=1,
+        )
+        builder = make_segment_builder(index_dir, cfg, cfg_hash)
+        stats = ds.groupby("part").map_groups(builder, batch_format="pyarrow")
+        stats_rows = stats.take_all()  # one tiny row per partition
+
+    finalize_index(index_dir)
+
+    built = {r["part"] for r in stats_rows}
+    manifests = done_parts(index_dir)
+    return BuildResult(
+        index_dir=index_dir,
+        num_partitions=num_partitions,
+        built_parts=len(built),
+        skipped_parts=len(already),
+        n_docs=sum(m.n_docs for m in manifests.values()),
+        n_terms_sum=sum(m.n_terms for m in manifests.values()),
+        n_postings=sum(m.n_postings for m in manifests.values()),
+        total_tokens=sum(m.total_tokens for m in manifests.values()),
+        bytes_postings=sum(m.bytes_postings for m in manifests.values()),
+    )
+
+
+def finalize_index(index_dir: str) -> None:
+    """Global term dictionary + corpus stats from committed segments.
+
+    ``df_global = groupby(term).sum(per-part df)`` over the per-part postings
+    metadata (term+df columns only — parquet column pruning keeps the heavy
+    binary columns on disk).  Corpus stats (N, avgdl) come from manifests.
+    The reference's analogue is the ``lemmas`` table + the statistics
+    aggregates (``StatisticsServiceImpl.java:30-58``), computed there by
+    loading every row into RAM — here it is a metadata-sized aggregate.
+    """
+    manifests = done_parts(index_dir)
+    if not manifests:
+        return
+    part_files = [
+        os.path.join(index_dir, f"part={p:05d}", "postings.parquet")
+        for p in sorted(manifests)
+    ]
+    ds = rd.read_parquet(part_files, columns=["term", "df"])
+    from ray.data.aggregate import Sum
+
+    agg = ds.groupby("term").aggregate(Sum("df", alias_name="df"))
+    out_dir = os.path.join(index_dir, GLOBAL_DICT_DIR)
+    tmp_dir = out_dir + ".tmp"
+    import shutil
+
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    agg.write_parquet(tmp_dir)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.rename(tmp_dir, out_dir)
+
+    n_docs = sum(m.n_docs for m in manifests.values())
+    total_tokens = sum(m.total_tokens for m in manifests.values())
+    stats = {
+        "n_docs": n_docs,
+        "total_tokens": total_tokens,
+        "avgdl": (total_tokens / n_docs) if n_docs else 0.0,
+        "num_partitions": len(manifests),
+        "parts": sorted(manifests),
+        "per_part": {str(p): asdict(m) for p, m in sorted(manifests.items())},
+    }
+    tmp = os.path.join(index_dir, CORPUS_STATS + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(stats, f, indent=1)
+    os.rename(tmp, os.path.join(index_dir, CORPUS_STATS))
+
+
+def load_corpus_stats(index_dir: str) -> dict:
+    with open(os.path.join(index_dir, CORPUS_STATS)) as f:
+        return json.load(f)

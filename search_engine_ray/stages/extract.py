@@ -1,0 +1,72 @@
+"""Extraction + routing stage (stateless ``map_batches`` over Arrow).
+
+Re-expresses reference M1/M2/M3/M5 (SURVEY.md §2.2): HTML -> normalized text
+/ whole text / title, plus URL -> (site, path) normalization and the
+document-partition routing key.  Pure functions over the batch; the regexes
+and hash parameters live at module scope so stateless Ray tasks pay no
+per-batch setup.
+
+Routing: ``part = stable_hash(url) % num_partitions`` — split-stable, so a
+resumed run routes every url to the same partition (the checkpoint unit) and
+duplicate urls (same page captured at several ``warc_ts``) collide into the
+same partition where the segment builder dedups them (reference D1 analogue,
+``PageAnalyzer.java:398-447``).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+from ..functions.hashing import stable_hash_array
+from ..functions.html import extract_all
+from ..functions.urls import split_site_path
+
+
+def assign_part_batch(batch: pa.Table, num_partitions: int) -> pa.Table:
+    h = stable_hash_array(batch["url"].to_pylist())
+    part = (h % num_partitions).astype("int32")
+    return batch.append_column("part", pa.array(part, pa.int32()))
+
+
+def make_part_filter(keep_parts: set[int] | None):
+    """Batch filter dropping rows of already-committed partitions (resume).
+    ``None`` keeps everything."""
+    if keep_parts is None:
+        return lambda batch: batch
+
+    def _filter(batch: pa.Table) -> pa.Table:
+        import numpy as np
+
+        part = batch["part"].to_numpy()
+        keep = np.isin(part, np.fromiter(keep_parts, dtype=np.int32, count=len(keep_parts)))
+        return batch.filter(pa.array(keep))
+
+    return _filter
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """html -> text, whole_text, title, site, path columns.
+
+    Per-row Python (an HTML parse is irreducibly per-document), but the stage
+    itself is an embarrassingly parallel stateless task over Arrow batches —
+    throughput scales with cluster CPUs, which is what matters at 100 TB.
+    """
+    htmls = batch["html"].to_pylist()
+    urls = batch["url"].to_pylist()
+    texts, wholes, titles, sites, paths = [], [], [], [], []
+    for url, raw in zip(urls, htmls):
+        html_s = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else (raw or "")
+        text, whole, title = extract_all(html_s) if html_s else ("", "", "")
+        site, path = split_site_path(url)
+        texts.append(text)
+        wholes.append(whole)
+        titles.append(title)
+        sites.append(site)
+        paths.append(path)
+    out = batch.drop_columns(["html"])
+    out = out.append_column("text_x", pa.array(texts, pa.string()))
+    out = out.append_column("whole_text", pa.array(wholes, pa.string()))
+    out = out.append_column("title", pa.array(titles, pa.string()))
+    out = out.append_column("site", pa.array(sites, pa.string()))
+    out = out.append_column("path", pa.array(paths, pa.string()))
+    return out

@@ -1,0 +1,220 @@
+"""Per-partition index-segment builder (the ``map_groups`` of the one shuffle).
+
+The build pipeline's single all-to-all exchange is ``groupby("part")`` over
+compact per-document rows; this module turns one partition's documents into a
+self-contained, immutable index segment on disk:
+
+``part=NNNNN/
+    docs.parquet      doc_id,url,site,path,title,doc_len,code[,whole_text]
+    postings.parquet  term,df,doc_ids(bin),tfs(bin),block_* skip metadata
+    dict.parquet      site,term,df   (reference ``lemmas`` table, A2)
+    _MANIFEST.json    fingerprint / counts / metrics (lineage)``
+
+Design notes (SURVEY.md §7.3/§7.4):
+
+- Document-partitioned segments (the classic web-scale layout) make head-term
+  skew a non-issue for the shuffle: a stopword-class term's postings are split
+  across all partitions by construction (this IS the salting — the salt is the
+  document partition), and queries k-way-merge per-partition top-k.
+- doc_id = ``part * 2**40 + rank(url within part)`` — deterministic,
+  resume-stable (depends only on the partition's url set), dense within a
+  partition so delta+varint compresses to ~1 byte/doc gap.
+- Input dedup (reference D1, ``PageAnalyzer.java:398-447``): same url ->
+  same partition, keep the latest ``warc_ts`` capture (ties: lexicographically
+  larger title/text wins via stable sort order) — no extra shuffle.
+- All term-level work is vectorized: pyarrow list-flatten + ``np.repeat`` for
+  the explode, dictionary-encode + stable argsort for the term grouping,
+  ``np.flatnonzero`` boundaries; Python touches each *term* once (to slice),
+  never each posting.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+from .. import __version__
+from ..config import IndexBuildConfig
+from ..functions.codec import encode_postings
+from ..state.manifest import PartManifest, commit_part_dir, part_dirname, write_manifest
+
+DOC_ID_PART_SHIFT = 40  # doc_id = part << 40 | local_rank
+
+
+def make_segment_builder(index_dir: str, cfg: IndexBuildConfig, config_hash: str):
+    """Returns the map_groups fn; the closure carries only small config."""
+
+    def build_segment(group: pa.Table) -> pa.Table:
+        t0 = time.monotonic()
+        part = int(group["part"][0].as_py())
+        input_rows = group.num_rows
+
+        # --- dedup per url: latest warc_ts wins (deterministic) ----------
+        order = pc.sort_indices(
+            group,
+            sort_keys=[("url", "ascending"), ("warc_ts", "descending"),
+                       ("title", "descending")],
+        )
+        g = group.take(order)
+        urls = np.asarray(g["url"].to_pylist(), dtype=object)
+        first_of_url = np.ones(len(urls), dtype=bool)
+        if len(urls) > 1:
+            first_of_url[1:] = urls[1:] != urls[:-1]
+        g = g.filter(pa.array(first_of_url))
+
+        # --- deterministic doc ids (already url-sorted) ------------------
+        n_docs = g.num_rows
+        doc_ids = (np.int64(part) << DOC_ID_PART_SHIFT) + np.arange(n_docs, dtype=np.int64)
+
+        # order-independent input fingerprint (lineage)
+        from ..functions.hashing import stable_hash_array
+
+        fp = np.bitwise_xor.reduce(stable_hash_array(
+            [f"{u}\x00{t}" for u, t in zip(group["url"].to_pylist(),
+                                           group["warc_ts"].to_pylist())]
+        )) if input_rows else np.uint64(0)
+
+        # --- explode terms/tfs vectorized --------------------------------
+        terms_list = g["terms"]
+        if isinstance(terms_list, pa.ChunkedArray):
+            terms_list = terms_list.combine_chunks()
+        tfs_list = g["tfs"]
+        if isinstance(tfs_list, pa.ChunkedArray):
+            tfs_list = tfs_list.combine_chunks()
+        lens = pc.list_value_length(terms_list).to_numpy().astype(np.int64)
+        flat_terms = pc.list_flatten(terms_list)
+        flat_tfs = pc.list_flatten(tfs_list).to_numpy().astype(np.int64)
+        post_doc_ids = np.repeat(doc_ids, lens)
+        doc_len_arr = g["doc_len"].to_numpy().astype(np.int64)
+        post_doc_lens = np.repeat(doc_len_arr, lens)
+        site_codes_doc = pc.dictionary_encode(g["site"].combine_chunks() if isinstance(g["site"], pa.ChunkedArray) else g["site"])
+        site_idx_doc = np.asarray(site_codes_doc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        sites_dict = site_codes_doc.dictionary.to_pylist()
+        post_sites = np.repeat(site_idx_doc, lens)
+
+        dict_enc = pc.dictionary_encode(flat_terms)
+        term_idx = np.asarray(dict_enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        term_dict: list[str] = dict_enc.dictionary.to_pylist()
+
+        # postings must be term-grouped with doc_ids ascending inside each
+        # term; the flat stream is doc-ascending, so a stable sort on term
+        # alone preserves doc order.
+        sort_ix = np.argsort(term_idx, kind="stable")
+        term_sorted = term_idx[sort_ix]
+        docs_sorted = post_doc_ids[sort_ix]
+        tfs_sorted = flat_tfs[sort_ix]
+        dls_sorted = post_doc_lens[sort_ix]
+
+        boundaries = np.flatnonzero(np.diff(term_sorted)) + 1
+        starts = np.concatenate(([0], boundaries))
+        ends = np.concatenate((boundaries, [term_sorted.size]))
+
+        # --- encode one term at a time (block-max skip metadata) ---------
+        rows_term, rows_df = [], []
+        rows_docids, rows_tfs = [], []
+        rows_blast, rows_boffd, rows_bofft, rows_bmaxtf, rows_bmindl, rows_bfirst = [], [], [], [], [], []
+        bytes_postings = 0
+        for s, e in zip(starts, ends):
+            tix = term_sorted[s] if term_sorted.size else 0
+            enc = encode_postings(docs_sorted[s:e], tfs_sorted[s:e], dls_sorted[s:e],
+                                  block_size=cfg.block_size)
+            rows_term.append(term_dict[int(tix)])
+            rows_df.append(enc.df)
+            rows_docids.append(enc.doc_ids)
+            rows_tfs.append(enc.tfs)
+            rows_blast.append(enc.block_last_docid.tolist())
+            rows_boffd.append(enc.block_off_docs.tolist())
+            rows_bofft.append(enc.block_off_tfs.tolist())
+            rows_bmaxtf.append(enc.block_max_tf.tolist())
+            rows_bmindl.append(enc.block_min_dl.tolist())
+            rows_bfirst.append(enc.block_first_docid.tolist())
+            bytes_postings += len(enc.doc_ids) + len(enc.tfs)
+
+        postings_tbl = pa.table(
+            {
+                "term": pa.array(rows_term, pa.string()),
+                "df": pa.array(rows_df, pa.int64()),
+                "doc_ids": pa.array(rows_docids, pa.binary()),
+                "tfs": pa.array(rows_tfs, pa.binary()),
+                "block_last_docid": pa.array(rows_blast, pa.list_(pa.int64())),
+                "block_off_docs": pa.array(rows_boffd, pa.list_(pa.int64())),
+                "block_off_tfs": pa.array(rows_bofft, pa.list_(pa.int64())),
+                "block_max_tf": pa.array(rows_bmaxtf, pa.list_(pa.int32())),
+                "block_min_dl": pa.array(rows_bmindl, pa.list_(pa.int32())),
+                "block_first_docid": pa.array(rows_bfirst, pa.list_(pa.int64())),
+            }
+        )
+
+        # --- per-(site, term) document frequency (reference A2) ----------
+        st_key = post_sites[sort_ix] * np.int64(len(term_dict)) + term_sorted
+        uniq_st, st_counts = np.unique(st_key, return_counts=True)
+        dict_tbl = pa.table(
+            {
+                "site": pa.array([sites_dict[int(k // len(term_dict))] for k in uniq_st], pa.string()),
+                "term": pa.array([term_dict[int(k % len(term_dict))] for k in uniq_st], pa.string()),
+                "df": pa.array(st_counts.astype(np.int64), pa.int64()),
+            }
+        )
+
+        docs_cols = {
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "url": g["url"],
+            "site": g["site"],
+            "path": g["path"],
+            "title": g["title"],
+            "doc_len": g["doc_len"],
+            # batch input has no HTTP exchange; 200 stands in for the
+            # reference's stored status (Page.code, model/Page.java:28-30)
+            "code": pa.array(np.full(n_docs, 200, dtype=np.int32)),
+        }
+        if cfg.store_doc_text and "whole_text" in g.column_names:
+            docs_cols["whole_text"] = g["whole_text"]
+        docs_tbl = pa.table(docs_cols)
+
+        # --- atomic commit ----------------------------------------------
+        final_dir = os.path.join(index_dir, part_dirname(part))
+        tmp_dir = os.path.join(index_dir, f".tmp-{part_dirname(part)}-{uuid.uuid4().hex[:8]}")
+        os.makedirs(tmp_dir, exist_ok=True)
+        pq.write_table(docs_tbl, os.path.join(tmp_dir, "docs.parquet"))
+        pq.write_table(postings_tbl, os.path.join(tmp_dir, "postings.parquet"))
+        pq.write_table(dict_tbl, os.path.join(tmp_dir, "dict.parquet"))
+        wall = time.monotonic() - t0
+        write_manifest(
+            tmp_dir,
+            PartManifest(
+                part=part,
+                status="done",
+                input_fingerprint=f"{int(fp):016x}",
+                config_hash=config_hash,
+                input_rows=input_rows,
+                n_docs=n_docs,
+                n_terms=len(rows_term),
+                n_postings=int(term_sorted.size),
+                total_tokens=int(doc_len_arr.sum()),
+                bytes_postings=bytes_postings,
+                bytes_docs=docs_tbl.nbytes,
+                wall_sec=round(wall, 4),
+                engine_version=__version__,
+            ),
+        )
+        commit_part_dir(tmp_dir, final_dir)
+
+        return pa.table(
+            {
+                "part": pa.array([part], pa.int32()),
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_terms": pa.array([len(rows_term)], pa.int64()),
+                "n_postings": pa.array([int(term_sorted.size)], pa.int64()),
+                "total_tokens": pa.array([int(doc_len_arr.sum())], pa.int64()),
+                "bytes_postings": pa.array([bytes_postings], pa.int64()),
+                "wall_sec": pa.array([wall], pa.float64()),
+            }
+        )
+
+    return build_segment

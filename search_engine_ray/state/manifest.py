@@ -1,0 +1,96 @@
+"""Per-partition checkpoint manifests — the engine's control plane.
+
+Replaces the reference's mutable ``sites`` status rows
+(``model/Site.java:14-44``, heartbeats at ``PageAnalyzer.java:498-539``) with
+immutable per-partition manifest JSON (north rule: "resumable from checkpoint
+with per-partition lineage + metrics").
+
+Commit protocol (idempotent under Ray task retries, SURVEY.md §4.1):
+a segment is built entirely inside ``<index>/.tmp-part=NNNNN-<nonce>/``,
+its manifest written last, then the directory is atomically ``os.rename``d to
+``<index>/part=NNNNN``.  A concurrently retried task that finds the final
+directory already present discards its own tmp dir — double-writes are
+impossible, partial directories are invisible.
+
+Resume: :func:`done_parts` lists committed partitions; the build filters them
+out of the input *before* the expensive stages.  The manifest records the
+partition's input fingerprint (order-independent XOR of row hashes), row
+counts, byte sizes, config hash and wall time — the lineage/metrics record.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from dataclasses import asdict, dataclass, field
+
+MANIFEST_NAME = "_MANIFEST.json"
+
+
+@dataclass
+class PartManifest:
+    part: int
+    status: str  # "done" | "failed"
+    input_fingerprint: str
+    config_hash: str
+    input_rows: int
+    n_docs: int
+    n_terms: int
+    n_postings: int
+    total_tokens: int
+    bytes_postings: int
+    bytes_docs: int
+    wall_sec: float
+    engine_version: str
+    last_error: str = ""
+    extra: dict = field(default_factory=dict)
+
+
+def part_dirname(part: int) -> str:
+    return f"part={part:05d}"
+
+
+def write_manifest(dir_path: str, m: PartManifest) -> None:
+    tmp = os.path.join(dir_path, MANIFEST_NAME + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(asdict(m), f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(dir_path, MANIFEST_NAME))
+
+
+def read_manifest(part_dir: str) -> PartManifest | None:
+    path = os.path.join(part_dir, MANIFEST_NAME)
+    try:
+        with open(path) as f:
+            return PartManifest(**json.load(f))
+    except (OSError, ValueError, TypeError):
+        return None
+
+
+def commit_part_dir(tmp_dir: str, final_dir: str) -> bool:
+    """Atomically publish a built partition. Returns False if another task
+    already committed it (tmp work is discarded)."""
+    try:
+        os.rename(tmp_dir, final_dir)
+        return True
+    except OSError:
+        if os.path.isdir(final_dir):
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            return False
+        raise
+
+
+def done_parts(index_dir: str) -> dict[int, PartManifest]:
+    """Committed partitions with a valid 'done' manifest."""
+    out: dict[int, PartManifest] = {}
+    if not os.path.isdir(index_dir):
+        return out
+    for name in os.listdir(index_dir):
+        if not name.startswith("part="):
+            continue
+        m = read_manifest(os.path.join(index_dir, name))
+        if m is not None and m.status == "done":
+            out[m.part] = m
+    return out
