@@ -76,7 +76,7 @@ def _page_html(title: str, paragraphs: list[str], links: list[str] = ()) -> tupl
     doc = (
         f"<html><head><title>{esc_title}</title>\n"
         f"<style>body {{margin:0}}</style><script>var skip=1;</script></head>\n"
-        f"<body>\n{''.join(body_parts)}\n</body></html>"
+        f"<body>\n{chr(10).join(body_parts)}\n</body></html>"
     )
     import re
 

@@ -1,0 +1,136 @@
+"""Index build pipeline: invariants, dedup, resume, determinism."""
+
+import glob
+import os
+import shutil
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from search_engine_ray.config import IndexBuildConfig
+from search_engine_ray.corpus import synth_pages_table, tiny_fixture_pages
+from search_engine_ray.functions.codec import decode_postings
+from search_engine_ray.pipelines.build import build_index, load_corpus_stats
+from search_engine_ray.pipelines.query import SegmentReader
+from search_engine_ray.state.manifest import done_parts
+
+
+def _read_all_postings(index_dir):
+    out = {}
+    for path in sorted(glob.glob(f"{index_dir}/part=*/postings.parquet")):
+        part = path.split("part=")[1].split("/")[0]
+        out[part] = pq.read_table(path)
+    return out
+
+
+def test_build_invariants(ray_session, tiny_index):
+    stats = load_corpus_stats(tiny_index)
+    manifests = done_parts(tiny_index)
+    assert stats["n_docs"] == 20  # 21 input rows, 1 duplicate url
+    assert set(manifests) == {0, 1, 2}
+
+    total_postings = 0
+    total_tf = 0
+    for path in glob.glob(f"{tiny_index}/part=*/postings.parquet"):
+        t = pq.read_table(path)
+        for row in t.to_pylist():
+            from search_engine_ray.pipelines.query import SegmentReader  # noqa
+
+            ids = row["df"]
+            total_postings += ids
+        # doc_ids strictly increasing per term
+        from search_engine_ray.functions.codec import EncodedPostings
+
+        part_dir = os.path.dirname(path)
+        rd = SegmentReader(part_dir, preload=True)
+        for term in t["term"].to_pylist():
+            enc = rd.postings(term)
+            dids, tfs = decode_postings(enc)
+            assert (np.diff(dids) > 0).all()
+            assert (tfs >= 1).all()
+            total_tf += int(tfs.sum())
+
+    # Σ tf over postings == Σ doc_len (A1/A5 invariant)
+    assert total_tf == stats["total_tokens"]
+
+    # Σ df(site, term) == number of distinct (term, doc) pairs
+    df_sum = 0
+    for path in glob.glob(f"{tiny_index}/part=*/dict.parquet"):
+        df_sum += sum(pq.read_table(path)["df"].to_pylist())
+    assert df_sum == total_postings
+
+
+def test_dedup_latest_wins(ray_session, tiny_index):
+    docs = []
+    for path in glob.glob(f"{tiny_index}/part=*/docs.parquet"):
+        docs.extend(pq.read_table(path).to_pylist())
+    dup = [d for d in docs if d["path"] == "/dup"]
+    assert len(dup) == 1
+    assert dup[0]["title"] == "New Version"
+
+
+def test_doc_ids_deterministic_and_partitioned(ray_session, tiny_index):
+    for path in glob.glob(f"{tiny_index}/part=*/docs.parquet"):
+        part = int(path.split("part=")[1].split("/")[0])
+        t = pq.read_table(path)
+        ids = t["doc_id"].to_numpy()
+        assert (ids >> 40 == part).all()
+        urls = t["url"].to_pylist()
+        assert urls == sorted(urls)  # rank within part = url sort order
+        assert (ids - (part << 40) == np.arange(len(ids))).all()
+
+
+def test_resume_skips_done_parts(ray_session, tmp_path):
+    import ray.data as rd
+
+    idx = str(tmp_path / "idx")
+    pages = tiny_fixture_pages()
+    cfg = IndexBuildConfig(num_partitions=3)
+    r1 = build_index(rd.from_arrow(pages), idx, cfg)
+    assert r1.built_parts == 3
+
+    # wipe one partition -> only it rebuilds
+    shutil.rmtree(os.path.join(idx, "part=00001"))
+    before = _read_all_postings(idx)
+    r2 = build_index(rd.from_arrow(pages), idx, cfg)
+    assert r2.built_parts == 1
+    assert r2.skipped_parts == 2
+    after = _read_all_postings(idx)
+    assert set(after) == {"00000", "00001", "00002"}
+    # rebuilt partition is byte-identical to the original build
+    assert after["00000"].equals(before["00000"])
+
+    # full resume: nothing to do
+    r3 = build_index(rd.from_arrow(pages), idx, cfg)
+    assert r3.built_parts == 0
+    assert r3.skipped_parts == 3
+
+
+def test_deterministic_across_runs_and_input_order(ray_session, tmp_path):
+    import ray.data as rd
+
+    pages = synth_pages_table(300, seed=11)
+    cfg = IndexBuildConfig(num_partitions=4)
+
+    a = str(tmp_path / "a")
+    build_index(rd.from_arrow(pages), a, cfg)
+
+    # permuted input rows -> identical segments
+    perm = pages.take(list(np.random.RandomState(3).permutation(pages.num_rows)))
+    b = str(tmp_path / "b")
+    build_index(rd.from_arrow(perm), b, cfg)
+
+    pa_, pb_ = _read_all_postings(a), _read_all_postings(b)
+    assert set(pa_) == set(pb_)
+    for k in pa_:
+        assert pa_[k].equals(pb_[k]), f"partition {k} differs"
+
+
+def test_empty_page_kept_as_doc(ray_session, tiny_index):
+    docs = []
+    for path in glob.glob(f"{tiny_index}/part=*/docs.parquet"):
+        docs.extend(pq.read_table(path).to_pylist())
+    empty = [d for d in docs if d["path"] == "/empty"]
+    assert len(empty) == 1
+    assert empty[0]["doc_len"] == 0

@@ -1,0 +1,74 @@
+"""Extraction spec tests (reference M1/M2/M3; byte-identity invariant)."""
+
+from search_engine_ray.corpus import synth_pages_table, tiny_fixture_pages
+from search_engine_ray.functions.html import (
+    extract_all,
+    extract_links,
+    extract_text,
+    extract_title,
+    extract_whole_text,
+)
+
+
+def test_basic_normalization():
+    html = "<html><body><p>a   b</p><p>c\nd</p></body></html>"
+    assert extract_text(html) == "a b c d"
+
+
+def test_entities_and_nbsp():
+    html = "<p>x&nbsp;y &amp; z</p>"
+    # &nbsp; decodes to U+00A0 and is NOT collapsible whitespace
+    assert extract_text(html) == "x\xa0y & z"
+
+
+def test_script_style_dropped():
+    html = "<head><style>p{}</style><script>var a=1;</script></head><body>ok</body>"
+    assert extract_text(html) == "ok"
+
+
+def test_title_included_in_text():
+    html = "<html><head><title>T1</title></head><body>b</body></html>"
+    assert extract_text(html) == "T1 b"
+    assert extract_title(html) == "T1"
+
+
+def test_inline_tags_no_separator():
+    assert extract_text("<p>bo<b>ld</b>ed</p>") == "bolded"
+
+
+def test_block_tags_separate():
+    assert extract_text("<div>a</div><div>b</div>") == "a b"
+    assert extract_text("x<br>y") == "x y"
+
+
+def test_whole_text_preserves_source_whitespace():
+    html = "<p>line one</p>\n<p>line  two</p>"
+    assert extract_whole_text(html) == "line one\nline  two"
+
+
+def test_empty_and_malformed():
+    assert extract_text("") == ""
+    assert extract_text("<p>unclosed") == "unclosed"
+    text, whole, title = extract_all("<title>t</title><p>a</p>")
+    assert (text, title) == ("t a", "t")
+    assert "t" in whole
+
+
+def test_links_filter():
+    html = ('<a href="/a#f">1</a><a href="/b">2</a><a href="https://me.x/c">3</a>'
+            '<a href="https://other.x/d">4</a><a href="/b">dup</a>')
+    assert extract_links(html, "https://me.x") == ["/b", "https://me.x/c"]
+
+
+def test_fixture_byte_identity():
+    """The input_hint invariant: extracted text == the golden text column."""
+    t = tiny_fixture_pages()
+    for url, html, expected in zip(t["url"].to_pylist(), t["html"].to_pylist(),
+                                   t["text"].to_pylist()):
+        assert extract_text(html.decode()) == expected, url
+
+
+def test_synth_byte_identity():
+    t = synth_pages_table(200, seed=7)
+    for html, expected in zip(t["html"].to_pylist(), t["text"].to_pylist()):
+        assert extract_text(html.decode()) == expected
