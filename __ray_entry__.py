@@ -1,16 +1,18 @@
-"""Driver contract for the graft builder (Ray Data target).
+"""Driver contract for the Ray-Data-native search/data engine.
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship pipeline (full index build over input_hint
+pages derived from sf0.001 documents) and returns the global dictionary;
+``queries()`` exposes one callable per implemented operator family from
+SURVEY.md §2 plus the training-data operators (dedup / similarity / text
+analysis / windows); ``oracle_sql()`` mirrors every SQL-expressible one.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver before import — nothing here calls
+``ray.init``/``ray.shutdown``.
+
+Float policy for oracle parity: integer aggregates stay exact; ratios are
+IEEE-double divisions of identical operands (bit-stable across engines);
+multi-term float SUMS (bm25 scores, event value sums, cosine) are cast to
+float32 on BOTH sides to absorb summation-order last-ulp differences.
 """
 
 from __future__ import annotations
@@ -18,27 +20,505 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+from search_engine_ray.functions.tokenize import TOKEN_RE_SQL
+from search_engine_ray.functions.textstats import QUALITY_STOPWORDS
+
+# --- shared SQL fragments --------------------------------------------------
+
+_SPLIT_SQL = r"[ \t\n\x0b\f\r]+"
+
+_TF_CTE = f"""
+raw_tok AS (
+    SELECT doc_id,
+           regexp_extract(tok, '{TOKEN_RE_SQL}', 1) AS term
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '{_SPLIT_SQL}')) AS tok
+          FROM documents)
+),
+tf AS (
+    SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+    FROM raw_tok WHERE term <> ''
+    GROUP BY doc_id, term
+)"""
+
+_DOC_LEN_CTE = """
+doc_len AS (
+    SELECT d.doc_id, COALESCE(SUM(tf.tf), 0)::BIGINT AS doc_len
+    FROM documents d LEFT JOIN tf ON tf.doc_id = d.doc_id
+    GROUP BY d.doc_id
+)"""
+
+_STOP_LIST_SQL = ",".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+
+
+def _bm25_sql(terms: list[str]) -> str:
+    term_list = ",".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TF_CTE},
+{_DOC_LEN_CTE},
+stats AS (
+    SELECT (SELECT COUNT(*) FROM documents) AS n,
+           (SELECT CAST(SUM(doc_len) AS DOUBLE) / (SELECT COUNT(*) FROM documents)
+            FROM doc_len) AS avgdl
+),
+df AS (
+    SELECT term, COUNT(*)::BIGINT AS df FROM tf
+    WHERE term IN ({term_list}) GROUP BY term
+),
+contrib AS (
+    SELECT tf.doc_id,
+           ln(1.0 + (stats.n - df.df + 0.5) / (df.df + 0.5))
+             * (tf.tf * 2.2)
+             / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * dl.doc_len / stats.avgdl))
+           AS c
+    FROM tf
+    JOIN df ON df.term = tf.term
+    JOIN doc_len dl ON dl.doc_id = tf.doc_id
+    CROSS JOIN stats
+)
+SELECT doc_id, CAST(CAST(SUM(c) AS DOUBLE) AS FLOAT) AS score
+FROM contrib GROUP BY doc_id
+"""
+
+
+def _search_ref_sql(terms: list[str]) -> str:
+    term_list = ",".join(f"'{t}'" for t in terms)
+    return f"""
+WITH {_TF_CTE},
+hits AS (
+    SELECT doc_id, SUM(tf)::BIGINT AS abs_rel
+    FROM tf WHERE term IN ({term_list})
+    GROUP BY doc_id
+    HAVING COUNT(DISTINCT term) = {len(terms)}
+)
+SELECT doc_id,
+       CAST(abs_rel AS DOUBLE) / (SELECT CAST(MAX(abs_rel) AS DOUBLE) FROM hits)
+         AS relevance
+FROM hits
+"""
+
+
+# --- driver API ------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the partitioned inverted index over input_hint pages
+    derived from sf0.001 documents (extract -> lemmatize[default morphology]
+    -> partition shuffle -> segments), then return the global dictionary
+    Dataset (term, df)."""
+    import ray.data as rd
+
+    from search_engine_ray.config import IndexBuildConfig
+    from search_engine_ray.corpus import pages_from_documents
+    from search_engine_ray.pipelines.build import GLOBAL_DICT_DIR, build_index
+
+    sf_dir = "/root/testdata/sf0.001"
+    index_dir = "/tmp/serx_entry_index"
+    build_index(pages_from_documents(sf_dir), index_dir,
+                IndexBuildConfig(morphology="default",
+                                 target_docs_per_partition=500),
+                resume=True)
+    return rd.read_parquet(f"{index_dir}/{GLOBAL_DICT_DIR}")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from search_engine_ray.pipelines import docqueries as dq
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def tf(sf_dir):
+        return dq.q_tf(sf_dir)
+
+    def term_df(sf_dir):
+        return dq.q_term_df(sf_dir)
+
+    def dictionary(sf_dir):
+        return dq.q_dictionary(sf_dir)
+
+    def doc_len(sf_dir):
+        return dq.q_doc_len(sf_dir)
+
+    def corpus_stats(sf_dir):
+        return dq.q_corpus_stats(sf_dir)
+
+    def top_terms(sf_dir):
+        return dq.q_top_terms(sf_dir)
+
+    def search_ref(sf_dir):
+        return dq.q_search_ref(sf_dir)
+
+    def search_ref_multi(sf_dir):
+        return dq.q_search_ref_multi(sf_dir)
+
+    def search_bm25(sf_dir):
+        return dq.q_search_bm25(sf_dir)
+
+    def site_stats(sf_dir):
+        return dq.q_site_stats(sf_dir)
+
+    def lang_distribution(sf_dir):
+        import ray.data as rd
+        from ray.data.aggregate import Count
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["lang"])
+        return ds.groupby("lang").aggregate(Count(alias_name="n_docs"))
+
+    def langid_simple(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.functions.textstats import langid_batch
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return ds.map_batches(langid_batch, batch_format="pyarrow") \
+            .select_columns(["doc_id", "lang_id"])
+
+    def doc_quality(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.functions.textstats import quality_batch
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return ds.map_batches(quality_batch, batch_format="pyarrow") \
+            .select_columns(["doc_id", "n_chars", "n_tokens", "n_letters",
+                             "n_uniq_tokens", "stop_ratio"])
+
+    def fingerprint(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.functions.textstats import fingerprint_batch
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return ds.map_batches(fingerprint_batch, batch_format="pyarrow") \
+            .select_columns(["doc_id", "fingerprint"])
+
+    def exact_dedup(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import exact_duplicates
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return exact_duplicates(ds)
+
+    def ngram_jaccard(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import ngram_jaccard_pairs
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_shingle_df=50) \
+            .select_columns(["doc_a", "doc_b", "n_inter"])
+
+    def minhash_lsh(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import minhash_lsh_pairs
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return minhash_lsh_pairs(ds, threshold=0.5)
+
+    def simhash_dedup(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import simhash_pairs
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return simhash_pairs(ds, max_hamming=8)
+
+    def knn_cosine(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.similarity import knn_bruteforce
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        import numpy as np
+        import pyarrow as pa
+
+        t = knn_bruteforce(ds, query_ids=list(range(8)), k=5)
+        # embeddings are stored float32; DuckDB's list_cosine_similarity
+        # computes at that precision — round both sides to 4dp for parity
+        cos4 = np.round(t["cosine"].to_numpy(), 4)
+        return t.set_column(t.column_names.index("cosine"), "cosine",
+                            pa.array(cos4))
+
+    def knn_lsh(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.similarity import knn_lsh_buckets
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return knn_lsh_buckets(ds, k=3, dim=64)
+
+    def embedding_dup(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import embedding_dup_pairs
+
+        import numpy as np
+        import pandas as pd
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        out = embedding_dup_pairs(ds, threshold=0.4).to_pandas()
+        if out.empty:
+            out = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                "vec_b": pd.Series(dtype="int64"),
+                                "cosine": pd.Series(dtype="float64")})
+        out["cosine"] = np.round(out["cosine"].to_numpy(np.float64), 4)
+        return out
+
+    def events_window(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import tumbling_window_agg
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+        out = tumbling_window_agg(ds, size_sec=300)
+        import numpy as np
+        import pyarrow as pa
+
+        def shape(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": batch["user_id"],
+                "window_start": batch["window_start"],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_value": pa.array(batch["sum_value"].to_numpy().astype(np.float32)),
+                "min_value": batch["min_value"],
+                "max_value": batch["max_value"],
+            })
+
+        return out.map_batches(shape, batch_format="pyarrow")
+
+    def sessionize(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import sessionize as _sess
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+        return _sess(ds, gap_sec=1800).select_columns(
+            ["user_id", "session_id", "n_events", "start_sec", "end_sec"])
+
+    return {
+        "tf": tf,
+        "term_df": term_df,
+        "dictionary": dictionary,
+        "doc_len": doc_len,
+        "corpus_stats": corpus_stats,
+        "top_terms": top_terms,
+        "search_ref": search_ref,
+        "search_ref_multi": search_ref_multi,
+        "search_bm25": search_bm25,
+        "site_stats": site_stats,
+        "lang_distribution": lang_distribution,
+        "langid_simple": langid_simple,
+        "doc_quality": doc_quality,
+        "fingerprint": fingerprint,
+        "exact_dedup": exact_dedup,
+        "ngram_jaccard": ngram_jaccard,
+        "minhash_lsh": minhash_lsh,
+        "simhash_dedup": simhash_dedup,
+        "knn_cosine": knn_cosine,
+        "knn_lsh": knn_lsh,
+        "embedding_dup": embedding_dup,
+        "events_window": events_window,
+        "sessionize": sessionize,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from search_engine_ray.pipelines.docqueries import SEARCH_TERMS_1, SEARCH_TERMS_2
+
+    sql: dict[str, str] = {}
+
+    sql["tf"] = f"WITH {_TF_CTE} SELECT doc_id, term, tf FROM tf"
+
+    sql["term_df"] = f"""
+WITH {_TF_CTE}
+SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+"""
+
+    sql["dictionary"] = f"""
+WITH {_TF_CTE}
+SELECT d.source AS source, tf.term AS term, COUNT(*)::BIGINT AS df
+FROM tf JOIN documents d ON d.doc_id = tf.doc_id
+GROUP BY d.source, tf.term
+"""
+
+    sql["doc_len"] = f"WITH {_TF_CTE}, {_DOC_LEN_CTE.lstrip()} SELECT doc_id, doc_len FROM doc_len"
+
+    sql["corpus_stats"] = f"""
+WITH {_TF_CTE}, {_DOC_LEN_CTE.lstrip()}
+SELECT (SELECT COUNT(*) FROM documents)::BIGINT AS n_docs,
+       (SELECT SUM(doc_len) FROM doc_len)::BIGINT AS total_tokens,
+       (SELECT CAST(SUM(doc_len) AS DOUBLE) / (SELECT COUNT(*) FROM documents)
+        FROM doc_len) AS avgdl,
+       (SELECT COUNT(DISTINCT term) FROM tf)::BIGINT AS vocab
+"""
+
+    sql["top_terms"] = f"""
+WITH {_TF_CTE}
+SELECT term, COUNT(*)::BIGINT AS df FROM tf GROUP BY term
+ORDER BY df DESC, term ASC LIMIT 50
+"""
+
+    sql["search_ref"] = _search_ref_sql(SEARCH_TERMS_1)
+    sql["search_ref_multi"] = _search_ref_sql(SEARCH_TERMS_2)
+    sql["search_bm25"] = _bm25_sql(SEARCH_TERMS_1)
+
+    sql["site_stats"] = f"""
+WITH {_TF_CTE}
+SELECT d.source AS source,
+       COUNT(DISTINCT d.doc_id)::BIGINT AS n_docs,
+       COALESCE(SUM(tf.tf), 0)::BIGINT AS total_tokens,
+       COUNT(DISTINCT tf.term)::BIGINT AS n_terms
+FROM documents d LEFT JOIN tf ON tf.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+    sql["lang_distribution"] = \
+        "SELECT lang, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY lang"
+
+    sql["langid_simple"] = """
+SELECT doc_id,
+       CASE WHEN regexp_matches(lower(text), '[а-яё]') THEN 'ru'
+            WHEN regexp_matches(lower(text), '[a-z]') THEN 'en'
+            ELSE 'other' END AS lang_id
+FROM documents
+"""
+
+    sql["doc_quality"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+    FROM documents
+),
+agg AS (
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_tokens,
+           SUM(length(tok))::BIGINT AS n_letters,
+           COUNT(DISTINCT tok)::BIGINT AS n_uniq_tokens,
+           CAST(COUNT(*) FILTER (tok IN ({_STOP_LIST_SQL})) AS DOUBLE)
+             / COUNT(*) AS stop_ratio
+    FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id,
+       length(d.text)::BIGINT AS n_chars,
+       COALESCE(a.n_tokens, 0) AS n_tokens,
+       COALESCE(a.n_letters, 0) AS n_letters,
+       COALESCE(a.n_uniq_tokens, 0) AS n_uniq_tokens,
+       COALESCE(a.stop_ratio, 0.0) AS stop_ratio
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+    sql["fingerprint"] = r"""
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+    sql["exact_dedup"] = """
+SELECT md5(text) AS content_hash,
+       MIN(doc_id)::BIGINT AS keep_doc_id,
+       COUNT(*)::BIGINT AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+    sql["ngram_jaccard"] = """
+WITH toks AS (
+    SELECT doc_id, lower(text) AS t,
+           regexp_extract_all(lower(text), '[a-z]+') AS words
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+    FROM toks, UNNEST(range(1, len(words) - 1)) AS r(i)
+    WHERE len(words) >= 3
+),
+keep AS (
+    SELECT shingle FROM shingles GROUP BY shingle
+    HAVING COUNT(*) BETWEEN 2 AND 50
+),
+sizes AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n FROM shingles GROUP BY doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_inter
+    FROM shingles a
+    JOIN keep k ON k.shingle = a.shingle
+    JOIN shingles b ON b.shingle = a.shingle AND b.doc_id > a.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.n_inter
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) >= 0.5
+"""
+
+    sql["knn_cosine"] = """
+WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 8),
+sims AS (
+    SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+           list_cosine_similarity(q.embedding, e.embedding) AS cos
+    FROM q CROSS JOIN embeddings e
+    WHERE e.vec_id <> q.vec_id
+),
+ranked AS (
+    SELECT query_id, neighbor_id, cos,
+           ROW_NUMBER() OVER (PARTITION BY query_id
+                              ORDER BY cos DESC, neighbor_id ASC) AS rank
+    FROM sims
+)
+SELECT query_id, neighbor_id, round(CAST(cos AS DOUBLE), 4) AS cosine, rank::INT AS rank
+FROM ranked WHERE rank <= 5
+"""
+
+    sql["embedding_dup"] = """
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       round(CAST(list_cosine_similarity(a.embedding, b.embedding) AS DOUBLE), 4) AS cosine
+FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
+"""
+
+    sql["events_window"] = """
+SELECT user_id,
+       (FLOOR(epoch(ts) / 300) * 300)::BIGINT AS window_start,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(value) AS FLOAT) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events GROUP BY user_id, (FLOOR(epoch(ts) / 300) * 300)::BIGINT
+"""
+
+    sql["sessionize"] = """
+WITH ordered AS (
+    SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+           LAG(CAST(FLOOR(epoch(ts)) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS prev_sec
+    FROM events
+),
+marked AS (
+    SELECT user_id, sec,
+           CASE WHEN prev_sec IS NULL OR sec - prev_sec <= 1800
+                THEN 0 ELSE 1 END AS new_session
+    FROM ordered
+),
+sessions AS (
+    SELECT user_id, sec,
+           SUM(new_session) OVER (PARTITION BY user_id ORDER BY sec
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+    FROM marked
+)
+SELECT user_id, session_id::BIGINT AS session_id,
+       COUNT(*)::BIGINT AS n_events,
+       MIN(sec) AS start_sec, MAX(sec) AS end_sec
+FROM sessions GROUP BY user_id, session_id
+"""
+
+    # minhash_lsh, simhash_dedup, knn_lsh: probabilistic/bucketed operators —
+    # not SQL-expressible; the driver records rows-only checks, and the pytest
+    # suite verifies them against exact oracles at fixture scale.
+    return sql

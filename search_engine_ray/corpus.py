@@ -215,8 +215,9 @@ def documents_to_pages_batch(batch: pa.Table) -> pa.Table:
     sources = batch["source"].to_pylist()
     urls, tss, htmls, out_texts = [], [], [], []
     for did, text, src in zip(doc_ids, texts, sources):
-        title = f"Document {did}"
-        html_s, expected = _page_html(title, [text or ""])
+        # empty title: the page text must tokenize EXACTLY like the source
+        # documents.text (title words would pollute tf/df oracle parity)
+        html_s, expected = _page_html("", [text or ""])
         urls.append(f"https://{src}.example/doc/{did}")
         tss.append(_ts(did))
         htmls.append(html_s.encode())
@@ -228,6 +229,8 @@ def documents_to_pages_batch(batch: pa.Table) -> pa.Table:
             "html": pa.array(htmls, pa.binary()),
             "text": pa.array(out_texts, pa.string()),
             "lang": pa.array(langs, pa.string()),
+            # passthrough: lets index consumers join back to the source table
+            "src_doc_id": pa.array(doc_ids, pa.int64()),
         }
     )
 

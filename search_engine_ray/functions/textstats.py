@@ -1,0 +1,81 @@
+"""Text analysis kernels for training-data pipelines.
+
+Language-ID (charset heuristic), quality metrics (length / token /
+stopword-ratio), token counting and document fingerprinting — each defined by
+a frozen, SQL-mirrorable rule so the driver's DuckDB oracle can verify the
+Ray pipeline value-for-value (see ``__ray_entry__.oracle_sql``).
+
+All batch functions are ``map_batches(fn, batch_format="pyarrow")`` bodies:
+vectorized where a kernel exists, tight per-row loops (compiled regex, no
+allocation churn) where not.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# frozen EN stop list for the quality metric (intentionally small and SQL-
+# inlineable — distinct from morphology.EN_STOPWORDS which models POS classes)
+QUALITY_STOPWORDS = ("the", "a", "an", "and", "or", "of", "in", "on", "at",
+                     "to", "is", "was", "it", "for", "with", "as", "by")
+
+_TOKEN_RE = re.compile(r"[a-z]+")
+_WS_RE = re.compile(r"[ \t\n\r]+")
+
+
+def langid_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Charset-rule language ID: cyrillic -> ru, latin -> en, else other.
+
+    (The frozen oracle rule; a real pipeline would swap in an n-gram model —
+    the provider seam is the same ``map_batches`` stage.)
+    """
+    lower = pc.utf8_lower(batch[text_col])
+    is_ru = pc.match_substring_regex(lower, "[а-яё]")
+    is_en = pc.match_substring_regex(lower, "[a-z]")
+    lang = pc.if_else(is_ru, pa.scalar("ru"),
+                      pc.if_else(is_en, pa.scalar("en"), pa.scalar("other")))
+    return batch.append_column("lang_id", lang)
+
+
+def quality_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Per-doc quality metrics: n_chars, n_tokens, n_letters, n_uniq_tokens,
+    stop_ratio (QUALITY_STOPWORDS share of tokens; 0.0 for empty docs)."""
+    texts = batch[text_col].to_pylist()
+    stop = set(QUALITY_STOPWORDS)
+    n_tokens = np.empty(len(texts), np.int64)
+    n_letters = np.empty(len(texts), np.int64)
+    n_uniq = np.empty(len(texts), np.int64)
+    stop_ratio = np.empty(len(texts), np.float64)
+    for i, t in enumerate(texts):
+        toks = _TOKEN_RE.findall((t or "").lower())
+        n_tokens[i] = len(toks)
+        n_letters[i] = sum(map(len, toks))
+        n_uniq[i] = len(set(toks))
+        stop_ratio[i] = (sum(1 for w in toks if w in stop) / len(toks)) if toks else 0.0
+    out = batch.append_column("n_chars", pc.utf8_length(batch[text_col]).cast(pa.int64()))
+    out = out.append_column("n_tokens", pa.array(n_tokens))
+    out = out.append_column("n_letters", pa.array(n_letters))
+    out = out.append_column("n_uniq_tokens", pa.array(n_uniq))
+    out = out.append_column("stop_ratio", pa.array(stop_ratio))
+    return out
+
+
+def fingerprint_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Deterministic content fingerprint: md5 of the whitespace-normalized
+    lowercased text (matches DuckDB ``md5(trim(regexp_replace(...)))``)."""
+    texts = batch[text_col].to_pylist()
+    fps = [hashlib.md5(_WS_RE.sub(" ", (t or "").lower()).strip().encode()).hexdigest()
+           for t in texts]
+    return batch.append_column("fingerprint", pa.array(fps, pa.string()))
+
+
+def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Exact-dedup key: md5 of the raw text (DuckDB ``md5(text)``)."""
+    texts = batch[text_col].to_pylist()
+    hs = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
+    return batch.append_column("content_hash", pa.array(hs, pa.string()))

@@ -118,7 +118,8 @@ def build_index(
         stats = ds.groupby("part").map_groups(builder, batch_format="pyarrow")
         stats_rows = stats.take_all()  # one tiny row per partition
 
-    finalize_index(index_dir)
+    if todo or not os.path.exists(os.path.join(index_dir, CORPUS_STATS)):
+        finalize_index(index_dir)
 
     built = {r["part"] for r in stats_rows}
     manifests = done_parts(index_dir)

@@ -1,0 +1,88 @@
+"""Windowed / sessionized aggregates over the ``events`` stream table.
+
+Ray Data has no event-time window operator; per the streaming-shaped
+guidance the input is treated as a partitioned log: tumbling windows are a
+plain ``groupby(key, window)`` after a vectorized window-assignment
+``map_batches``; session windows sort each key's group by ts inside
+``map_groups`` and split on gaps.  Ordering assumption: none for tumbling
+(commutative aggregates); per-key ts sort is local to the group for
+sessions.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data as rd
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+
+def assign_tumbling_window(batch: pa.Table, size_sec: int,
+                           ts_col: str = "ts") -> pa.Table:
+    epoch_us = batch[ts_col].cast(pa.int64())
+    win = pc.multiply(pc.floor(pc.divide(epoch_us, size_sec * 1_000_000)).cast(pa.int64()),
+                      size_sec)
+    return batch.append_column("window_start", win.cast(pa.int64()))
+
+
+def tumbling_window_agg(events: rd.Dataset, size_sec: int = 300,
+                        key_col: str = "user_id") -> rd.Dataset:
+    """Per (key, tumbling window): event count, value sum/mean/min/max."""
+    ds = events.map_batches(assign_tumbling_window, batch_format="pyarrow",
+                            fn_kwargs={"size_sec": size_sec})
+    return ds.groupby([key_col, "window_start"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Mean("value", alias_name="mean_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
+def sessionize(events: rd.Dataset, gap_sec: int = 1800,
+               key_col: str = "user_id") -> rd.Dataset:
+    """Gap-based session windows per key.
+
+    ``groupby(key).map_groups``: sort the key's events by ts, start a new
+    session when the gap to the previous event exceeds ``gap_sec``.  Output:
+    one row per session (key, session_id, n_events, start/end epoch seconds,
+    sum_value).  session_id numbers sessions per key from 0 in ts order —
+    deterministic given the event set.
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[("ts", "ascending"),
+                                                  ("event_id", "ascending")])
+        g = group.take(order)
+        ts = g["ts"].cast(pa.int64()).to_numpy() // 1_000_000
+        vals = g["value"].to_numpy()
+        gaps = np.diff(ts, prepend=ts[0] if len(ts) else 0)
+        new_session = gaps > gap_sec
+        if len(ts):
+            new_session[0] = False
+        session = np.cumsum(new_session).astype(np.int64)
+        n_sessions = int(session[-1]) + 1 if len(ts) else 0
+        starts = np.zeros(n_sessions, np.int64)
+        ends = np.zeros(n_sessions, np.int64)
+        counts = np.zeros(n_sessions, np.int64)
+        sums = np.zeros(n_sessions, np.float64)
+        for sid in range(n_sessions):
+            mask = session == sid
+            idx = np.flatnonzero(mask)
+            starts[sid] = ts[idx[0]]
+            ends[sid] = ts[idx[-1]]
+            counts[sid] = idx.size
+            sums[sid] = vals[idx].sum()
+        key = group[key_col][0].as_py()
+        return pa.table({
+            key_col: pa.array([key] * n_sessions, pa.int64()),
+            "session_id": pa.array(np.arange(n_sessions, dtype=np.int64)),
+            "n_events": pa.array(counts),
+            "start_sec": pa.array(starts),
+            "end_sec": pa.array(ends),
+            "sum_value": pa.array(sums),
+        })
+
+    return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

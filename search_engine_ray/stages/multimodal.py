@@ -1,0 +1,100 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Image/audio/video payloads are opaque ``binary`` columns with sidecar
+metadata columns; decode / feature-extract / resize / frame-sample are
+actor-pool ``map_batches`` stages (decoder state loaded once per actor).
+
+The decode libraries (PIL/ffmpeg/soundfile) are NOT available in this
+container, so the codec seam is explicit:
+
+- ``DecodeImage(decoder="real")`` raises ``NotImplementedError`` at actor
+  construction (clearly marked stub), and
+- ``DecodeImage(decoder="fake")`` is a deterministic stand-in that parses the
+  payload's 16-byte FakeImage header — the Ray-side plumbing (schema, batch
+  sizing for fat rows, actor signature, output layout) is real and tested.
+
+Fake payload layout: ``b"FIMG" | uint32 width | uint32 height | uint32
+channels | pixel bytes``.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+import pyarrow as pa
+
+_MAGIC = b"FIMG"
+_HEADER = struct.Struct("<4sIII")
+
+
+def encode_fake_image(width: int, height: int, channels: int = 3,
+                      seed: int = 0) -> bytes:
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, width * height * channels, dtype=np.int64).astype(np.uint8)
+    return _HEADER.pack(_MAGIC, width, height, channels) + pixels.tobytes()
+
+
+class DecodeImage:
+    """Actor-pool stage: binary payload -> (width, height, channels,
+    mean_luma) metadata columns.
+
+    Use ``map_batches(DecodeImage, fn_constructor_kwargs={"decoder": "fake"},
+    batch_size=small, concurrency=N)`` — payload rows are fat, so batches
+    must stay small enough that batch x concurrency fits worker heaps.
+    """
+
+    def __init__(self, decoder: str = "real", payload_col: str = "payload"):
+        self.payload_col = payload_col
+        if decoder == "real":
+            raise NotImplementedError(
+                "real image decoding requires PIL/turbojpeg, not present in "
+                "this environment — use decoder='fake' (deterministic header "
+                "parser) to exercise the pipeline plumbing")
+        if decoder != "fake":
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, channels, lumas = [], [], [], []
+        for payload in batch[self.payload_col].to_pylist():
+            magic, w, h, c = _HEADER.unpack_from(payload, 0)
+            if magic != _MAGIC:
+                raise ValueError("bad FakeImage payload")
+            px = np.frombuffer(payload, np.uint8, offset=_HEADER.size)
+            widths.append(w)
+            heights.append(h)
+            channels.append(c)
+            lumas.append(float(px.mean()) if px.size else 0.0)
+        out = batch.drop_columns([self.payload_col])
+        out = out.append_column("width", pa.array(widths, pa.int32()))
+        out = out.append_column("height", pa.array(heights, pa.int32()))
+        out = out.append_column("channels", pa.array(channels, pa.int32()))
+        out = out.append_column("mean_luma", pa.array(lumas, pa.float64()))
+        return out
+
+
+class ResizeImage:
+    """Actor-pool stage stub for resize: fake path subsamples the pixel
+    buffer deterministically; real path is the same NotImplementedError seam."""
+
+    def __init__(self, target: tuple[int, int] = (64, 64), decoder: str = "real",
+                 payload_col: str = "payload"):
+        self.target = target
+        self.payload_col = payload_col
+        if decoder == "real":
+            raise NotImplementedError("real resize needs an image library; "
+                                      "use decoder='fake'")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        tw, th = self.target
+        out_payloads = []
+        for payload in batch[self.payload_col].to_pylist():
+            _, w, h, c = _HEADER.unpack_from(payload, 0)
+            px = np.frombuffer(payload, np.uint8, offset=_HEADER.size).reshape(h, w, c)
+            ys = (np.arange(th) * h) // th
+            xs = (np.arange(tw) * w) // tw
+            resized = px[ys][:, xs]
+            out_payloads.append(_HEADER.pack(_MAGIC, tw, th, c) + resized.tobytes())
+        return batch.set_column(batch.column_names.index(self.payload_col),
+                                self.payload_col,
+                                pa.array(out_payloads, pa.binary()))

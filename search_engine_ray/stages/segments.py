@@ -175,6 +175,13 @@ def make_segment_builder(index_dir: str, cfg: IndexBuildConfig, config_hash: str
         }
         if cfg.store_doc_text and "whole_text" in g.column_names:
             docs_cols["whole_text"] = g["whole_text"]
+        # user passthrough columns (e.g. an upstream id) ride along into the
+        # doc metadata — the engine's extension surface for per-doc payloads
+        known = {"url", "warc_ts", "html", "part", "site", "path", "title",
+                 "doc_len", "terms", "tfs", "text_x", "whole_text", "text", "lang"}
+        for name in g.column_names:
+            if name not in known and name not in docs_cols:
+                docs_cols[name] = g[name]
         docs_tbl = pa.table(docs_cols)
 
         # --- atomic commit ----------------------------------------------

@@ -1,0 +1,152 @@
+"""Similarity search over an embedding column (``list<float>``).
+
+- :func:`knn_bruteforce` — exact cosine top-k: the query matrix is broadcast
+  once with ``ray.put``; each ``map_batches`` task does one numpy matmul
+  (batch x dim) @ (dim x Q) and emits its per-batch top-k; the driver merges
+  Q x k x n_blocks partial rows — the scalable exact baseline.
+- :func:`knn_lsh_buckets` — random-hyperplane LSH bucketing: candidates only
+  meet inside a bucket (``groupby(bucket)``), turning top-k into a bounded
+  local problem; approximate (recall < 1), the 10^12-scale path.
+
+Deterministic ordering: (cosine desc, neighbor id asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+
+
+def _normalize(mat: np.ndarray) -> np.ndarray:
+    return mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+
+
+def _queries_matrix(emb_ds: rd.Dataset, query_ids: list[int],
+                    id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
+    rows = emb_ds.filter(
+        lambda r, q=frozenset(query_ids): r[id_col] in q
+    ).take_all()
+    rows.sort(key=lambda r: r[id_col])
+    ids = np.array([r[id_col] for r in rows], np.int64)
+    mat = _normalize(np.stack([np.asarray(r[vec_col], np.float64) for r in rows]))
+    return ids, mat
+
+
+def knn_bruteforce(emb_ds: rd.Dataset, query_ids: list[int], k: int = 5,
+                   *, id_col: str = "vec_id", vec_col: str = "embedding",
+                   exclude_self: bool = True) -> "pa.Table":
+    """Exact top-k cosine neighbors for each query id; returns a pyarrow
+    Table (query_id, neighbor_id, cosine, rank) — Q x k rows."""
+    q_ids, q_mat = _queries_matrix(emb_ds, query_ids, id_col, vec_col)
+    ref = ray.put((q_ids, q_mat.T))  # dim x Q
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        g_qids, qT = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        mat = _normalize(np.stack(batch[vec_col].to_numpy(zero_copy_only=False)))
+        sims = mat @ qT  # batch x Q
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(g_qids):
+            col = sims[:, qi]
+            mask = ids != qid if exclude_self else np.ones(len(ids), bool)
+            cand = np.flatnonzero(mask)
+            if cand.size == 0:
+                continue
+            # per-batch top-k with deterministic tie-break (cos desc, id asc)
+            order = np.lexsort((ids[cand], -col[cand]))[:k]
+            sel = cand[order]
+            out_q.extend([int(qid)] * sel.size)
+            out_n.extend(int(x) for x in ids[sel])
+            out_c.extend(float(x) for x in col[sel])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+    partials = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        partial_topk, batch_format="pyarrow").take_all()
+
+    # global merge: Q x k x n_blocks rows — tiny
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in partials:
+        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["neighbor_id"]))
+    out_q, out_n, out_c, out_r = [], [], [], []
+    for qid in sorted(by_q):
+        rows = sorted(by_q[qid], key=lambda x: (-x[0], x[1]))[:k]
+        for rank, (cos, nid) in enumerate(rows, 1):
+            out_q.append(qid)
+            out_n.append(nid)
+            out_c.append(cos)
+            out_r.append(rank)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "cosine": pa.array(out_c, pa.float64()),
+                     "rank": pa.array(out_r, pa.int32())})
+
+
+class _LshBucketStage:
+    """Assign each vector to a random-hyperplane LSH bucket (seeded)."""
+
+    def __init__(self, dim: int, n_planes: int = 12, seed: int = 13,
+                 id_col: str = "vec_id", vec_col: str = "embedding"):
+        rng = np.random.RandomState(seed)
+        self.planes = rng.standard_normal((dim, n_planes))
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        mat = _normalize(np.stack(batch[self.vec_col].to_numpy(zero_copy_only=False)))
+        bits = (mat @ self.planes) > 0
+        bucket = np.zeros(len(mat), np.int64)
+        for b in range(self.planes.shape[1]):
+            bucket |= bits[:, b].astype(np.int64) << b
+        return pa.table({
+            "vec_id": batch[self.id_col],
+            "bucket": pa.array(bucket),
+            self.vec_col: batch[self.vec_col],
+        })
+
+
+def knn_lsh_buckets(emb_ds: rd.Dataset, k: int = 5, *, dim: int,
+                    n_planes: int = 12, seed: int = 13,
+                    id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
+    """Approximate per-bucket top-k neighbor lists: the scale path.
+
+    Vectors only compare within their LSH bucket; emits (vec_id, neighbor_id,
+    cosine, rank) per bucket member.  Recall is tunable via n_planes (fewer
+    planes -> bigger buckets -> higher recall & cost).
+    """
+    bucketed = emb_ds.map_batches(
+        _LshBucketStage,
+        fn_constructor_kwargs=dict(dim=dim, n_planes=n_planes, seed=seed,
+                                   id_col=id_col, vec_col=vec_col),
+        batch_format="pyarrow", concurrency=(1, 8))
+
+    def bucket_knn(group: pa.Table) -> pa.Table:
+        ids = group["vec_id"].to_numpy()
+        if ids.size < 2:
+            return pa.table({"vec_id": pa.array([], pa.int64()),
+                             "neighbor_id": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64()),
+                             "rank": pa.array([], pa.int32())})
+        mat = _normalize(np.stack(group[vec_col].to_numpy(zero_copy_only=False)))
+        sims = mat @ mat.T
+        out_v, out_n, out_c, out_r = [], [], [], []
+        for i in range(len(ids)):
+            col = sims[i].copy()
+            mask = ids != ids[i]
+            cand = np.flatnonzero(mask)
+            order = np.lexsort((ids[cand], -col[cand]))[:k]
+            for rank, j in enumerate(cand[order], 1):
+                out_v.append(int(ids[i]))
+                out_n.append(int(ids[j]))
+                out_c.append(float(col[j]))
+                out_r.append(rank)
+        return pa.table({"vec_id": pa.array(out_v, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64()),
+                         "rank": pa.array(out_r, pa.int32())})
+
+    return bucketed.groupby("bucket").map_groups(bucket_knn, batch_format="pyarrow")
