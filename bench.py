@@ -1,0 +1,301 @@
+"""Benchmark harness (driver contract).
+
+Default mode: run the headline pipelines over ``$GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) under ``ray.init(address="local",
+num_cpus=$RAY_GRAFT_CPUS)`` (default 32) and print ONE JSON line::
+
+    {"metric": "...", "value": N, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ..., "num_cpus": N}
+
+``--scaling``: run the identical index-build job twice in FRESH processes at
+two parallelism levels (num_cpus=8 and num_cpus=32) over the same input and
+report docs/s at both plus scaling efficiency ``(tp_hi/tp_lo)/(hi/lo)``
+(the sandbox substitute for the north rule's N->4N-node criterion; see
+BASELINE.md).  The scaling corpus is a larger seeded synthetic page table
+(SURVEY.md corpus generator) so per-doc compute, not fixed session startup,
+dominates.
+
+Only this script owns the Ray session (ray.init/shutdown).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import statistics
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "60000"))
+SCALING_LEVELS = (8, 32)
+
+
+def _sf_of(sf_dir: str) -> float:
+    base = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def _fresh_dir(path: str) -> str:
+    import shutil
+
+    shutil.rmtree(path, ignore_errors=True)
+    os.makedirs(path, exist_ok=True)
+    return path
+
+
+def _build_flagship(sf_dir: str, index_dir: str) -> dict:
+    """Fresh (non-resumed) flagship index build; returns timing + counters."""
+    from search_engine_ray.config import IndexBuildConfig
+    from search_engine_ray.corpus import pages_from_documents
+    from search_engine_ray.pipelines.build import build_index
+
+    import pyarrow.parquet as pq
+
+    n_hint = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    _fresh_dir(index_dir)
+    t0 = time.perf_counter()
+    res = build_index(
+        pages_from_documents(sf_dir), index_dir,
+        IndexBuildConfig(morphology="default", target_docs_per_partition=1000),
+        num_docs_hint=n_hint, resume=False)
+    wall = time.perf_counter() - t0
+    return {"wall_s": wall, "n_docs": res.n_docs, "docs_per_s": res.n_docs / wall}
+
+
+def _query_terms(index_dir: str, n: int = 8) -> list[list[str]]:
+    """Pick query term lists from the built index's global dictionary:
+    mix of head and mid-df terms, deterministic."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.build import GLOBAL_DICT_DIR
+
+    t = pq.read_table(os.path.join(index_dir, GLOBAL_DICT_DIR))
+    pairs = sorted(zip(t["term"].to_pylist(), t["df"].to_pylist()),
+                   key=lambda x: (-x[1], x[0]))
+    terms = [p[0] for p in pairs]
+    if not terms:
+        return []
+    head = terms[: max(1, len(terms) // 4)]
+    mid = terms[len(terms) // 3: len(terms) // 3 + max(1, len(terms) // 4)] or head
+    qs: list[list[str]] = []
+    for i in range(n):
+        if i % 3 == 0:
+            qs.append([head[i % len(head)]])
+        elif i % 3 == 1:
+            qs.append([head[i % len(head)], mid[i % len(mid)]])
+        else:
+            qs.append([mid[i % len(mid)], mid[(i + 1) % len(mid)],
+                       head[(i + 2) % len(head)]])
+    return qs
+
+
+def _bench_queries(index_dir: str) -> dict:
+    """BM25 (WAND) and reference-scorer latency over the built index."""
+    from search_engine_ray.pipelines.query import IndexReader
+
+    ix = IndexReader(index_dir, preload=True)
+    term_sets = _query_terms(index_dir)
+    lat_bm25, lat_ref = [], []
+    for terms in term_sets:
+        q = " ".join(terms)
+        ix.search(q, scorer="bm25", with_snippets=False)  # warm
+        for _ in range(3):
+            t0 = time.perf_counter()
+            ix.search(q, scorer="bm25", with_snippets=False)
+            lat_bm25.append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            ix.search(q, scorer="reference", with_snippets=False)
+            lat_ref.append(time.perf_counter() - t0)
+    return {
+        "bm25_p50_s": statistics.median(lat_bm25) if lat_bm25 else 0.0,
+        "bm25_p95_s": (sorted(lat_bm25)[int(0.95 * (len(lat_bm25) - 1))]
+                       if lat_bm25 else 0.0),
+        "ref_p50_s": statistics.median(lat_ref) if lat_ref else 0.0,
+        "n_queries": len(term_sets),
+    }
+
+
+HEADLINE = [
+    # name -> queries() key (timed end-to-end incl. consuming the result)
+    "tf", "dictionary", "search_bm25", "exact_dedup", "minhash_lsh",
+    "simhash_dedup", "knn_cosine", "events_window", "sessionize",
+    "doc_quality",
+]
+
+
+def _consume(obj) -> int:
+    """Fully execute a lazy result; returns row count."""
+    try:
+        import ray.data as rd
+
+        if isinstance(obj, rd.Dataset):
+            n = 0
+            for b in obj.iter_batches(batch_format="pyarrow", batch_size=8192):
+                n += b.num_rows
+            return n
+    except ImportError:
+        pass
+    return len(obj)
+
+
+def run_default(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        timings: dict[str, float] = {}
+        t_all = time.perf_counter()
+
+        index_dir = "/tmp/serx_bench_index"
+        b = _build_flagship(sf_dir, index_dir)
+        timings["index_build"] = round(b["wall_s"], 4)
+
+        qb = _bench_queries(index_dir)
+        timings["query_bm25_p50"] = round(qb["bm25_p50_s"], 6)
+        timings["query_bm25_p95"] = round(qb["bm25_p95_s"], 6)
+        timings["query_ref_p50"] = round(qb["ref_p50_s"], 6)
+
+        import __ray_entry__ as entrymod
+
+        qmap = entrymod.queries()
+        for name in HEADLINE:
+            fn = qmap[name]
+            t0 = time.perf_counter()
+            _consume(fn(sf_dir))
+            timings[name] = round(time.perf_counter() - t0, 4)
+
+        total = time.perf_counter() - t_all
+        return {
+            "metric": "headline_pipelines_wall",
+            "value": round(total, 3),
+            "unit": "sec",
+            "queries": timings,
+            "sf": _sf_of(sf_dir),
+            "num_cpus": num_cpus,
+            "index_docs_per_s": round(b["docs_per_s"], 1),
+            "index_n_docs": b["n_docs"],
+        }
+    finally:
+        ray.shutdown()
+
+
+# --------------------------------------------------------------------------
+# scaling mode
+# --------------------------------------------------------------------------
+
+def _scaling_input(path: str, num_docs: int) -> str:
+    """Seeded heavy synthetic page corpus, written once, reused by both runs."""
+    marker = os.path.join(path, f".ok_{num_docs}")
+    if os.path.exists(marker):
+        return path
+    _fresh_dir(path)
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.corpus import synth_pages_table
+
+    # many small shards: read parallelism (one block per file) must exceed
+    # the widest CPU level or the extract stage serializes
+    shard = 1_000
+    for i, start in enumerate(range(0, num_docs, shard)):
+        n = min(shard, num_docs - start)
+        t = synth_pages_table(n, seed=42 + i, num_sites=50,
+                              words_per_doc=300, dup_every=0, start=start)
+        pq.write_table(t, os.path.join(path, f"pages_{i:04d}.parquet"))
+    open(marker, "w").close()
+    return path
+
+
+def run_build_worker(input_dir: str, out_dir: str, num_cpus: int) -> None:
+    """Fresh-process leg of the scaling experiment (one parallelism level)."""
+    import ray
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
+    try:
+        import ray.data as rd
+
+        from search_engine_ray.config import IndexBuildConfig
+        from search_engine_ray.pipelines.build import build_index
+
+        import glob
+
+        import pyarrow.parquet as pq
+
+        n_hint = sum(pq.read_metadata(f).num_rows
+                     for f in glob.glob(os.path.join(input_dir, "*.parquet")))
+        pages = rd.read_parquet(input_dir)
+        _fresh_dir(out_dir)
+        t0 = time.perf_counter()
+        res = build_index(pages, out_dir,
+                          IndexBuildConfig(morphology="default",
+                                           target_docs_per_partition=1000),
+                          num_docs_hint=n_hint, resume=False)
+        wall = time.perf_counter() - t0
+        print(json.dumps({"num_cpus": num_cpus, "wall_s": wall,
+                          "n_docs": res.n_docs,
+                          "docs_per_s": res.n_docs / wall}))
+    finally:
+        ray.shutdown()
+
+
+def run_scaling(sf_dir: str) -> dict:
+    input_dir = _scaling_input("/tmp/serx_scaling_pages", SCALING_DOCS)
+    legs = {}
+    for cpus in SCALING_LEVELS:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py"),
+             "--build-worker", "--input", input_dir,
+             "--out", f"/tmp/serx_scaling_index_{cpus}",
+             "--num-cpus", str(cpus)],
+            capture_output=True, text=True, check=True, cwd=REPO)
+        legs[cpus] = json.loads(out.stdout.strip().splitlines()[-1])
+    lo, hi = SCALING_LEVELS
+    eff = (legs[hi]["docs_per_s"] / legs[lo]["docs_per_s"]) / (hi / lo)
+    return {
+        "metric": "index_build_scaling_efficiency",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "queries": {
+            f"build_docs_per_s_cpus{lo}": round(legs[lo]["docs_per_s"], 1),
+            f"build_docs_per_s_cpus{hi}": round(legs[hi]["docs_per_s"], 1),
+            f"build_wall_s_cpus{lo}": round(legs[lo]["wall_s"], 2),
+            f"build_wall_s_cpus{hi}": round(legs[hi]["wall_s"], 2),
+        },
+        "sf": _sf_of(sf_dir),
+        "num_cpus": max(SCALING_LEVELS),
+        "scaling_docs": SCALING_DOCS,
+        "levels": list(SCALING_LEVELS),
+    }
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--build-worker", action="store_true")
+    ap.add_argument("--input")
+    ap.add_argument("--out")
+    ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
+    ap.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
+    args = ap.parse_args()
+
+    if args.build_worker:
+        if not (args.input and args.out):
+            ap.error("--build-worker requires --input and --out")
+        run_build_worker(args.input, args.out, args.num_cpus)
+        return
+    if args.scaling:
+        result = run_scaling(args.sf_dir)
+    else:
+        result = run_default(args.sf_dir, args.num_cpus)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

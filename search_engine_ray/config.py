@@ -46,6 +46,10 @@ class IndexBuildConfig:
     block_size: int = 128  # postings per skip-block (block-max metadata unit)
     lemmatizer_batch_size: int = 256  # HTML rows are fat; keep batches modest
     extract_batch_size: int = 256
+    # shuffle-write width of the two-phase exchange: docs per run-writer task
+    # (each task emits ≤1 file per partition it saw; bigger batches -> fewer,
+    # larger run files).  Physical knob — does not affect output bytes.
+    run_write_batch_size: int = 4096
     morphology: str = "default"  # "default" (stem+stop) or "simple" (identity)
     store_doc_text: bool = True  # keep extracted text for snippet generation
     bm25: Bm25Params = field(default_factory=Bm25Params)

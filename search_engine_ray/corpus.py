@@ -163,9 +163,12 @@ FIXTURE_QUERIES: list[dict] = [
 
 
 def synth_pages_table(num_docs: int, seed: int = 42, num_sites: int = 10,
-                      words_per_doc: int = 120, dup_every: int = 50) -> pa.Table:
+                      words_per_doc: int = 120, dup_every: int = 50,
+                      start: int = 0) -> pa.Table:
     """Seeded bulk corpus: zipf-ish word draws over EN+RU vocab, URL edge
-    cases sprinkled in, one duplicate url per ``dup_every`` docs."""
+    cases sprinkled in, one duplicate url per ``dup_every`` docs.
+    ``start`` offsets doc numbering so sharded generation yields disjoint
+    urls (doc ``d`` of this table is global doc ``start + d``)."""
     rng = np.random.RandomState(seed)
     vocab = EN_WORDS + STOP_EN
     vocab_ru = RU_WORDS + STOP_RU
@@ -176,7 +179,7 @@ def synth_pages_table(num_docs: int, seed: int = 42, num_sites: int = 10,
     w_ru /= w_ru.sum()
 
     urls, tss, htmls, texts, langs = [], [], [], [], []
-    for d in range(num_docs):
+    for d in range(start, start + num_docs):
         site = f"https://site{d % num_sites}.example"
         is_ru = (d % 7) == 3
         voc, w = (vocab_ru, w_ru) if is_ru else (vocab, w_en)

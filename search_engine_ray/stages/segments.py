@@ -47,6 +47,111 @@ from ..state.manifest import PartManifest, commit_part_dir, part_dirname, write_
 DOC_ID_PART_SHIFT = 40  # doc_id = part << 40 | local_rank
 
 
+def make_run_writer(runs_dir: str):
+    """Stateless shuffle-WRITE side of the two-phase exchange.
+
+    Each task splits its batch by the pre-assigned ``part`` key and appends
+    one complete (open-write-close) parquet run file per part it saw —
+    ``runs/part=N/run-<uuid>.parquet``.  This replaces a sort-based
+    ``groupby("part")`` all-to-all: the exchange goes through storage (how
+    external-shuffle engines do it), each run is a self-contained file, and a
+    retried task merely adds a duplicate run that the resume logic discards
+    with the whole runs dir.  File count = tasks × parts-per-task; batch size
+    (IndexBuildConfig.run_write_batch_size) controls task width.
+    """
+
+    def write_runs(batch: pa.Table) -> pa.Table:
+        parts = batch["part"].to_numpy(zero_copy_only=False)
+        uniq = np.unique(parts)
+        rows = []
+        for p in uniq:
+            sub = batch.filter(pa.array(parts == p))
+            d = os.path.join(runs_dir, f"part={int(p)}")
+            os.makedirs(d, exist_ok=True)
+            tmp = os.path.join(d, f".tmp-run-{uuid.uuid4().hex}.parquet")
+            pq.write_table(sub, tmp)
+            os.rename(tmp, tmp.replace(".tmp-run-", "run-"))
+            rows.append((int(p), sub.num_rows))
+        return pa.table({
+            "part": pa.array([r[0] for r in rows], pa.int32()),
+            "rows": pa.array([r[1] for r in rows], pa.int64()),
+        })
+
+    return write_runs
+
+
+def make_runs_segment_builder(runs_dir: str, index_dir: str,
+                              cfg: IndexBuildConfig, config_hash: str):
+    """Shuffle-READ side: one task per partition pulls that partition's run
+    files (only its own bytes leave storage) and builds the segment with the
+    same vectorized builder the map_groups path uses."""
+
+    builder = make_segment_builder(index_dir, cfg, config_hash)
+
+    def build_from_runs(batch: pa.Table) -> pa.Table:
+        import glob as _glob
+
+        outs = []
+        for part in batch["part"].to_pylist():
+            files = sorted(_glob.glob(
+                os.path.join(runs_dir, f"part={int(part)}", "run-*.parquet")))
+            if files:
+                group = pa.concat_tables([pq.read_table(f) for f in files],
+                                         promote_options="permissive")
+                outs.append(builder(group))
+            else:
+                commit_empty_part(index_dir, int(part), cfg, config_hash)
+                outs.append(pa.table({
+                    "part": pa.array([int(part)], pa.int32()),
+                    "n_docs": pa.array([0], pa.int64()),
+                    "n_terms": pa.array([0], pa.int64()),
+                    "n_postings": pa.array([0], pa.int64()),
+                    "total_tokens": pa.array([0], pa.int64()),
+                    "bytes_postings": pa.array([0], pa.int64()),
+                    "wall_sec": pa.array([0.0], pa.float64()),
+                }))
+        return pa.concat_tables(outs)
+
+    return build_from_runs
+
+
+def commit_empty_part(index_dir: str, part: int, cfg: IndexBuildConfig,
+                      config_hash: str) -> None:
+    """Hash routing can leave a partition with zero documents; it still needs
+    a committed (empty) segment so resume bookkeeping sees it as done."""
+    docs_schema = pa.schema([
+        ("doc_id", pa.int64()), ("url", pa.string()), ("site", pa.string()),
+        ("path", pa.string()), ("title", pa.string()), ("doc_len", pa.int64()),
+        ("code", pa.int32()),
+    ] + ([("whole_text", pa.string())] if cfg.store_doc_text else []))
+    postings_schema = pa.schema([
+        ("term", pa.string()), ("df", pa.int64()), ("doc_ids", pa.binary()),
+        ("tfs", pa.binary()), ("block_last_docid", pa.list_(pa.int64())),
+        ("block_off_docs", pa.list_(pa.int64())),
+        ("block_off_tfs", pa.list_(pa.int64())),
+        ("block_max_tf", pa.list_(pa.int32())),
+        ("block_min_dl", pa.list_(pa.int32())),
+        ("block_first_docid", pa.list_(pa.int64())),
+    ])
+    dict_schema = pa.schema([("site", pa.string()), ("term", pa.string()),
+                             ("df", pa.int64())])
+    final_dir = os.path.join(index_dir, part_dirname(part))
+    tmp_dir = os.path.join(index_dir, f".tmp-{part_dirname(part)}-{uuid.uuid4().hex[:8]}")
+    os.makedirs(tmp_dir, exist_ok=True)
+    pq.write_table(docs_schema.empty_table(), os.path.join(tmp_dir, "docs.parquet"))
+    pq.write_table(postings_schema.empty_table(), os.path.join(tmp_dir, "postings.parquet"))
+    pq.write_table(dict_schema.empty_table(), os.path.join(tmp_dir, "dict.parquet"))
+    write_manifest(
+        tmp_dir,
+        PartManifest(part=part, status="done", input_fingerprint="0" * 16,
+                     config_hash=config_hash, input_rows=0, n_docs=0,
+                     n_terms=0, n_postings=0, total_tokens=0,
+                     bytes_postings=0, bytes_docs=0, wall_sec=0.0,
+                     engine_version=__version__),
+    )
+    commit_part_dir(tmp_dir, final_dir)
+
+
 def make_segment_builder(index_dir: str, cfg: IndexBuildConfig, config_hash: str):
     """Returns the map_groups fn; the closure carries only small config."""
 
