@@ -31,7 +31,7 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "60000"))
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "400000"))
 SCALING_LEVELS = (8, 32)
 
 
@@ -191,24 +191,32 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
 # scaling mode
 # --------------------------------------------------------------------------
 
-def _scaling_input(path: str, num_docs: int) -> str:
-    """Seeded heavy synthetic page corpus, written once, reused by both runs."""
-    marker = os.path.join(path, f".ok_{num_docs}")
-    if os.path.exists(marker):
-        return path
-    _fresh_dir(path)
+def _gen_shard(args: tuple) -> None:
+    path, i, n, start = args
     import pyarrow.parquet as pq
 
     from search_engine_ray.corpus import synth_pages_table
 
-    # many small shards: read parallelism (one block per file) must exceed
-    # the widest CPU level or the extract stage serializes
-    shard = 1_000
-    for i, start in enumerate(range(0, num_docs, shard)):
-        n = min(shard, num_docs - start)
-        t = synth_pages_table(n, seed=42 + i, num_sites=50,
-                              words_per_doc=300, dup_every=0, start=start)
-        pq.write_table(t, os.path.join(path, f"pages_{i:04d}.parquet"))
+    t = synth_pages_table(n, seed=42 + i, num_sites=50,
+                          words_per_doc=300, dup_every=0, start=start)
+    pq.write_table(t, os.path.join(path, f"pages_{i:04d}.parquet"))
+
+
+def _scaling_input(path: str, num_docs: int) -> str:
+    """Seeded synthetic page corpus, generated once (process-parallel),
+    reused by both scaling legs.  Many ~2k-doc shards so file-level read
+    parallelism exceeds the widest CPU level."""
+    marker = os.path.join(path, f".ok_{num_docs}")
+    if os.path.exists(marker):
+        return path
+    _fresh_dir(path)
+    from concurrent.futures import ProcessPoolExecutor
+
+    shard = 2_000
+    jobs = [(path, i, min(shard, num_docs - start), start)
+            for i, start in enumerate(range(0, num_docs, shard))]
+    with ProcessPoolExecutor(max_workers=min(16, os.cpu_count() or 4)) as ex:
+        list(ex.map(_gen_shard, jobs, chunksize=1))
     open(marker, "w").close()
     return path
 
@@ -232,10 +240,15 @@ def run_build_worker(input_dir: str, out_dir: str, num_cpus: int) -> None:
                      for f in glob.glob(os.path.join(input_dir, "*.parquet")))
         pages = rd.read_parquet(input_dir)
         _fresh_dir(out_dir)
+        # partition count fixed by the INPUT (≈32 parts), not the CPU level,
+        # so both legs do identical work and produce identical output
+        cfg = IndexBuildConfig(morphology="default",
+                               target_docs_per_partition=max(2000, n_hint // 32),
+                               lemmatizer_batch_size=1024,
+                               extract_batch_size=1024,
+                               run_write_batch_size=16384)
         t0 = time.perf_counter()
-        res = build_index(pages, out_dir,
-                          IndexBuildConfig(morphology="default",
-                                           target_docs_per_partition=1000),
+        res = build_index(pages, out_dir, cfg,
                           num_docs_hint=n_hint, resume=False)
         wall = time.perf_counter() - t0
         print(json.dumps({"num_cpus": num_cpus, "wall_s": wall,

@@ -73,7 +73,8 @@ def _pool_sizes() -> tuple[tuple[int, int], int]:
     big inputs still saturate half the cluster, leaving headroom for the
     read/extract/shuffle stages so no stage starves (SURVEY.md §4.1)."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    return (2, max(2, cpus // 2)), cpus
+    reserve = max(1, cpus // 8)  # read + run-writer headroom
+    return (2, max(2, cpus - reserve)), cpus
 
 
 def build_index(
@@ -105,58 +106,56 @@ def build_index(
 
     stats_rows = []
     if todo:
+        import shutil
+
         runs_dir = os.path.join(index_dir, f".runs-{cfg_hash}")
-        marker = os.path.join(runs_dir, "_RUNS_DONE.json")
-        covered: set[int] = set()
-        if os.path.exists(marker):
-            with open(marker) as f:
-                covered = set(json.load(f)["parts"])
-        if not todo <= covered:
-            # ---- phase A: shuffle write (streaming; no all-to-all) -------
-            import shutil
+        shutil.rmtree(runs_dir, ignore_errors=True)  # partial runs are invalid
 
-            shutil.rmtree(runs_dir, ignore_errors=True)
-            keep = None if len(todo) == num_partitions else todo
-            ds = pages
-            if "text" in ds.schema().names:  # golden column: never ship it
-                ds = ds.drop_columns([c for c in ("text", "lang") if c in ds.schema().names])
-            ds = ds.map_batches(assign_part_batch, batch_format="pyarrow",
-                                fn_kwargs={"num_partitions": num_partitions},
-                                batch_size=cfg.extract_batch_size)
-            if keep is not None:
-                ds = ds.map_batches(make_part_filter(keep), batch_format="pyarrow")
-            ds = ds.map_batches(extract_batch, batch_format="pyarrow",
-                                batch_size=cfg.extract_batch_size)
-            ds = ds.map_batches(
-                Lemmatizer,
-                fn_constructor_kwargs={"morphology": cfg.morphology, "drop_text": True},
-                batch_format="pyarrow",
-                batch_size=cfg.lemmatizer_batch_size,
-                concurrency=lem_actors,
-                num_cpus=1,
-            )
-            acks = ds.map_batches(make_run_writer(runs_dir),
-                                  batch_format="pyarrow",
-                                  batch_size=cfg.run_write_batch_size)
-            for _ in acks.iter_batches(batch_size=4096):  # drive the stream
-                pass
-            tmp_marker = marker + ".tmp"
-            with open(tmp_marker, "w") as f:
-                json.dump({"parts": sorted(todo)}, f)
-            os.rename(tmp_marker, marker)
-
-        # ---- phase B: shuffle read — one task per partition --------------
-        parts_sorted = sorted(todo)
-        parts_ds = rd.from_items([{"part": p} for p in parts_sorted],
-                                 override_num_blocks=len(parts_sorted))
-        stats = parts_ds.map_batches(
+        # One streaming execution for both exchange sides.  The shuffle-read
+        # side hangs off a groupby over the run-writer's TINY ack rows
+        # (part, rows) — the groupby is the barrier ("all runs of part p are
+        # on disk"), but it shuffles only kilobytes; the document payload
+        # moved through part-keyed run files.  Keeping it one execution lets
+        # the streaming executor release the lemmatizer actor pool as the
+        # write side drains, so segment-build tasks inherit those CPUs
+        # (two separate executions measurably starve phase B during actor
+        # teardown).
+        keep = None if len(todo) == num_partitions else todo
+        ds = pages
+        if "text" in ds.schema().names:  # golden column: never ship it
+            ds = ds.drop_columns([c for c in ("text", "lang") if c in ds.schema().names])
+        ds = ds.map_batches(assign_part_batch, batch_format="pyarrow",
+                            fn_kwargs={"num_partitions": num_partitions},
+                            batch_size=cfg.extract_batch_size)
+        if keep is not None:
+            ds = ds.map_batches(make_part_filter(keep), batch_format="pyarrow")
+        ds = ds.map_batches(extract_batch, batch_format="pyarrow",
+                            batch_size=cfg.extract_batch_size)
+        ds = ds.map_batches(
+            Lemmatizer,
+            fn_constructor_kwargs={"morphology": cfg.morphology, "drop_text": True},
+            batch_format="pyarrow",
+            batch_size=cfg.lemmatizer_batch_size,
+            concurrency=lem_actors,
+            num_cpus=1,
+        )
+        acks = ds.map_batches(make_run_writer(runs_dir),
+                              batch_format="pyarrow",
+                              batch_size=cfg.run_write_batch_size)
+        stats = acks.groupby("part").map_groups(
             make_runs_segment_builder(runs_dir, index_dir, cfg, cfg_hash),
             batch_format="pyarrow")
         stats_rows = stats.take_all()  # one tiny row per partition
 
-        if set(done_parts(index_dir)) >= set(range(num_partitions)):
-            import shutil
+        # hash routing can leave partitions with zero documents (no ack row,
+        # no group): commit empty segments so resume sees them done
+        from ..stages.segments import commit_empty_part
 
+        missing = todo - set(done_parts(index_dir))
+        for p in sorted(missing):
+            commit_empty_part(index_dir, p, cfg, cfg_hash)
+
+        if set(done_parts(index_dir)) >= set(range(num_partitions)):
             shutil.rmtree(runs_dir, ignore_errors=True)
 
     if todo or not os.path.exists(os.path.join(index_dir, CORPUS_STATS)):

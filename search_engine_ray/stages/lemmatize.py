@@ -18,7 +18,9 @@ actor in ``__init__`` — pass this CLASS to ``map_batches(..., concurrency=N)``
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.morphology import get_morphology
 from ..functions.tokenize import SPLIT_RE, TOKEN_RE
@@ -26,7 +28,16 @@ from ..functions.tokenize import SPLIT_RE, TOKEN_RE
 
 class Lemmatizer:
     """Callable-class stage: ``map_batches(Lemmatizer, fn_constructor_kwargs=
-    {'morphology': 'default'}, concurrency=..., batch_format='pyarrow')``."""
+    {'morphology': 'default'}, concurrency=..., batch_format='pyarrow')``.
+
+    Fully vectorized: lowercase/split/clean run as Arrow C++ kernels
+    (``utf8_lower`` / ``split_pattern_regex`` / RE2 ``extract_regex`` with the
+    exact TOKEN_RE), and the Python morphology function touches only the
+    batch's UNIQUE surface forms (dictionary-encode first; term frequency is
+    zipfian, so uniques are a tiny fraction of the stream and the per-actor
+    memo cache makes repeat batches near-free).  Per-doc TF maps are one
+    ``np.unique`` over ``doc_idx * V + term_id`` keys — no Python per token.
+    """
 
     def __init__(self, morphology: str = "default", text_column: str = "text_x",
                  drop_text: bool = False) -> None:
@@ -35,38 +46,71 @@ class Lemmatizer:
         self.drop_text = drop_text
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_column].to_pylist()
-        normal = self.morph.normal_word
-        split = SPLIT_RE.split
-        match = TOKEN_RE.match
+        n_docs = batch.num_rows
+        texts = batch[self.text_column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
 
-        terms_col: list[list[str]] = []
-        tfs_col: list[list[int]] = []
-        doc_lens: list[int] = []
-        for text in texts:
-            counts: dict[str, int] = {}
-            if text:
-                for raw in split(text.lower()):
-                    if not raw:
-                        continue
-                    m = match(raw)
-                    if m is None:
-                        continue
-                    term = normal(m.group("word"))
-                    if term:
-                        counts[term] = counts.get(term, 0) + 1
-            # deterministic term order within the doc row
-            terms = sorted(counts)
-            terms_col.append(terms)
-            tfs_col.append([counts[t] for t in terms])
-            doc_lens.append(sum(counts.values()))
+        # --- tokenize (Arrow kernels; semantics == tokenize.tokenize) -----
+        lower = pc.utf8_lower(texts)
+        toks = pc.split_pattern_regex(lower, pattern=SPLIT_RE.pattern)
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy() \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)  # null-text docs contribute 0 tokens
+        # anchored clean/trim: non-matching raw tokens -> null (dropped),
+        # exactly the reference's keep-iff-fully-matches rule
+        words = pc.struct_field(
+            pc.extract_regex(flat, pattern=TOKEN_RE.pattern), "word")
+
+        # --- normalize unique surface forms only --------------------------
+        enc = words.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        surface = enc.dictionary.to_pylist()
+        normal = self.morph.normal_word
+        normed = [normal(s) for s in surface]
+
+        # batch vocabulary, sorted so term ids sort == lexicographic sort
+        vocab = sorted({t for t in normed if t})
+        vid = {t: i for i, t in enumerate(vocab)}
+        dict_to_vid = np.array([vid.get(t, -1) for t in normed], np.int64) \
+            if normed else np.empty(0, np.int64)
+
+        idx = enc.indices.to_numpy(zero_copy_only=False)  # float w/ nan if null
+        valid = ~np.isnan(idx) if idx.dtype.kind == "f" else np.ones(len(idx), bool)
+        tid = np.full(len(idx), -1, np.int64)
+        if len(idx):
+            tid[valid] = dict_to_vid[idx[valid].astype(np.int64)]
+        keep = tid >= 0
+
+        # --- per-doc TF: one np.unique over combined keys -----------------
+        doc_idx = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[keep]
+        v = max(1, len(vocab))
+        uk, counts = np.unique(doc_idx * v + tid[keep], return_counts=True)
+        d_of = uk // v
+        t_of = uk % v
+
+        per_doc = np.bincount(d_of, minlength=n_docs).astype(np.int64)
+        offsets = np.zeros(n_docs + 1, np.int64)
+        np.cumsum(per_doc, out=offsets[1:])
+        vocab_arr = pa.array(vocab, pa.string())
+        terms_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()).cast(pa.int32()),
+            vocab_arr.take(pa.array(t_of, pa.int64())) if len(uk)
+            else pa.array([], pa.string()))
+        tfs_list = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()).cast(pa.int32()),
+            pa.array(counts.astype(np.int32), pa.int32()) if len(uk)
+            else pa.array([], pa.int32()))
+        doc_len = np.bincount(d_of, weights=counts, minlength=n_docs) \
+            .astype(np.int32)
 
         out = batch
         if self.drop_text:
             out = out.drop_columns([self.text_column])
-        out = out.append_column("terms", pa.array(terms_col, pa.list_(pa.string())))
-        out = out.append_column("tfs", pa.array(tfs_col, pa.list_(pa.int32())))
-        out = out.append_column("doc_len", pa.array(doc_lens, pa.int32()))
+        out = out.append_column("terms", terms_list)
+        out = out.append_column("tfs", tfs_list)
+        out = out.append_column("doc_len", pa.array(doc_len, pa.int32()))
         return out
 
 

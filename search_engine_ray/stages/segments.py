@@ -92,7 +92,9 @@ def make_runs_segment_builder(runs_dir: str, index_dir: str,
         import glob as _glob
 
         outs = []
-        for part in batch["part"].to_pylist():
+        # callers pass either distinct part rows (from_items resume path) or
+        # run-writer ack groups (one row per writer task) — dedupe either way
+        for part in sorted(set(batch["part"].to_pylist())):
             files = sorted(_glob.glob(
                 os.path.join(runs_dir, f"part={int(part)}", "run-*.parquet")))
             if files:
