@@ -154,6 +154,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def site_stats(sf_dir):
         return dq.q_site_stats(sf_dir)
 
+    def search_batch(sf_dir):
+        return dq.q_search_batch(sf_dir)
+
+    def image_meta(sf_dir):
+        return dq.q_image_meta(sf_dir)
+
     def lang_distribution(sf_dir):
         import ray.data as rd
         from ray.data.aggregate import Count
@@ -311,6 +317,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ref": search_ref,
         "search_ref_multi": search_ref_multi,
         "search_bm25": search_bm25,
+        "search_batch": search_batch,
+        "image_meta": image_meta,
         "site_stats": site_stats,
         "lang_distribution": lang_distribution,
         "langid_simple": langid_simple,
@@ -367,6 +375,21 @@ ORDER BY df DESC, term ASC LIMIT 50
     sql["search_ref"] = _search_ref_sql(SEARCH_TERMS_1)
     sql["search_ref_multi"] = _search_ref_sql(SEARCH_TERMS_2)
     sql["search_bm25"] = _bm25_sql(SEARCH_TERMS_1)
+
+    from search_engine_ray.pipelines.docqueries import BATCH_QUERIES
+
+    sql["search_batch"] = "\nUNION ALL\n".join(
+        f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id, relevance "
+        f"FROM ({_search_ref_sql(q['terms'])})"
+        for q in BATCH_QUERIES)
+
+    sql["image_meta"] = """
+SELECT doc_id,
+       (16 + doc_id % 48)::BIGINT AS width,
+       (16 + (7 * doc_id) % 48)::BIGINT AS height,
+       (1 + doc_id % 3)::BIGINT AS channels
+FROM documents
+"""
 
     sql["site_stats"] = f"""
 WITH {_TF_CTE}

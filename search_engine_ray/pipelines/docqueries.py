@@ -242,3 +242,67 @@ def q_site_stats(sf_dir: str):
             "n_terms": len(terms_per_source[s])}
            for s, r in sorted(rows.items())]
     return pd.DataFrame(out)
+
+
+# fixed query SET for the batched fan-out entry (ST5); terms from the driver
+# corpus vocabulary, one query deliberately unknown
+BATCH_QUERIES: list[dict] = [
+    {"query_id": 0, "terms": SEARCH_TERMS_1},
+    {"query_id": 1, "terms": SEARCH_TERMS_2},
+    {"query_id": 2, "terms": ["spark"]},
+    {"query_id": 3, "terms": ["zzznotaword"]},
+]
+
+
+def q_search_batch(sf_dir: str):
+    """Batched query fan-out over the SegmentSearcher actor pool (ST5):
+    Dataset of queries -> per-hit rows (query_id, doc_id, relevance), using
+    the reference scorer so DuckDB can mirror it query by query."""
+    import pandas as pd
+
+    from .query import search_queryset
+
+    index_dir = cached_index(sf_dir)
+    qs = [{"query_id": q["query_id"], "query": " ".join(q["terms"]),
+           "limit": 1_000_000} for q in BATCH_QUERIES]
+    out = search_queryset(index_dir, qs, scorer="reference",
+                          morphology="simple", concurrency=(1, 4)).to_pandas()
+    src = _src_doc_map(index_dir)
+    return pd.DataFrame({
+        "query_id": out["query_id"].astype("int64"),
+        "doc_id": [src[int(d)] for d in out["doc_id"]],
+        "relevance": out["score"].astype("float64"),
+    })
+
+
+def q_image_meta(sf_dir: str) -> rd.Dataset:
+    """Multimodal plumbing entry: deterministic FakeImage payloads derived
+    from doc_id, decoded back to typed metadata by the DecodeImage actor
+    pool.  The payload dims are pure doc_id arithmetic so DuckDB can verify
+    the decode round-trip."""
+    from ..stages.multimodal import DecodeImage, encode_fake_image
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def attach_payload(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for did in batch["doc_id"].to_pylist():
+            w, h, c = 16 + did % 48, 16 + (7 * did) % 48, 1 + did % 3
+            payloads.append(encode_fake_image(w, h, c, seed=did))
+        return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+    meta = ds.map_batches(attach_payload, batch_format="pyarrow",
+                          batch_size=256) \
+        .map_batches(DecodeImage, fn_constructor_kwargs={"decoder": "fake"},
+                     batch_format="pyarrow", batch_size=256,
+                     concurrency=(1, 4), num_cpus=1)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": batch["width"].cast(pa.int64()),
+            "height": batch["height"].cast(pa.int64()),
+            "channels": batch["channels"].cast(pa.int64()),
+        })
+
+    return meta.map_batches(shape, batch_format="pyarrow")

@@ -435,6 +435,87 @@ class IndexReader:
         return hits
 
 
+class SegmentSearcher:
+    """Actor-pool stage for a batched query SET (reference ST5, SURVEY.md
+    §3.3): a Dataset of ``(query_id, query[, site, limit, offset])`` rows
+    fans out over actors that each hold the opened index once
+    (``map_batches(SegmentSearcher, fn_constructor_kwargs={'index_dir': ...},
+    concurrency=N)``), emitting one row per hit.
+
+    Output: ``query_id, rank, doc_id, score, url`` — rank is 1-based with
+    the deterministic (score desc, doc_id asc) tie-break.
+    """
+
+    def __init__(self, index_dir: str, *, scorer: str = "bm25",
+                 morphology: str = "default", preload: bool = True,
+                 with_snippets: bool = False,
+                 settings: SearchSettings | None = None) -> None:
+        self.ix = IndexReader(index_dir, preload=preload)
+        self.scorer = scorer
+        self.morphology = morphology
+        self.with_snippets = with_snippets
+        self.settings = settings or SearchSettings()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        names = batch.column_names
+        qids = batch["query_id"].to_pylist()
+        queries = batch["query"].to_pylist()
+        sites = batch["site"].to_pylist() if "site" in names else [None] * len(qids)
+        limits = batch["limit"].to_pylist() if "limit" in names else [None] * len(qids)
+        offsets = batch["offset"].to_pylist() if "offset" in names else [None] * len(qids)
+
+        out_qid, out_rank, out_doc, out_score, out_url, out_snip = [], [], [], [], [], []
+        for qid, query, site, limit, offset in zip(qids, queries, sites,
+                                                   limits, offsets):
+            resp = self.ix.search(query, site=site, limit=limit, offset=offset,
+                                  morphology=self.morphology,
+                                  scorer=self.scorer,
+                                  with_snippets=self.with_snippets,
+                                  settings=self.settings)
+            base = (offset or 0)
+            for i, hit in enumerate(resp.data):
+                out_qid.append(qid)
+                out_rank.append(base + i + 1)
+                out_doc.append(hit.doc_id)
+                out_score.append(hit.score)
+                out_url.append(hit.url)
+                out_snip.append(hit.snippet)
+        cols = {
+            "query_id": pa.array(out_qid, pa.int64()),
+            "rank": pa.array(out_rank, pa.int32()),
+            "doc_id": pa.array(out_doc, pa.int64()),
+            "score": pa.array(out_score, pa.float64()),
+            "url": pa.array(out_url, pa.string()),
+        }
+        if self.with_snippets:
+            cols["snippet"] = pa.array(out_snip, pa.string())
+        return pa.table(cols)
+
+
+def search_queryset(index_dir: str, queries, *, scorer: str = "bm25",
+                    morphology: str = "default", with_snippets: bool = False,
+                    concurrency=(1, 4)):
+    """Fan a query set out over a SegmentSearcher actor pool.
+
+    ``queries``: a Dataset with columns ``query_id, query[, site, limit,
+    offset]`` or a plain list of dicts with those keys.  Returns the lazy
+    hits Dataset (query_id, rank, doc_id, score, url[, snippet]).
+    """
+    import ray.data as rd
+
+    if not isinstance(queries, rd.Dataset):
+        queries = rd.from_items(list(queries))
+    return queries.map_batches(
+        SegmentSearcher,
+        fn_constructor_kwargs={"index_dir": index_dir, "scorer": scorer,
+                               "morphology": morphology,
+                               "with_snippets": with_snippets},
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        num_cpus=1,
+    )
+
+
 class _Cursor:
     """Block-skipping posting cursor (decodes one block at a time)."""
 

@@ -73,6 +73,54 @@ class DecodeImage:
         return out
 
 
+_VMAGIC = b"FVID"
+_VHEADER = struct.Struct("<4sIIII")  # magic, n_frames, width, height, channels
+
+
+def encode_fake_video(n_frames: int, width: int, height: int,
+                      channels: int = 1, seed: int = 0) -> bytes:
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, n_frames * width * height * channels,
+                     dtype=np.int64).astype(np.uint8)
+    return _VHEADER.pack(_VMAGIC, n_frames, width, height, channels) + px.tobytes()
+
+
+class SampleFrames:
+    """Actor-pool stage: video payload -> every ``stride``-th frame as a
+    FakeImage payload row (``flat_map``-shaped: output has more rows than
+    input).  Same real/fake decoder seam as DecodeImage."""
+
+    def __init__(self, stride: int = 2, decoder: str = "real",
+                 payload_col: str = "payload", id_col: str = "doc_id"):
+        self.stride = max(1, stride)
+        self.payload_col = payload_col
+        self.id_col = id_col
+        if decoder == "real":
+            raise NotImplementedError("real frame sampling needs ffmpeg; "
+                                      "use decoder='fake'")
+        if decoder != "fake":
+            raise ValueError(f"unknown decoder {decoder!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_out, frame_idx, frames = [], [], []
+        ids = batch[self.id_col].to_pylist()
+        for vid, payload in zip(ids, batch[self.payload_col].to_pylist()):
+            magic, n, w, h, c = _VHEADER.unpack_from(payload, 0)
+            if magic != _VMAGIC:
+                raise ValueError("bad FakeVideo payload")
+            px = np.frombuffer(payload, np.uint8, offset=_VHEADER.size) \
+                .reshape(n, h, w, c)
+            for fi in range(0, n, self.stride):
+                ids_out.append(vid)
+                frame_idx.append(fi)
+                frames.append(_HEADER.pack(_MAGIC, w, h, c) + px[fi].tobytes())
+        return pa.table({
+            self.id_col: pa.array(ids_out),
+            "frame_idx": pa.array(frame_idx, pa.int32()),
+            "payload": pa.array(frames, pa.binary()),
+        })
+
+
 class ResizeImage:
     """Actor-pool stage stub for resize: fake path subsamples the pixel
     buffer deterministically; real path is the same NotImplementedError seam."""

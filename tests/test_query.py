@@ -165,3 +165,38 @@ def test_snippets_on_hits(ix):
     r = ix.search("needle")
     assert r.data[0].snippet.count("<b>needle</b>") >= 2
     assert r.data[0].title == "Spoiler Page"
+
+
+def test_search_queryset_fanout(ray_session, tiny_index):
+    """Batched query-set fan-out (ST5): Dataset of queries -> actor pool ->
+    per-hit rows identical to the scalar search path."""
+    from search_engine_ray.pipelines.query import IndexReader, search_queryset
+
+    qs = [
+        {"query_id": 0, "query": "zebra"},
+        {"query_id": 1, "query": "zebra quartz"},
+        {"query_id": 2, "query": "nonexistentterm"},
+        {"query_id": 3, "query": "needle", "limit": 2, "offset": 1},
+    ]
+    out = search_queryset(tiny_index, qs, scorer="reference",
+                          concurrency=(1, 2)).to_pandas()
+    ix = IndexReader(tiny_index, preload=True)
+    for q in qs:
+        got = out[out.query_id == q["query_id"]].sort_values("rank")
+        resp = ix.search(q["query"], limit=q.get("limit"),
+                         offset=q.get("offset"), with_snippets=False)
+        assert list(got.doc_id) == [h.doc_id for h in resp.data]
+        assert list(got.score) == [h.score for h in resp.data]
+        if len(got):
+            assert list(got["rank"])[0] == (q.get("offset") or 0) + 1
+    assert (out[out.query_id == 2].empty)  # unknown term -> no rows
+
+
+def test_search_queryset_bm25_with_snippets(ray_session, tiny_index):
+    from search_engine_ray.pipelines.query import search_queryset
+
+    out = search_queryset(tiny_index, [{"query_id": 7, "query": "needle"}],
+                          scorer="bm25", with_snippets=True,
+                          concurrency=(1, 2)).to_pandas()
+    assert len(out) >= 1
+    assert out.iloc[0].snippet.count("<b>needle</b>") >= 2
