@@ -176,6 +176,50 @@ def build_index(
     )
 
 
+def reindex_urls(
+    pages: rd.Dataset,
+    index_dir: str,
+    urls: list[str],
+    cfg: IndexBuildConfig | None = None,
+    *,
+    num_docs_hint: int | None = None,
+) -> BuildResult:
+    """Batch equivalent of ``POST /api/indexPage`` (reference §3.2,
+    ``IndexingServiceImpl.java:145-210``) and of page-delete cleanup (D3):
+    invalidate the partitions owning ``urls`` and rebuild ONLY those from the
+    current ``pages`` input — updated pages get re-extracted/re-lemmatized,
+    removed pages disappear, df/doc_len re-aggregate, all other segments'
+    files are untouched.  The reference's row-level upsert under per-site
+    locks (``PageAnalyzer.java:179-218``) becomes an idempotent partition
+    swap (SURVEY.md §2.7-D2/D3, §7.7)."""
+    import dataclasses
+    import shutil
+
+    from ..functions.hashing import stable_hash_array
+
+    cfg = cfg or IndexBuildConfig()
+    # partition count MUST match the existing index (it defines url routing):
+    # pin it from the committed corpus stats, never re-derive from doc count
+    existing = load_corpus_stats(index_dir)
+    num_partitions = int(existing["num_partitions"])
+    cfg = dataclasses.replace(cfg, num_partitions=num_partitions)
+    if num_docs_hint is None:
+        num_docs_hint = pages.count()
+    # NB: stay in array land — a scalar np.uint64 mixed with a Python int
+    # promotes to float64 and silently corrupts the modulo
+    import numpy as np
+
+    victims = set((stable_hash_array(list(urls)) % np.uint64(num_partitions))
+                  .astype(np.int64).tolist())
+    for p in sorted(victims):
+        shutil.rmtree(os.path.join(index_dir, f"part={p:05d}"),
+                      ignore_errors=True)
+    res = build_index(pages, index_dir, cfg, num_docs_hint=num_docs_hint,
+                      resume=True)
+    finalize_index(index_dir)  # df/avgdl changed even for untouched parts
+    return res
+
+
 def finalize_index(index_dir: str) -> None:
     """Global term dictionary + corpus stats from committed segments.
 

@@ -44,6 +44,81 @@ def make_part_filter(keep_parts: set[int] | None):
     return _filter
 
 
+def extract_links_batch(batch: pa.Table) -> pa.Table:
+    """M4 link extractor as a batch stage: html -> ``links: list<string>``
+    (same-site absolute or root-relative hrefs, no fragments, distinct,
+    reference ``PageAnalyzer.java:437-447``).  Crawl-graph byproduct — the
+    batch engine consumes an already-crawled table and does not follow links.
+    """
+    from ..functions.html import extract_links
+    from ..functions.urls import split_site_path
+
+    links_col = []
+    for url, raw in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+        html_s = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else (raw or "")
+        site, _ = split_site_path(url)
+        links_col.append(extract_links(html_s, site) if html_s else [])
+    return batch.append_column("links", pa.array(links_col, pa.list_(pa.string())))
+
+
+def crawl_frontier(pages):
+    """Reference D1 frontier dedup as ONE shuffle: distinct normalized
+    (site, path) link targets minus pages already in the corpus.
+
+    Union the link targets (tagged ``is_page=0``) with the corpus's own
+    normalized paths (``is_page=1``), then a single ``groupby(site, path)``
+    aggregate keeps targets never seen as a page — the scalable restatement
+    of the reference's ``findBySiteAndPathIn`` DB probe under a lock
+    (``PageAnalyzer.java:398-434``): no broadcast set, no driver-side state,
+    works at any corpus size.
+
+    Returns a Dataset ``(site, path, n_refs)``.
+    """
+    import ray.data as rd
+    from ray.data.aggregate import Max, Sum
+
+    from ..functions.urls import normalized_path, split_site_path
+
+    def links_rows(batch: pa.Table) -> pa.Table:
+        from ..functions.html import extract_links
+
+        sites, paths = [], []
+        for url, raw in zip(batch["url"].to_pylist(), batch["html"].to_pylist()):
+            html_s = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else (raw or "")
+            site, _ = split_site_path(url)
+            for href in (extract_links(html_s, site) if html_s else []):
+                try:
+                    p = normalized_path(site, href)
+                except ValueError:  # foreign-site / malformed -> dropped
+                    continue
+                sites.append(site)
+                paths.append(p)
+        n = len(sites)
+        return pa.table({"site": pa.array(sites, pa.string()),
+                         "path": pa.array(paths, pa.string()),
+                         "is_page": pa.array([0] * n, pa.int8()),
+                         "refs": pa.array([1] * n, pa.int64())})
+
+    def page_rows(batch: pa.Table) -> pa.Table:
+        sites, paths = [], []
+        for url in batch["url"].to_pylist():
+            site, path = split_site_path(url)
+            sites.append(site)
+            paths.append(path)
+        n = len(sites)
+        return pa.table({"site": pa.array(sites, pa.string()),
+                         "path": pa.array(paths, pa.string()),
+                         "is_page": pa.array([1] * n, pa.int8()),
+                         "refs": pa.array([0] * n, pa.int64())})
+
+    link_side = pages.map_batches(links_rows, batch_format="pyarrow")
+    page_side = pages.map_batches(page_rows, batch_format="pyarrow")
+    unioned = link_side.union(page_side)
+    agg = unioned.groupby(["site", "path"]).aggregate(
+        Max("is_page", alias_name="seen"), Sum("refs", alias_name="n_refs"))
+    return agg.filter(expr="seen == 0").drop_columns(["seen"])
+
+
 def extract_batch(batch: pa.Table) -> pa.Table:
     """html -> text, whole_text, title, site, path columns.
 

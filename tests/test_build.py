@@ -134,3 +134,89 @@ def test_empty_page_kept_as_doc(ray_session, tiny_index):
     empty = [d for d in docs if d["path"] == "/empty"]
     assert len(empty) == 1
     assert empty[0]["doc_len"] == 0
+
+
+def test_reindex_urls_partition_swap(ray_session, tmp_path):
+    """indexPage equivalent (§3.2 / D2 / D3): only the victim partition is
+    rebuilt; content updates and deletions are reflected; other partitions'
+    files are untouched."""
+    import os
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.build import reindex_urls
+    from search_engine_ray.pipelines.query import IndexReader
+
+    pages = synth_pages_table(200, seed=21, dup_every=0)
+    cfg = IndexBuildConfig(num_partitions=4)
+    idx = str(tmp_path / "ri")
+    build_index(rd.from_arrow(pages), idx, cfg)
+
+    target_url = pages["url"][0].as_py()
+    # mutate the target doc's html; drop another url entirely (delete case)
+    rows = pages.to_pylist()
+    victim_del = rows[1]["url"]
+    new_rows = []
+    for r in rows:
+        if r["url"] == target_url:
+            r = dict(r, html=b"<html><head><title>T</title></head>"
+                        b"<body><p>zzzfreshterm zzzfreshterm</p></body></html>")
+        if r["url"] == victim_del:
+            continue
+        new_rows.append(r)
+    pages2 = pa.Table.from_pylist(new_rows, schema=pages.schema)
+
+    manifests_before = {
+        p: os.path.getmtime(os.path.join(idx, f"part={p:05d}", "_MANIFEST.json"))
+        for p in range(4)
+    }
+    res = reindex_urls(rd.from_arrow(pages2), idx, [target_url, victim_del], cfg)
+    assert res.built_parts >= 1
+
+    from search_engine_ray.functions.hashing import stable_hash_array
+    victims = set((stable_hash_array([target_url, victim_del]) % np.uint64(4))
+                  .astype(np.int64).tolist())
+    for p in range(4):
+        mt = os.path.getmtime(os.path.join(idx, f"part={p:05d}", "_MANIFEST.json"))
+        if p in victims:
+            assert mt > manifests_before[p]
+        else:
+            assert mt == manifests_before[p], f"part {p} was rebuilt needlessly"
+
+    ix = IndexReader(idx, preload=True)
+    r = ix.search("zzzfreshterm", with_snippets=False)
+    assert r.count == 1 and r.data[0].url == target_url
+    # deleted url gone from the index
+    for part in ix.parts:
+        rd_ = ix.reader(part)
+        assert victim_del not in set(
+            pq.read_table(os.path.join(idx, f"part={part:05d}", "docs.parquet"),
+                          columns=["url"])["url"].to_pylist())
+
+
+def test_crawl_frontier_one_shuffle(ray_session):
+    """M4/D1: distinct normalized link targets minus existing pages, as one
+    groupby — no driver-side seen-set."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.stages.extract import crawl_frontier
+
+    def page(url, hrefs):
+        body = "".join(f'<a href="{h}">x</a>' for h in hrefs)
+        return {"url": url, "warc_ts": None,
+                "html": f"<html><body>{body}</body></html>".encode()}
+
+    s = "https://s.example"
+    pages = pa.Table.from_pylist([
+        page(f"{s}/", ["/about", "/new1", f"{s}/new2?x=1", "/about#frag",
+                       "https://other.example/foreign", "/new1"]),
+        page(f"{s}/about", ["/", "/new1", "/About/"]),
+        page(f"{s}/new-page", []),
+    ])
+    out = crawl_frontier(rd.from_arrow(pages)).to_pandas()
+    got = {(r.site, r.path): r.n_refs for r in out.itertuples()}
+    # /about and /About/ normalize to the existing page -> excluded;
+    # fragment + foreign links dropped; /new1 distinct per page but
+    # referenced from two pages; query string stripped from /new2?x=1
+    assert got == {(s, "/new1"): 2, (s, "/new2"): 1}
