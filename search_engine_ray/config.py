@@ -50,6 +50,18 @@ class IndexBuildConfig:
     # (each task emits ≤1 file per partition it saw; bigger batches -> fewer,
     # larger run files).  Physical knob — does not affect output bytes.
     run_write_batch_size: int = 4096
+    # partitions per exchange group: run files and segment-build tasks are
+    # keyed by ``part // exchange_group``, so partition granularity (the
+    # checkpoint/resume/segment unit, kept small for cache-friendly builds)
+    # decouples from exchange granularity (kept coarse to bound file count:
+    # files ~= writer_tasks x n_groups).  1 = one group per partition.
+    exchange_group: int = 1
+    # where the exchange's run files live.  None -> inside index_dir.  On a
+    # cluster this should be fast node-local scratch (NVMe) or the shared
+    # store's burst tier — the exchange is transient, write-once/read-once,
+    # and at scale its bandwidth, not capacity, is what matters.  The bench
+    # points it at tmpfs, the single-node analog of NVMe shuffle dirs.
+    exchange_dir: str | None = None
     morphology: str = "default"  # "default" (stem+stop) or "simple" (identity)
     store_doc_text: bool = True  # keep extracted text for snippet generation
     bm25: Bm25Params = field(default_factory=Bm25Params)

@@ -27,20 +27,22 @@ from dataclasses import dataclass
 import numpy as np
 
 
-def varint_encode(values: np.ndarray) -> bytes:
-    """LEB128-encode a non-negative int64 array, fully vectorized."""
+def varint_encode_with_lengths(values: np.ndarray) -> tuple[bytes, np.ndarray]:
+    """LEB128-encode a non-negative int64 array, fully vectorized; also
+    returns the per-value byte length (for computing block offsets without
+    re-encoding per block)."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
-    # bytes needed per value: ceil(bitlen/7), min 1
-    nbits = np.zeros(v.shape, dtype=np.int64)
-    tmp = v.copy()
-    nz = tmp > 0
-    while nz.any():
-        nbits[nz] += 1
-        tmp >>= np.uint64(1)
+        return b"", np.empty(0, np.int64)
+    # bytes per value: 1 + number of 7-bit shifts until zero (≤10 iterations)
+    nbytes = np.ones(v.shape, dtype=np.int64)
+    tmp = v >> np.uint64(7)
+    while True:
         nz = tmp > 0
-    nbytes = np.maximum((nbits + 6) // 7, 1)
+        if not nz.any():
+            break
+        nbytes[nz] += 1
+        tmp >>= np.uint64(7)
     ends = np.cumsum(nbytes)
     total = int(ends[-1])
     starts = ends - nbytes
@@ -53,7 +55,12 @@ def varint_encode(values: np.ndarray) -> bytes:
     is_last = np.zeros(total, dtype=bool)
     is_last[ends - 1] = True
     out[~is_last] |= 0x80
-    return out.tobytes()
+    return out.tobytes(), nbytes
+
+
+def varint_encode(values: np.ndarray) -> bytes:
+    """LEB128-encode a non-negative int64 array, fully vectorized."""
+    return varint_encode_with_lengths(values)[0]
 
 
 def varint_decode(buf: bytes | memoryview, count: int | None = None) -> np.ndarray:
@@ -120,36 +127,28 @@ def encode_postings(
                                np.empty(0, np.int32), np.empty(0, np.int32), z64.copy())
     if n > 1 and not (ids[1:] > ids[:-1]).all():
         raise ValueError("doc_ids must be strictly increasing")
-    doc_chunks: list[bytes] = []
-    tf_chunks: list[bytes] = []
-    last, off_d, off_t, max_tf, min_dl, first = [], [], [], [], [], []
-    pos_d = pos_t = 0
-    for s in range(0, n, block_size):
-        e = min(s + block_size, n)
-        blk = ids[s:e]
-        gaps = delta_encode(blk)
-        db = varint_encode(gaps)
-        tb = varint_encode(t[s:e])
-        off_d.append(pos_d)
-        off_t.append(pos_t)
-        pos_d += len(db)
-        pos_t += len(tb)
-        doc_chunks.append(db)
-        tf_chunks.append(tb)
-        last.append(int(blk[-1]))
-        first.append(int(blk[0]))
-        max_tf.append(int(t[s:e].max()))
-        min_dl.append(int(dl[s:e].min()))
+    # ONE vectorized encode for the whole term (not per block): gap-encode
+    # globally, then overwrite each block's first gap with the absolute id
+    # (blocks decode independently); block byte offsets come from the
+    # per-value length array.
+    starts_ix = np.arange(0, n, block_size, dtype=np.int64)
+    ends_ix = np.minimum(starts_ix + block_size, n)
+    gaps = delta_encode(ids)
+    gaps[starts_ix] = ids[starts_ix]
+    doc_bytes, doc_lens_b = varint_encode_with_lengths(gaps)
+    tf_bytes, tf_lens_b = varint_encode_with_lengths(t)
+    cum_d = np.concatenate(([0], np.cumsum(doc_lens_b)))
+    cum_t = np.concatenate(([0], np.cumsum(tf_lens_b)))
     return EncodedPostings(
         df=n,
-        doc_ids=b"".join(doc_chunks),
-        tfs=b"".join(tf_chunks),
-        block_last_docid=np.array(last, np.int64),
-        block_off_docs=np.array(off_d, np.int64),
-        block_off_tfs=np.array(off_t, np.int64),
-        block_max_tf=np.array(max_tf, np.int32),
-        block_min_dl=np.array(min_dl, np.int32),
-        block_first_docid=np.array(first, np.int64),
+        doc_ids=doc_bytes,
+        tfs=tf_bytes,
+        block_last_docid=ids[ends_ix - 1].copy(),
+        block_off_docs=cum_d[starts_ix],
+        block_off_tfs=cum_t[starts_ix],
+        block_max_tf=np.maximum.reduceat(t, starts_ix).astype(np.int32),
+        block_min_dl=np.minimum.reduceat(dl, starts_ix).astype(np.int32),
+        block_first_docid=ids[starts_ix].copy(),
     )
 
 

@@ -67,14 +67,34 @@ def _config_hash(cfg: IndexBuildConfig, num_partitions: int) -> str:
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 
 
-def _pool_sizes() -> tuple[tuple[int, int], int]:
-    """(lemmatizer pool bounds, cpus) from the cluster — autoscaling
-    ``(min, max)`` so small inputs don't pay the startup of a full pool while
-    big inputs still saturate half the cluster, leaving headroom for the
-    read/extract/shuffle stages so no stage starves (SURVEY.md §4.1)."""
+def _wait_for_cpus(cpus: int, timeout: float = 15.0) -> None:
+    """Block until (nearly) all cluster CPUs are schedulable again —
+    actor pools release their reservations asynchronously after their
+    execution finishes."""
+    import time as _time
+
+    deadline = _time.monotonic() + timeout
+    while _time.monotonic() < deadline:
+        avail = ray.available_resources().get("CPU", 0)
+        if avail >= cpus - 1:
+            return
+        _time.sleep(0.2)
+
+
+def _pool_sizes(num_docs_hint: int) -> tuple[tuple[int, int], int]:
+    """(lemmatizer pool bounds, cpus) from the cluster AND the work size.
+
+    Ray Data's actor autoscaler ramps far too slowly for short jobs (measured
+    2.3x wall on 400k docs with min=2 vs a full pool), so the pool MINIMUM is
+    sized from the known input: roughly one actor per 5k docs, clamped to
+    [2, max].  Small inputs still skip the full-pool startup cost; large
+    inputs start wide immediately.  ``reserve`` keeps read + run-writer
+    headroom so no stage starves (SURVEY.md §4.1)."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    reserve = max(1, cpus // 8)  # read + run-writer headroom
-    return (2, max(2, cpus - reserve)), cpus
+    reserve = max(1, cpus // 8)
+    pool_max = max(2, cpus - reserve)
+    pool_min = max(2, min(pool_max, num_docs_hint // 5_000))
+    return (pool_min, pool_max), cpus
 
 
 def build_index(
@@ -102,24 +122,24 @@ def build_index(
 
     already = done_parts(index_dir) if resume else {}
     todo = set(range(num_partitions)) - set(already)
-    lem_actors, cpus = _pool_sizes()
+    lem_actors, cpus = _pool_sizes(num_docs_hint)
 
     stats_rows = []
     if todo:
         import shutil
 
-        runs_dir = os.path.join(index_dir, f".runs-{cfg_hash}")
+        exchange_root = cfg.exchange_dir or index_dir
+        runs_dir = os.path.join(exchange_root, f".runs-{cfg_hash}")
         shutil.rmtree(runs_dir, ignore_errors=True)  # partial runs are invalid
 
-        # One streaming execution for both exchange sides.  The shuffle-read
-        # side hangs off a groupby over the run-writer's TINY ack rows
-        # (part, rows) — the groupby is the barrier ("all runs of part p are
-        # on disk"), but it shuffles only kilobytes; the document payload
-        # moved through part-keyed run files.  Keeping it one execution lets
-        # the streaming executor release the lemmatizer actor pool as the
-        # write side drains, so segment-build tasks inherit those CPUs
-        # (two separate executions measurably starve phase B during actor
-        # teardown).
+        # Two streaming executions, one per exchange side.  The barrier
+        # between them is inherent ("group g's runs are complete only when
+        # every writer finished"), and it must be a real execution boundary:
+        # inside one execution the idle lemmatizer actor pool keeps holding
+        # its CPU reservations through the barrier, capping the build side
+        # at the few reserve CPUs (measured 12x slowdown).  The document
+        # payload moves through group-keyed run files; only tiny ack rows
+        # come back to the driver.
         keep = None if len(todo) == num_partitions else todo
         ds = pages
         if "text" in ds.schema().names:  # golden column: never ship it
@@ -139,13 +159,29 @@ def build_index(
             concurrency=lem_actors,
             num_cpus=1,
         )
-        acks = ds.map_batches(make_run_writer(runs_dir),
+        acks = ds.map_batches(make_run_writer(runs_dir, cfg.exchange_group),
                               batch_format="pyarrow",
                               batch_size=cfg.run_write_batch_size)
-        stats = acks.groupby("part").map_groups(
-            make_runs_segment_builder(runs_dir, index_dir, cfg, cfg_hash),
-            batch_format="pyarrow")
-        stats_rows = stats.take_all()  # one tiny row per partition
+        # ---- drive the shuffle-write execution, collecting ack groups ----
+        groups_with_data: set[int] = set()
+        for b in acks.iter_batches(batch_format="pyarrow", batch_size=4096):
+            groups_with_data.update(b["grp"].to_pylist())
+
+        # The write execution is done; its lemmatizer actors are shutting
+        # down but still HOLD their CPU reservations for a moment.  Starting
+        # the build tasks before those free would leave them only the
+        # reserve CPUs (measured 12x slowdown), so wait for the release.
+        _wait_for_cpus(cpus)
+
+        # ---- shuffle read: one task per exchange group --------------------
+        grps = sorted(groups_with_data)
+        if grps:
+            grp_ds = rd.from_items([{"grp": g} for g in grps],
+                                   override_num_blocks=len(grps))
+            stats = grp_ds.map_batches(
+                make_runs_segment_builder(runs_dir, index_dir, cfg, cfg_hash),
+                batch_format="pyarrow")
+            stats_rows = stats.take_all()  # one tiny row per partition
 
         # hash routing can leave partitions with zero documents (no ack row,
         # no group): commit empty segments so resume sees them done

@@ -47,33 +47,36 @@ from ..state.manifest import PartManifest, commit_part_dir, part_dirname, write_
 DOC_ID_PART_SHIFT = 40  # doc_id = part << 40 | local_rank
 
 
-def make_run_writer(runs_dir: str):
+def make_run_writer(runs_dir: str, exchange_group: int = 1):
     """Stateless shuffle-WRITE side of the two-phase exchange.
 
-    Each task splits its batch by the pre-assigned ``part`` key and appends
-    one complete (open-write-close) parquet run file per part it saw —
-    ``runs/part=N/run-<uuid>.parquet``.  This replaces a sort-based
+    Each task splits its batch by exchange group (``part // exchange_group``)
+    and appends one complete (open-write-close) parquet run file per group it
+    saw — ``runs/grp=G/run-<uuid>.parquet``.  This replaces a sort-based
     ``groupby("part")`` all-to-all: the exchange goes through storage (how
     external-shuffle engines do it), each run is a self-contained file, and a
     retried task merely adds a duplicate run that the resume logic discards
-    with the whole runs dir.  File count = tasks × parts-per-task; batch size
-    (IndexBuildConfig.run_write_batch_size) controls task width.
+    with the whole runs dir.  File count ~= tasks × groups-per-task; batch
+    size (IndexBuildConfig.run_write_batch_size) and ``exchange_group``
+    control it.  The ``part`` column rides inside the file, so one group's
+    build task splits its parts in memory without re-reading.
     """
 
     def write_runs(batch: pa.Table) -> pa.Table:
         parts = batch["part"].to_numpy(zero_copy_only=False)
-        uniq = np.unique(parts)
+        grps = parts // np.int32(exchange_group)
+        uniq = np.unique(grps)
         rows = []
-        for p in uniq:
-            sub = batch.filter(pa.array(parts == p))
-            d = os.path.join(runs_dir, f"part={int(p)}")
+        for g in uniq:
+            sub = batch.filter(pa.array(grps == g))
+            d = os.path.join(runs_dir, f"grp={int(g)}")
             os.makedirs(d, exist_ok=True)
             tmp = os.path.join(d, f".tmp-run-{uuid.uuid4().hex}.parquet")
             pq.write_table(sub, tmp)
             os.rename(tmp, tmp.replace(".tmp-run-", "run-"))
-            rows.append((int(p), sub.num_rows))
+            rows.append((int(g), sub.num_rows))
         return pa.table({
-            "part": pa.array([r[0] for r in rows], pa.int32()),
+            "grp": pa.array([r[0] for r in rows], pa.int32()),
             "rows": pa.array([r[1] for r in rows], pa.int64()),
         })
 
@@ -82,37 +85,43 @@ def make_run_writer(runs_dir: str):
 
 def make_runs_segment_builder(runs_dir: str, index_dir: str,
                               cfg: IndexBuildConfig, config_hash: str):
-    """Shuffle-READ side: one task per partition pulls that partition's run
-    files (only its own bytes leave storage) and builds the segment with the
-    same vectorized builder the map_groups path uses."""
+    """Shuffle-READ side: one task per exchange GROUP pulls that group's run
+    files once (only its own bytes leave storage), splits them by ``part``
+    in memory, and builds each partition's segment with the same vectorized
+    builder the map_groups path uses — partitions stay small (cache-friendly
+    builds, fine-grained resume) while exchange files stay coarse."""
 
     builder = make_segment_builder(index_dir, cfg, config_hash)
+
+    def _empty_stats(part: int) -> pa.Table:
+        return pa.table({
+            "part": pa.array([part], pa.int32()),
+            "n_docs": pa.array([0], pa.int64()),
+            "n_terms": pa.array([0], pa.int64()),
+            "n_postings": pa.array([0], pa.int64()),
+            "total_tokens": pa.array([0], pa.int64()),
+            "bytes_postings": pa.array([0], pa.int64()),
+            "wall_sec": pa.array([0.0], pa.float64()),
+        })
 
     def build_from_runs(batch: pa.Table) -> pa.Table:
         import glob as _glob
 
         outs = []
-        # callers pass either distinct part rows (from_items resume path) or
-        # run-writer ack groups (one row per writer task) — dedupe either way
-        for part in sorted(set(batch["part"].to_pylist())):
+        # callers pass either distinct grp rows (resume path) or run-writer
+        # ack groups (one row per writer task) — dedupe either way
+        for grp in sorted(set(batch["grp"].to_pylist())):
             files = sorted(_glob.glob(
-                os.path.join(runs_dir, f"part={int(part)}", "run-*.parquet")))
-            if files:
-                group = pa.concat_tables([pq.read_table(f) for f in files],
-                                         promote_options="permissive")
-                outs.append(builder(group))
-            else:
-                commit_empty_part(index_dir, int(part), cfg, config_hash)
-                outs.append(pa.table({
-                    "part": pa.array([int(part)], pa.int32()),
-                    "n_docs": pa.array([0], pa.int64()),
-                    "n_terms": pa.array([0], pa.int64()),
-                    "n_postings": pa.array([0], pa.int64()),
-                    "total_tokens": pa.array([0], pa.int64()),
-                    "bytes_postings": pa.array([0], pa.int64()),
-                    "wall_sec": pa.array([0.0], pa.float64()),
-                }))
-        return pa.concat_tables(outs)
+                os.path.join(runs_dir, f"grp={int(grp)}", "run-*.parquet")))
+            if not files:
+                continue
+            gt = pa.concat_tables([pq.read_table(f) for f in files],
+                                  promote_options="permissive")
+            parts = gt["part"].to_numpy(zero_copy_only=False)
+            for part in np.unique(parts):
+                sub = gt.filter(pa.array(parts == part))
+                outs.append(builder(sub))
+        return pa.concat_tables(outs) if outs else _empty_stats(-1).slice(0, 0)
 
     return build_from_runs
 

@@ -72,3 +72,39 @@ def test_synth_byte_identity():
     t = synth_pages_table(200, seed=7)
     for html, expected in zip(t["html"].to_pylist(), t["text"].to_pylist()):
         assert extract_text(html.decode()) == expected
+
+
+def test_fast_scanner_agrees_with_reference_parser():
+    """The fast scanner and the HTMLParser reference are two independent
+    witnesses of the frozen extraction spec — they must agree byte-for-byte
+    on every fixture and on adversarial markup."""
+    from search_engine_ray.corpus import synth_pages_table, tiny_fixture_pages
+    from search_engine_ray.functions.html import extract_all, extract_all_ref
+
+    cases = [h.decode() for h in tiny_fixture_pages()["html"].to_pylist()]
+    cases += [h.decode() for h in synth_pages_table(100, seed=9)["html"].to_pylist()]
+    cases += [
+        "<p>a<!-- <div>x</div> -->b</p>",
+        '<script>var x = "<p>no</p>";</script><p>yes</p>',
+        '<a href="x>y">link</a>text',
+        "<p title='a>b'>t</p>",
+        "<P>UPPER</P><BR/>z",
+        "plain &amp; text &nbsp;here &#65;",
+        '<style>p {content: "</notstyle>"}</style>after',
+        "<title>T &amp; T</title><body>b</body>",
+        "broken < notatag >ok</p>",
+        "<script>unterminated",
+        "<noscript><p>ns</p></noscript>tail",
+        "a<noscript><p>x</p></noscript>b",
+        "<SCRIPT>x</SCRIPT>y",
+        '<script src="a.js"/>inline?',
+        "<style>a</style><style>b</style>mid",
+        "<title>one</title><title>two</title>",
+        "<br>line<br/>another",
+        "<td>a</td><td>b</td>",
+        "",
+        "   \n\t  ",
+        "&nbsp;&nbsp;x",
+    ]
+    for h in cases:
+        assert extract_all(h) == extract_all_ref(h), h[:80]
