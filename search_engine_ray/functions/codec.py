@@ -153,13 +153,34 @@ def encode_postings(
 
 
 def decode_postings(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray]:
-    """Full decode -> (doc_ids, tfs)."""
+    """Full decode -> (doc_ids, tfs), one vectorized pass.
+
+    Each block is an independent delta chain (gap 0 absolute).  Rather than
+    decoding block-by-block (a numpy call per 128 postings — measured 10x+
+    slower on dense lists), decode the whole varint stream once, take the
+    global cumsum, and subtract each block's preceding cumulative total so
+    every block's chain restarts at its absolute first id."""
     if enc.df == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
-    # each block is an independent delta chain (gap 0 absolute), so decode
-    # block-wise; the varint stream itself can be decoded in one pass.
-    n_blocks = enc.block_off_docs.size
-    ids = np.concatenate([decode_block_docids(enc, bi) for bi in range(n_blocks)])
+    b = np.frombuffer(enc.doc_ids, dtype=np.uint8)
+    is_last = (b & 0x80) == 0
+    ends = np.flatnonzero(is_last)
+    vstarts_bytes = np.empty_like(ends)
+    vstarts_bytes[0] = 0
+    vstarts_bytes[1:] = ends[:-1] + 1
+    lens = ends - vstarts_bytes + 1
+    pos = np.arange(b.size, dtype=np.int64) - np.repeat(vstarts_bytes, lens)
+    vals = (b & np.uint8(0x7F)).astype(np.uint64) << (pos.astype(np.uint64) * np.uint64(7))
+    gaps = np.add.reduceat(vals, vstarts_bytes).astype(np.int64)
+    if gaps.size != enc.df:
+        raise ValueError(f"decode_postings: expected {enc.df}, got {gaps.size}")
+    # value index where each block starts, recovered from its byte offset
+    blk_vstart = np.searchsorted(vstarts_bytes, enc.block_off_docs)
+    csum = np.cumsum(gaps)
+    prev_total = np.where(blk_vstart > 0, csum[blk_vstart - 1], 0)
+    sub = np.zeros(gaps.size, np.int64)
+    sub[blk_vstart] = np.diff(np.concatenate(([0], prev_total)))
+    ids = csum - np.cumsum(sub)
     tfs = varint_decode(enc.tfs, count=enc.df)
     return ids, tfs
 

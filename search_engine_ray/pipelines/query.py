@@ -146,6 +146,10 @@ class IndexReader:
     (metadata only), postings stream in per query.
     """
 
+    # Σ df(query terms) / part_docs above which bm25_topk switches from
+    # block-max WAND to the vectorized exhaustive kernel (see dispatch note)
+    dense_cutoff: float = 0.05
+
     def __init__(self, index_dir: str, preload: bool = False) -> None:
         self.index_dir = index_dir
         self.stats = load_corpus_stats(index_dir)
@@ -311,7 +315,18 @@ class IndexReader:
         for part in self.parts:
             rd = self.reader(part)
             if pruned and site is None:
-                self._wand_part(rd, idfs, k, params, heap)
+                # density dispatch: block-max WAND wins only when the query
+                # terms are selective enough for skipping to pay for the
+                # per-posting cursor walk; for dense (stopword-class) terms
+                # the vectorized exhaustive kernel is an order of magnitude
+                # faster and returns the identical top-k.  Postings are
+                # cached in the reader, so this probe costs nothing extra.
+                tot_df = sum(e.df for e in (rd.postings(t) for t in idfs)
+                             if e is not None)
+                if tot_df >= max(4096, self.dense_cutoff * len(rd.doc_ids)):
+                    self._exhaustive_part(rd, idfs, k, params, heap)
+                else:
+                    self._wand_part(rd, idfs, k, params, heap)
             else:
                 self._exhaustive_part(rd, idfs, k, params, heap, site)
         out = sorted(heap, key=lambda x: (-x[0], -x[1]))
@@ -344,6 +359,14 @@ class IndexReader:
         if site is not None:
             mask = rd.sites[uniq - rd.base] == site
             uniq, scores = uniq[mask], scores[mask]
+        if uniq.size > k:
+            # vectorized preselect: only docs that can enter the top-k heap.
+            # kth-largest score as threshold; keep ties AT the threshold so
+            # the (score desc, doc_id asc) tie-break stays exact.
+            kth = np.partition(scores, uniq.size - k)[uniq.size - k]
+            floor = heap[0][0] if len(heap) >= k else -math.inf
+            keep = scores >= max(kth, floor)
+            uniq, scores = uniq[keep], scores[keep]
         for d, s in zip(uniq.tolist(), scores.tolist()):
             item = (s, -d)
             if len(heap) < k:

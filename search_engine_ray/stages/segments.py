@@ -215,8 +215,17 @@ def make_segment_builder(index_dir: str, cfg: IndexBuildConfig, config_hash: str
         post_sites = np.repeat(site_idx_doc, lens)
 
         dict_enc = pc.dictionary_encode(flat_terms)
-        term_idx = np.asarray(dict_enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
-        term_dict: list[str] = dict_enc.dictionary.to_pylist()
+        raw_idx = np.asarray(dict_enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        raw_dict: list[str] = dict_enc.dictionary.to_pylist()
+        # re-rank dictionary indices lexicographically so the postings table
+        # is written TERM-SORTED — parquet row-group min/max stats then prune
+        # point lookups in the streaming (non-preload) query path
+        lex = sorted(range(len(raw_dict)), key=raw_dict.__getitem__)
+        rank_of = np.empty(max(1, len(raw_dict)), np.int64)
+        for r, i in enumerate(lex):
+            rank_of[i] = r
+        term_idx = rank_of[raw_idx] if raw_idx.size else raw_idx
+        term_dict: list[str] = [raw_dict[i] for i in lex]
 
         # postings must be term-grouped with doc_ids ascending inside each
         # term; the flat stream is doc-ascending, so a stable sort on term
@@ -305,7 +314,10 @@ def make_segment_builder(index_dir: str, cfg: IndexBuildConfig, config_hash: str
         tmp_dir = os.path.join(index_dir, f".tmp-{part_dirname(part)}-{uuid.uuid4().hex[:8]}")
         os.makedirs(tmp_dir, exist_ok=True)
         pq.write_table(docs_tbl, os.path.join(tmp_dir, "docs.parquet"))
-        pq.write_table(postings_tbl, os.path.join(tmp_dir, "postings.parquet"))
+        # small row groups: term-sorted + min/max stats => point lookups read
+        # one row group instead of the whole segment (streaming query path)
+        pq.write_table(postings_tbl, os.path.join(tmp_dir, "postings.parquet"),
+                       row_group_size=1024)
         pq.write_table(dict_tbl, os.path.join(tmp_dir, "dict.parquet"))
         wall = time.monotonic() - t0
         write_manifest(
