@@ -298,6 +298,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(shape, batch_format="pyarrow")
 
+    def events_hopping(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import hopping_window_agg
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+        out = hopping_window_agg(ds, size_sec=600, hop_sec=300)
+
+        def shape(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": batch["user_id"],
+                "window_start": batch["window_start"],
+                "n_events": batch["n_events"].cast(pa.int64()),
+                "sum_value": pa.array(batch["sum_value"].to_numpy().astype(np.float32)),
+                "min_value": batch["min_value"],
+                "max_value": batch["max_value"],
+            })
+
+        return out.map_batches(shape, batch_format="pyarrow")
+
     def sessionize(sf_dir):
         import ray.data as rd
 
@@ -332,6 +354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_lsh": knn_lsh,
         "embedding_dup": embedding_dup,
         "events_window": events_window,
+        "events_hopping": events_hopping,
         "sessionize": sessionize,
     }
 
@@ -514,6 +537,17 @@ SELECT user_id,
        MIN(value) AS min_value,
        MAX(value) AS max_value
 FROM events GROUP BY user_id, (FLOOR(epoch(ts) / 300) * 300)::BIGINT
+"""
+
+    sql["events_hopping"] = """
+SELECT user_id,
+       ((FLOOR(epoch(ts) / 300) * 300)::BIGINT - i * 300) AS window_start,
+       COUNT(*)::BIGINT AS n_events,
+       CAST(SUM(value) AS FLOAT) AS sum_value,
+       MIN(value) AS min_value,
+       MAX(value) AS max_value
+FROM events, UNNEST(range(0, 2)) AS r(i)
+GROUP BY user_id, window_start
 """
 
     sql["sessionize"] = """

@@ -41,6 +41,41 @@ def tumbling_window_agg(events: rd.Dataset, size_sec: int = 300,
     )
 
 
+def assign_hopping_windows(batch: pa.Table, size_sec: int, hop_sec: int,
+                           ts_col: str = "ts") -> pa.Table:
+    """Replicate each event into its ``size/hop`` overlapping windows
+    (flat-map shaped: output rows = input rows x k).  ``size_sec`` must be a
+    multiple of ``hop_sec`` so every event lands in exactly k windows."""
+    if size_sec % hop_sec:
+        raise ValueError("size_sec must be a multiple of hop_sec")
+    k = size_sec // hop_sec
+    epoch_us = batch[ts_col].cast(pa.int64()).to_numpy()
+    w_last = (epoch_us // (hop_sec * 1_000_000)) * hop_sec
+    n = batch.num_rows
+    idx = np.repeat(np.arange(n, dtype=np.int64), k)
+    offs = np.tile(np.arange(k, dtype=np.int64) * hop_sec, n)
+    wins = np.repeat(w_last, k) - offs
+    out = batch.take(pa.array(idx))
+    return out.append_column("window_start", pa.array(wins, pa.int64()))
+
+
+def hopping_window_agg(events: rd.Dataset, size_sec: int = 600,
+                       hop_sec: int = 300,
+                       key_col: str = "user_id") -> rd.Dataset:
+    """Per (key, hopping window): count + value sum/min/max.  The window
+    replication happens inside ``map_batches`` (vectorized repeat/tile), the
+    wide step is the same single groupby as the tumbling case."""
+    ds = events.map_batches(assign_hopping_windows, batch_format="pyarrow",
+                            fn_kwargs={"size_sec": size_sec,
+                                       "hop_sec": hop_sec})
+    return ds.groupby([key_col, "window_start"]).aggregate(
+        Count(alias_name="n_events"),
+        Sum("value", alias_name="sum_value"),
+        Min("value", alias_name="min_value"),
+        Max("value", alias_name="max_value"),
+    )
+
+
 def sessionize(events: rd.Dataset, gap_sec: int = 1800,
                key_col: str = "user_id") -> rd.Dataset:
     """Gap-based session windows per key.
