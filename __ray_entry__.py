@@ -198,6 +198,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(fingerprint_batch, batch_format="pyarrow") \
             .select_columns(["doc_id", "fingerprint"])
 
+    def token_count(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.functions.textstats import token_count_batch
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return ds.map_batches(token_count_batch, batch_format="pyarrow") \
+            .select_columns(["doc_id", "n_words", "n_subwords"])
+
+    def approx_users_daily(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.sketches import approx_distinct_daily
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "user_id"])
+        return approx_distinct_daily(ds)
+
     def exact_dedup(sf_dir):
         import ray.data as rd
 
@@ -346,6 +365,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_simple": langid_simple,
         "doc_quality": doc_quality,
         "fingerprint": fingerprint,
+        "token_count": token_count,
+        "approx_users_daily": approx_users_daily,
         "exact_dedup": exact_dedup,
         "ngram_jaccard": ngram_jaccard,
         "minhash_lsh": minhash_lsh,
@@ -463,6 +484,25 @@ SELECT doc_id,
        md5(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS fingerprint
 FROM documents
 """
+
+    sql["token_count"] = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+    FROM documents
+),
+agg AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+           SUM(CAST(FLOOR((length(tok) + 3) / 4) AS BIGINT)) AS n_subwords
+    FROM toks GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
+       COALESCE(a.n_subwords, 0) AS n_subwords
+FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+    # approx_users_daily: HyperLogLog sketch — approximate by design, no SQL
+    # value-parity possible; rows-only driver check + a 5%-accuracy pytest
+    # against the exact count (tests/test_build.py::test_hll_approx_distinct_daily).
 
     sql["exact_dedup"] = """
 SELECT md5(text) AS content_hash,

@@ -101,3 +101,55 @@ def rolling_fingerprint(text: str, window: int = 8, base: int = 257, mod: int = 
         acc = (acc * base + byte) % mod
     h ^= acc
     return h
+
+
+# --- HyperLogLog (dense, 2^p registers) ------------------------------------
+# Distributed approximate distinct count: each map_batches task folds its
+# batch into a register array (partial aggregate), registers merge by
+# element-wise max — associative/commutative, so any tree or sequential
+# merge order gives the identical sketch.
+
+HLL_P = 12  # 4096 registers, ~1.6% standard error
+
+
+def hll_fold(token_hashes: np.ndarray, registers: np.ndarray | None = None,
+             p: int = HLL_P) -> np.ndarray:
+    """Fold 64-bit hashes into an HLL register array (uint8[2^p])."""
+    m = 1 << p
+    if registers is None:
+        registers = np.zeros(m, np.uint8)
+    if token_hashes.size == 0:
+        return registers
+    h = token_hashes.astype(np.uint64)
+    idx = (h >> np.uint64(64 - p)).astype(np.int64)
+    rest = (h << np.uint64(p)) | (np.uint64(1) << np.uint64(p - 1))
+    # rank = leading zeros of the remaining bits + 1, via bit twiddling
+    lz = np.full(h.size, 1, np.uint8)
+    cur = rest.copy()
+    mask_hi = np.uint64(0x8000000000000000)
+    for _ in range(64 - p + 1):
+        top = (cur & mask_hi) != 0
+        done = top
+        if done.all():
+            break
+        lz[~done] += 1
+        cur = cur << np.uint64(1)
+        cur[done] = mask_hi  # freeze finished lanes
+    np.maximum.at(registers, idx, lz)
+    return registers
+
+
+def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    return np.maximum(a, b)
+
+
+def hll_estimate(registers: np.ndarray) -> float:
+    """Standard HLL estimator with small-range (linear counting) correction."""
+    m = registers.size
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    inv = np.ldexp(1.0, -registers.astype(np.int64))
+    est = alpha * m * m / inv.sum()
+    zeros = int((registers == 0).sum())
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)

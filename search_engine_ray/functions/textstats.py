@@ -79,3 +79,24 @@ def content_hash_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     texts = batch[text_col].to_pylist()
     hs = [hashlib.md5((t or "").encode()).hexdigest() for t in texts]
     return batch.append_column("content_hash", pa.array(hs, pa.string()))
+
+
+# BPE-ish subword counting: words, then greedy fixed-size chunks of long
+# words (a deterministic stand-in for a learned BPE vocab — no tokenizer
+# libs in this environment).  chunk==4 chars; a w-char word contributes
+# ceil(len/4) subword tokens.  Exactly mirrorable in SQL.
+_BPE_CHUNK = 4
+
+
+def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """(n_words, n_subwords) per doc: whitespace-ish word split via the
+    [a-z]+ scan, plus the BPE-ish subword count."""
+    n_words, n_sub = [], []
+    for t in batch[text_col].to_pylist():
+        toks = _TOKEN_RE.findall((t or "").lower())
+        n_words.append(len(toks))
+        n_sub.append(sum((len(w) + _BPE_CHUNK - 1) // _BPE_CHUNK for w in toks))
+    out = batch.drop_columns([text_col])
+    out = out.append_column("n_words", pa.array(n_words, pa.int64()))
+    out = out.append_column("n_subwords", pa.array(n_sub, pa.int64()))
+    return out

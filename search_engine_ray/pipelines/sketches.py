@@ -1,0 +1,60 @@
+"""Approximate (sketch) aggregates — beyond-the-reference operators for
+large-scale pipelines (SURVEY.md training-data addenda).
+
+HyperLogLog distinct counting as a proper distributed aggregate: the map
+side folds each batch into per-group register arrays (a partial aggregate —
+4 KB per group regardless of cardinality), the reduce side merges registers
+by element-wise max inside ``groupby().map_groups``.  Register merge is
+associative + commutative, so the estimate is independent of batch order,
+block boundaries, and parallelism level — the determinism the rest of the
+engine guarantees everywhere else.
+
+At 100 TB scale this replaces a full-shuffle ``COUNT(DISTINCT ...)`` with a
+shuffle of (n_groups x 4 KB) partials.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data as rd
+
+from ..functions.hashing import HLL_P, hll_estimate, hll_fold, stable_hash_array
+
+
+def _day_of(ts_col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    return (ts_col.cast(pa.int64()).to_numpy() // (86_400 * 1_000_000)).astype(np.int64)
+
+
+def approx_distinct_daily(events: rd.Dataset, key_col: str = "user_id",
+                          ts_col: str = "ts", p: int = HLL_P) -> rd.Dataset:
+    """(day, approx_distinct) — HLL estimate of distinct ``key_col`` values
+    per UTC day.  ``day`` = epoch_days."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        days = _day_of(batch[ts_col])
+        keys = batch[key_col].to_pylist()
+        hashes = stable_hash_array([str(k) for k in keys])
+        out_day, out_regs = [], []
+        for d in np.unique(days):
+            regs = hll_fold(hashes[days == d], p=p)
+            out_day.append(int(d))
+            out_regs.append(regs.tobytes())
+        return pa.table({
+            "day": pa.array(out_day, pa.int64()),
+            "registers": pa.array(out_regs, pa.binary()),
+        })
+
+    def merge(group: pa.Table) -> pa.Table:
+        day = int(group["day"][0].as_py())
+        regs = np.zeros(1 << p, np.uint8)
+        for buf in group["registers"].to_pylist():
+            regs = np.maximum(regs, np.frombuffer(buf, np.uint8))
+        return pa.table({
+            "day": pa.array([day], pa.int64()),
+            "approx_distinct": pa.array([hll_estimate(regs)], pa.float64()),
+        })
+
+    partials = events.map_batches(partial, batch_format="pyarrow")
+    return partials.groupby("day").map_groups(merge, batch_format="pyarrow")

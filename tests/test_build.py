@@ -220,3 +220,38 @@ def test_crawl_frontier_one_shuffle(ray_session):
     # fragment + foreign links dropped; /new1 distinct per page but
     # referenced from two pages; query string stripped from /new2?x=1
     assert got == {(s, "/new1"): 2, (s, "/new2"): 1}
+
+
+def test_hll_approx_distinct_daily(ray_session):
+    """HLL sketch pipeline: per-day estimate within 5% of exact, and
+    invariant to input order (register merge is commutative)."""
+    import datetime
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.sketches import approx_distinct_daily
+
+    rng = np.random.RandomState(7)
+    n = 20000
+    days = rng.randint(0, 3, n)
+    users = rng.randint(0, 2000, n) + days * 10_000  # distinct sets per day
+    ts = [datetime.datetime(2024, 1, 1) + datetime.timedelta(days=int(d), seconds=int(i % 86000))
+          for i, d in enumerate(days)]
+    t = pa.table({"ts": pa.array(ts, pa.timestamp("us")),
+                  "user_id": pa.array(users, pa.int64())})
+    out = approx_distinct_daily(rd.from_arrow(t)).to_pandas().set_index("day")
+    import pandas as pd
+
+    exact = pd.DataFrame({"day": (pa.table({"d": days})["d"].to_numpy() + 19723),
+                          "u": users}).groupby("day")["u"].nunique()
+    # day epoch base: 2024-01-01 = 19723 epoch days
+    for day, est in out["approx_distinct"].items():
+        ex = exact.loc[day]
+        assert abs(est - ex) / ex < 0.05, (day, est, ex)
+
+    # order invariance
+    perm = np.random.RandomState(9).permutation(n)
+    out2 = approx_distinct_daily(rd.from_arrow(t.take(perm))).to_pandas().set_index("day")
+    for day in out.index:
+        assert out.loc[day, "approx_distinct"] == out2.loc[day, "approx_distinct"]
