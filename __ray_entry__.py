@@ -270,6 +270,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return t.set_column(t.column_names.index("cosine"), "cosine",
                             pa.array(cos4))
 
+    def knn_ivf(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.similarity import knn_ivf as _ivf
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return _ivf(ds, query_ids=list(range(8)), k=5,
+                    n_centroids=16, n_probe=4)
+
     def knn_lsh(sf_dir):
         import ray.data as rd
 
@@ -372,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_lsh": minhash_lsh,
         "simhash_dedup": simhash_dedup,
         "knn_cosine": knn_cosine,
+        "knn_ivf": knn_ivf,
         "knn_lsh": knn_lsh,
         "embedding_dup": embedding_dup,
         "events_window": events_window,
@@ -615,7 +625,7 @@ SELECT user_id, session_id::BIGINT AS session_id,
 FROM sessions GROUP BY user_id, session_id
 """
 
-    # minhash_lsh, simhash_dedup, knn_lsh: probabilistic/bucketed operators —
+    # minhash_lsh, simhash_dedup, knn_ivf, knn_lsh: probabilistic/bucketed —
     # not SQL-expressible; the driver records rows-only checks, and the pytest
     # suite verifies them against exact oracles at fixture scale.
     return sql

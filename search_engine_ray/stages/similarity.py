@@ -150,3 +150,85 @@ def knn_lsh_buckets(emb_ds: rd.Dataset, k: int = 5, *, dim: int,
                          "rank": pa.array(out_r, pa.int32())})
 
     return bucketed.groupby("bucket").map_groups(bucket_knn, batch_format="pyarrow")
+
+
+# --- IVF (inverted-file) ANN: the coarse-quantizer scale path ---------------
+
+def ivf_centroids(emb_ds: rd.Dataset, n_centroids: int = 16, *,
+                  sample_size: int = 4096, iters: int = 10, seed: int = 11,
+                  vec_col: str = "embedding") -> np.ndarray:
+    """Seeded mini k-means over a driver-side sample (normalized vectors,
+    spherical k-means flavor).  The centroid matrix is tiny (C x dim) — at
+    any corpus scale it is a broadcast object, never a shuffle."""
+    n = emb_ds.count()
+    frac = min(1.0, sample_size / max(1, n))
+    sample = emb_ds.random_sample(frac, seed=seed).take_all()
+    if not sample:
+        sample = emb_ds.take(min(n, n_centroids))
+    mat = _normalize(np.stack([np.asarray(r[vec_col], np.float64) for r in sample]))
+    rng = np.random.RandomState(seed)
+    cent = mat[rng.choice(len(mat), size=min(n_centroids, len(mat)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(mat @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            members = mat[assign == c]
+            if len(members):
+                cent[c] = members.mean(axis=0)
+        cent = _normalize(cent)
+    return cent
+
+
+def knn_ivf(emb_ds: rd.Dataset, query_ids: list[int], k: int = 5, *,
+            n_centroids: int = 16, n_probe: int = 4, seed: int = 11,
+            id_col: str = "vec_id", vec_col: str = "embedding") -> pa.Table:
+    """Approximate top-k: score only vectors whose IVF cell is among each
+    query's ``n_probe`` nearest centroids.
+
+    One broadcast (centroids + query matrix + each query's probed cells),
+    one ``map_batches`` pass (cell assignment is a (batch x dim) @ (dim x C)
+    matmul; non-candidates are masked out), then the same tiny driver-side
+    merge as the exact baseline.  Output shape == knn_bruteforce.
+    """
+    cent = ivf_centroids(emb_ds, n_centroids, seed=seed, vec_col=vec_col)
+    q_ids, q_mat = _queries_matrix(emb_ds, query_ids, id_col, vec_col)
+    q_cells = np.argsort(-(q_mat @ cent.T), axis=1)[:, :n_probe]  # Q x n_probe
+    ref = ray.put((q_ids, q_mat.T, cent.T, q_cells))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        g_qids, qT, cT, probed = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        mat = _normalize(np.stack(batch[vec_col].to_numpy(zero_copy_only=False)))
+        cells = np.argmax(mat @ cT, axis=1)
+        sims = mat @ qT
+        out_q, out_n, out_c = [], [], []
+        for qi, qid in enumerate(g_qids):
+            cand = np.flatnonzero(np.isin(cells, probed[qi]) & (ids != qid))
+            if cand.size == 0:
+                continue
+            col = sims[:, qi]
+            order = np.lexsort((ids[cand], -col[cand]))[:k]
+            sel = cand[order]
+            out_q.extend([int(qid)] * sel.size)
+            out_n.extend(int(x) for x in ids[sel])
+            out_c.extend(float(x) for x in col[sel])
+        return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                         "neighbor_id": pa.array(out_n, pa.int64()),
+                         "cosine": pa.array(out_c, pa.float64())})
+
+    partials = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        partial_topk, batch_format="pyarrow").take_all()
+    by_q: dict[int, list[tuple[float, int]]] = {}
+    for r in partials:
+        by_q.setdefault(r["query_id"], []).append((r["cosine"], r["neighbor_id"]))
+    out_q, out_n, out_c, out_r = [], [], [], []
+    for qid in sorted(by_q):
+        rows = sorted(by_q[qid], key=lambda x: (-x[0], x[1]))[:k]
+        for rank, (cos, nid) in enumerate(rows, 1):
+            out_q.append(qid)
+            out_n.append(nid)
+            out_c.append(cos)
+            out_r.append(rank)
+    return pa.table({"query_id": pa.array(out_q, pa.int64()),
+                     "neighbor_id": pa.array(out_n, pa.int64()),
+                     "cosine": pa.array(out_c, pa.float64()),
+                     "rank": pa.array(out_r, pa.int32())})

@@ -1,0 +1,54 @@
+"""ANN similarity search: exact baseline vs IVF / LSH approximations."""
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from search_engine_ray.stages.similarity import knn_bruteforce, knn_ivf, knn_lsh_buckets
+
+
+def _clustered_embeddings(n_clusters=8, per_cluster=60, dim=32, seed=3):
+    rng = np.random.RandomState(seed)
+    centers = rng.standard_normal((n_clusters, dim)) * 4.0
+    vecs, ids = [], []
+    i = 0
+    for c in range(n_clusters):
+        pts = centers[c] + rng.standard_normal((per_cluster, dim))
+        for p in pts:
+            vecs.append(p.astype(np.float32).tolist())
+            ids.append(i)
+            i += 1
+    return pa.table({"vec_id": pa.array(ids, pa.int64()),
+                     "embedding": pa.array(vecs, pa.list_(pa.float32()))})
+
+
+def test_ivf_recall_vs_bruteforce(ray_session):
+    t = _clustered_embeddings()
+    ds = rd.from_arrow(t)
+    queries = [0, 61, 130, 305, 417]
+    exact = knn_bruteforce(ds, queries, k=5).to_pandas()
+    approx = knn_ivf(rd.from_arrow(t), queries, k=5,
+                     n_centroids=8, n_probe=2).to_pandas()
+    recalls = []
+    for q in queries:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        recalls.append(len(e & a) / len(e))
+    assert np.mean(recalls) >= 0.9, recalls  # clustered data: probes cover
+
+
+def test_ivf_deterministic(ray_session):
+    t = _clustered_embeddings()
+    a = knn_ivf(rd.from_arrow(t), [0, 61], k=3, n_centroids=8, n_probe=2)
+    b = knn_ivf(rd.from_arrow(t), [0, 61], k=3, n_centroids=8, n_probe=2)
+    assert a.equals(b)
+
+
+def test_lsh_subset_of_exact_candidates(ray_session):
+    t = _clustered_embeddings(n_clusters=4, per_cluster=40)
+    ds = rd.from_arrow(t)
+    out = knn_lsh_buckets(ds, k=3, dim=32).to_pandas()
+    # structural checks: no self pairs, ranks start at 1, cosine in [-1, 1]
+    assert (out.vec_id != out.neighbor_id).all()
+    assert out["rank"].min() == 1
+    assert out.cosine.between(-1.000001, 1.000001).all()
