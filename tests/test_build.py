@@ -255,3 +255,61 @@ def test_hll_approx_distinct_daily(ray_session):
     out2 = approx_distinct_daily(rd.from_arrow(t.take(perm))).to_pandas().set_index("day")
     for day in out.index:
         assert out.loc[day, "approx_distinct"] == out2.loc[day, "approx_distinct"]
+
+
+def test_build_empty_input(ray_session, tmp_path):
+    """Zero input docs: build commits empty segments for every partition and
+    the index is queryable (empty results, not errors)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.corpus import PAGES_SCHEMA
+    from search_engine_ray.pipelines.query import IndexReader
+
+    idx = str(tmp_path / "empty")
+    empty = pa.Table.from_pylist([], schema=PAGES_SCHEMA)
+    res = build_index(rd.from_arrow(empty), idx,
+                      IndexBuildConfig(num_partitions=2), num_docs_hint=0)
+    assert res.n_docs == 0
+    assert set(done_parts(idx)) == {0, 1}
+    ix = IndexReader(idx)
+    r = ix.search("anything")
+    assert r.result and r.count == 0 and r.data == []
+    rb = ix.search("anything", scorer="bm25")
+    assert rb.result and rb.count == 0
+
+
+def test_index_reader_missing_dir(ray_session, tmp_path):
+    from search_engine_ray.pipelines.query import IndexReader
+
+    with pytest.raises(FileNotFoundError):
+        IndexReader(str(tmp_path / "nope"))
+
+
+def test_stale_partial_runs_are_discarded(ray_session, tmp_path):
+    """Simulated crash between the exchange phases: leftover partial run
+    files must not leak into the rebuilt segments."""
+    import os
+
+    import ray.data as rd
+
+    idx = str(tmp_path / "stale")
+    pages = tiny_fixture_pages()
+    cfg = IndexBuildConfig(num_partitions=3)
+    build_index(rd.from_arrow(pages), idx, cfg)
+    clean = _read_all_postings(idx)
+
+    # wipe a partition and plant a garbage runs dir from a "crashed" attempt
+    shutil.rmtree(os.path.join(idx, "part=00002"))
+    import glob as _glob
+
+    runs_dirs = _glob.glob(os.path.join(idx, ".runs-*"))
+    stale = os.path.join(idx, ".runs-deadbeef00000000", "grp=2")
+    os.makedirs(stale, exist_ok=True)
+    with open(os.path.join(stale, "run-bogus.parquet"), "wb") as f:
+        f.write(b"not a parquet file")
+
+    r = build_index(rd.from_arrow(pages), idx, cfg)
+    assert r.built_parts == 1
+    after = _read_all_postings(idx)
+    assert after["00002"].equals(clean["00002"])
