@@ -126,9 +126,9 @@ def _bench_queries(index_dir: str) -> dict:
 
 HEADLINE = [
     # name -> queries() key (timed end-to-end incl. consuming the result)
-    "tf", "dictionary", "search_bm25", "exact_dedup", "minhash_lsh",
-    "simhash_dedup", "knn_cosine", "events_window", "sessionize",
-    "doc_quality",
+    "tf", "dictionary", "search_bm25", "search_batch", "exact_dedup",
+    "minhash_lsh", "simhash_dedup", "knn_cosine", "knn_ivf",
+    "events_window", "sessionize", "doc_quality", "approx_users_daily",
 ]
 
 
@@ -290,6 +290,8 @@ def run_scaling(sf_dir: str) -> dict:
         all_runs[str(cpus)] = [round(r["wall_s"], 2) for r in runs]
     lo, hi = SCALING_LEVELS
     eff = (legs[hi]["docs_per_s"] / legs[lo]["docs_per_s"]) / (hi / lo)
+    identical = _indexes_identical(f"/tmp/serx_scaling_index_{lo}",
+                                   f"/tmp/serx_scaling_index_{hi}")
     return {
         "metric": "index_build_scaling_efficiency",
         "value": round(eff, 3),
@@ -305,7 +307,28 @@ def run_scaling(sf_dir: str) -> dict:
         "scaling_docs": SCALING_DOCS,
         "levels": list(SCALING_LEVELS),
         "all_wall_s": all_runs,
+        # determinism across parallelism levels (SURVEY §5.5): both legs'
+        # segment payloads must be byte-identical
+        "indexes_identical": identical,
     }
+
+
+def _indexes_identical(a: str, b: str) -> bool:
+    import glob
+    import hashlib
+
+    def digest(root: str) -> str:
+        h = hashlib.blake2b(digest_size=16)
+        for f in sorted(glob.glob(os.path.join(root, "part=*", "*.parquet"))):
+            h.update(os.path.relpath(f, root).encode())
+            with open(f, "rb") as fh:
+                h.update(hashlib.blake2b(fh.read(), digest_size=16).digest())
+        return h.hexdigest()
+
+    try:
+        return digest(a) == digest(b)
+    except OSError:
+        return False
 
 
 def main() -> None:
