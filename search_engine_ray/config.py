@@ -15,11 +15,22 @@ from dataclasses import dataclass, field
 
 @dataclass(frozen=True)
 class SearchSettings:
-    """Reference ``config/SearchSettings.java:12-20``: snippet context width."""
+    """Reference ``config/SearchSettings.java:12-20``: snippet context width.
+
+    ``site_names`` replaces the reference's configured site list's display
+    names (``config/SitesList.java`` -> ``SearchData.siteName``): a site url
+    maps to a human name; unmapped sites echo their url."""
 
     words_range: int = 2  # significant words of context left/right of a hit
     default_limit: int = 20  # ApiController.java:77-82
     default_offset: int = 0
+    site_names: tuple[tuple[str, str], ...] = ()
+
+    def site_name(self, site: str) -> str:
+        for s, name in self.site_names:
+            if s == site:
+                return name
+        return site
 
 
 @dataclass(frozen=True)

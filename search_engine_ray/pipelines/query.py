@@ -57,6 +57,7 @@ class SearchHit:
     score: float
     url: str = ""
     site: str = ""
+    site_name: str = ""  # reference SearchData.siteName (configured display name)
     path: str = ""
     title: str = ""
     snippet: str = ""
@@ -451,8 +452,10 @@ class IndexReader:
             if with_snippets and m.get("whole_text"):
                 snippet = get_snippet(m["whole_text"], lemmas, morph,
                                       settings.words_range)
+            site = m.get("site", "")
             hits.append(SearchHit(doc_id=d, score=float(s),
-                                  url=m.get("url", ""), site=m.get("site", ""),
+                                  url=m.get("url", ""), site=site,
+                                  site_name=settings.site_name(site),
                                   path=m.get("path", ""), title=m.get("title", ""),
                                   snippet=snippet))
         return hits

@@ -200,3 +200,34 @@ def test_search_queryset_bm25_with_snippets(ray_session, tiny_index):
                           concurrency=(1, 2)).to_pandas()
     assert len(out) >= 1
     assert out.iloc[0].snippet.count("<b>needle</b>") >= 2
+
+
+def test_site_name_mapping(ix):
+    from search_engine_ray.config import SearchSettings
+
+    s = SearchSettings(site_names=(("https://site2.example", "Site Two"),))
+    r = ix.search("zebra", site="https://site2.example", settings=s,
+                  with_snippets=False)
+    assert r.data and all(h.site_name == "Site Two" for h in r.data)
+    r2 = ix.search("zebra", site="https://site0.example", settings=s,
+                   with_snippets=False)
+    assert r2.data and all(h.site_name == "https://site0.example" for h in r2.data)
+
+
+def test_index_without_doc_text_degrades_gracefully(ray_session, tmp_path):
+    """store_doc_text=False: snippets come back empty, everything else works."""
+    import ray.data as rd
+
+    from search_engine_ray.config import IndexBuildConfig
+    from search_engine_ray.corpus import tiny_fixture_pages
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.query import IndexReader
+
+    idx = str(tmp_path / "notext")
+    build_index(rd.from_arrow(tiny_fixture_pages()), idx,
+                IndexBuildConfig(num_partitions=2, store_doc_text=False))
+    ix2 = IndexReader(idx, preload=True)
+    r = ix2.search("needle")  # with_snippets=True by default
+    assert r.result and r.count >= 1
+    assert all(h.snippet == "" for h in r.data)
+    assert r.data[0].title == "Spoiler Page"
