@@ -33,7 +33,7 @@ DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "800000"))
 SCALING_LEVELS = (8, 32)
-SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "2"))
+SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 
 
 def _sf_of(sf_dir: str) -> float:
