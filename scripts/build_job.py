@@ -35,16 +35,17 @@ def main(argv: list[str] | None = None) -> int:
     if not ray.is_initialized():
         ray.init(address="local", include_dashboard=False)
     try:
-        import ray.data as rd
-
         from search_engine_ray.config import IndexBuildConfig
         from search_engine_ray.pipelines.build import build_index
         from search_engine_ray.pipelines.stats import index_statistics
+        from search_engine_ray.sources.pages import read_pages
 
         cfg = IndexBuildConfig(
             morphology=args.morphology,
             target_docs_per_partition=args.docs_per_partition)
-        res = build_index(rd.read_parquet(args.pages), args.index, cfg,
+        # read_pages prunes to (url, warc_ts, html) at the read — only the
+        # needed bytes leave storage
+        res = build_index(read_pages(args.pages), args.index, cfg,
                           resume=not args.no_resume)
         stats = index_statistics(args.index)
         print(json.dumps({
