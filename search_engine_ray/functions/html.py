@@ -122,7 +122,10 @@ def _parse(html: str) -> _Extractor:
 
 _TAG_RE = re.compile(
     r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
-    r"|<!--.*?-->|<!\[CDATA\[.*?\]\]>|<![^>]*>|<\?[^>]*>",
+    r"|<!--.*?-->|<!\[CDATA\[.*?\]\]>|<![^>]*>|<\?[^>]*>"
+    # HTML5 "bogus comment": </ followed by a non-letter swallows up to >
+    # (html.parser's parse_bogus_comment does the same)
+    r"|</(?:[^a-zA-Z>][^>]*)?>",
     re.S,
 )
 _AMP = re.compile("&")
