@@ -348,6 +348,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(shape, batch_format="pyarrow")
 
+    def events_asof(sf_dir):
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Min
+
+        from search_engine_ray.pipelines.joins import asof_join
+
+        events = rd.read_parquet(f"{sf_dir}/events.parquet")
+
+        def day_col(batch: pa.Table) -> pa.Table:
+            day = (batch["ts"].cast(pa.int64()).to_numpy() // (86_400 * 1_000_000))
+            return batch.append_column("day", pa.array(day, pa.int64()))
+
+        dim = events.map_batches(day_col, batch_format="pyarrow") \
+            .groupby(["user_id", "day"]) \
+            .aggregate(Min("ts", alias_name="rts"), Min("value", alias_name="rvalue"))
+        out = asof_join(events, dim, key_col="user_id",
+                        left_ts_col="ts", right_ts_col="rts",
+                        right_value_cols=["rvalue"],
+                        left_keep_cols=["event_id", "user_id"])
+        return out
+
     def sessionize(sf_dir):
         import ray.data as rd
 
@@ -386,6 +408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dup": embedding_dup,
         "events_window": events_window,
         "events_hopping": events_hopping,
+        "events_asof": events_asof,
         "sessionize": sessionize,
     }
 
@@ -598,6 +621,18 @@ SELECT user_id,
        MAX(value) AS max_value
 FROM events, UNNEST(range(0, 2)) AS r(i)
 GROUP BY user_id, window_start
+"""
+
+    sql["events_asof"] = """
+WITH dim AS (
+    SELECT user_id, MIN(ts) AS rts, MIN(value) AS rvalue
+    FROM events GROUP BY user_id, FLOOR(epoch(ts) / 86400)
+)
+SELECT e.event_id, e.user_id,
+       CAST(epoch_us(d.rts) AS BIGINT) AS right_ts_us,
+       CAST(d.rvalue AS DOUBLE) AS right_rvalue
+FROM events e ASOF JOIN dim d
+  ON e.user_id = d.user_id AND e.ts >= d.rts
 """
 
     sql["sessionize"] = """

@@ -1,0 +1,41 @@
+"""As-of join semantics (pipelines/joins.py)."""
+
+import datetime as dt
+
+import pyarrow as pa
+import ray.data as rd
+
+from search_engine_ray.pipelines.joins import asof_join
+
+
+def _ts(sec):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+def test_asof_join_semantics(ray_session):
+    left = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8, 9], pa.int64()),
+        "ts": pa.array([_ts(5), _ts(10), _ts(99), _ts(10), _ts(1)],
+                       pa.timestamp("us")),
+    })
+    right = pa.table({
+        "user_id": pa.array([7, 7, 8], pa.int64()),
+        "rts": pa.array([_ts(10), _ts(50), _ts(20)], pa.timestamp("us")),
+        "rvalue": pa.array([1.5, 2.5, 9.0], pa.float64()),
+    })
+    out = asof_join(rd.from_arrow(left), rd.from_arrow(right),
+                    key_col="user_id", left_ts_col="ts", right_ts_col="rts",
+                    right_value_cols=["rvalue"],
+                    left_keep_cols=["event_id", "user_id"]) \
+        .to_pandas().set_index("event_id").sort_index()
+    # event 1 (ts=5): before any dim row -> dropped
+    # event 2 (ts=10): exact-ts match included -> rvalue 1.5
+    # event 3 (ts=99): latest dim row at 50 -> 2.5
+    # event 4 (user 8, ts=10): dim row at 20 is in the future -> dropped
+    # event 5 (user 9): no dim rows at all -> dropped
+    assert list(out.index) == [2, 3]
+    assert out.loc[2, "right_rvalue"] == 1.5
+    assert out.loc[3, "right_rvalue"] == 2.5
+    base = int(_ts(10).timestamp() * 1_000_000)
+    assert out.loc[2, "right_ts_us"] == base
