@@ -114,10 +114,15 @@ def entry() -> Any:
 
     sf_dir = "/root/testdata/sf0.001"
     index_dir = "/tmp/serx_entry_index"
+    # hint from parquet metadata: without it build_index would .count() the
+    # map_batches-derived pages Dataset, executing the derivation twice
+    import pyarrow.parquet as pq
+
+    n_hint = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
     build_index(pages_from_documents(sf_dir), index_dir,
                 IndexBuildConfig(morphology="default",
                                  target_docs_per_partition=500),
-                resume=True)
+                num_docs_hint=n_hint, resume=True)
     return rd.read_parquet(f"{index_dir}/{GLOBAL_DICT_DIR}")
 
 
@@ -529,7 +534,7 @@ agg AS (
     FROM toks GROUP BY doc_id
 )
 SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
-       COALESCE(a.n_subwords, 0) AS n_subwords
+       COALESCE(a.n_subwords, 0)::BIGINT AS n_subwords
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
 """
 

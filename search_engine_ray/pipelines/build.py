@@ -74,11 +74,20 @@ def _wait_for_cpus(cpus: int, timeout: float = 15.0) -> None:
     import time as _time
 
     deadline = _time.monotonic() + timeout
+    avail = 0.0
     while _time.monotonic() < deadline:
         avail = ray.available_resources().get("CPU", 0)
         if avail >= cpus - 1:
             return
         _time.sleep(0.2)
+    # Proceeding with fewer CPUs is correct but slow (the build tasks get
+    # only the reserve CPUs — measured 12x); make it diagnosable.
+    import logging
+
+    logging.getLogger(__name__).warning(
+        "actor-pool CPUs not released after %.0fs (available %.0f / expected"
+        " ~%d); segment build will run under-parallelized", timeout, avail,
+        cpus)
 
 
 def _pool_sizes(num_docs_hint: int) -> tuple[tuple[int, int], int]:
@@ -239,6 +248,20 @@ def reindex_urls(
     existing = load_corpus_stats(index_dir)
     num_partitions = int(existing["num_partitions"])
     cfg = dataclasses.replace(cfg, num_partitions=num_partitions)
+    # Refuse to produce a silently mixed-config index: the victim partitions
+    # would rebuild under the caller's cfg while every other partition keeps
+    # the committed one (different morphology/block_size => different
+    # postings for the same input).
+    committed = done_parts(index_dir)
+    if committed:
+        committed_hash = next(iter(committed.values())).config_hash
+        want_hash = _config_hash(cfg, num_partitions)
+        if committed_hash != want_hash:
+            raise ValueError(
+                f"reindex_urls config mismatch: index {index_dir} was built "
+                f"with config_hash={committed_hash} but the caller's cfg "
+                f"hashes to {want_hash}; pass the original cfg or rebuild "
+                "from scratch (resume=False)")
     if num_docs_hint is None:
         num_docs_hint = pages.count()
     # NB: stay in array land — a scalar np.uint64 mixed with a Python int

@@ -167,16 +167,30 @@ def _search_index(sf_dir: str):
     return IndexReader(cached_index(sf_dir), preload=True)
 
 
-def _src_doc_map(index_dir: str) -> dict[int, int]:
-    import glob
+def _src_ids_of(index_dir: str, doc_ids) -> list[int]:
+    """Map internal doc_ids -> src_doc_id by pruned per-partition reads.
 
+    Only partitions that own a hit are opened, only the two id columns are
+    read, filtered to the hit set — driver memory is O(hits + one
+    partition's ids), never the corpus (replaces the round-1 whole-corpus
+    ``_src_doc_map`` dict)."""
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
-    out: dict[int, int] = {}
-    for f in sorted(glob.glob(f"{index_dir}/part=*/docs.parquet")):
+    from ..stages.segments import DOC_ID_PART_SHIFT
+
+    ids = np.asarray(list(doc_ids), dtype=np.int64)
+    out = np.empty(ids.size, np.int64)
+    parts = ids >> DOC_ID_PART_SHIFT
+    for part in np.unique(parts):
+        sel = parts == part
+        want = ids[sel]
+        f = os.path.join(index_dir, f"part={int(part):05d}", "docs.parquet")
         t = pq.read_table(f, columns=["doc_id", "src_doc_id"])
-        out.update(zip(t["doc_id"].to_pylist(), t["src_doc_id"].to_pylist()))
-    return out
+        t = t.filter(pc.is_in(t["doc_id"], value_set=pa.array(want)))
+        m = dict(zip(t["doc_id"].to_pylist(), t["src_doc_id"].to_pylist()))
+        out[sel] = [m[int(d)] for d in want]
+    return out.tolist()
 
 
 def q_search_ref(sf_dir: str, terms: list[str] | None = None):
@@ -191,8 +205,7 @@ def q_search_ref(sf_dir: str, terms: list[str] | None = None):
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "relevance": pd.Series(dtype="float64")})
     rel = scores / scores.max()
-    src = _src_doc_map(ix.index_dir)
-    return pd.DataFrame({"doc_id": [src[int(d)] for d in ids],
+    return pd.DataFrame({"doc_id": _src_ids_of(ix.index_dir, ids),
                          "relevance": rel})
 
 
@@ -208,40 +221,53 @@ def q_search_bm25(sf_dir: str, terms: list[str] | None = None):
     terms = terms or SEARCH_TERMS_1
     ix = _search_index(sf_dir)
     hits = ix.bm25_topk(terms, k=ix.stats["n_docs"], pruned=False)
-    src = _src_doc_map(ix.index_dir)
     return pd.DataFrame({
-        "doc_id": [src[d] for _, d in hits],
+        "doc_id": _src_ids_of(ix.index_dir, [d for _, d in hits]),
         "score": np.array([s for s, _ in hits], np.float64).astype(np.float32),
     })
 
 
 def q_site_stats(sf_dir: str):
-    """Per-source corpus stats from the index metadata (A4)."""
+    """Per-source corpus stats (A4) as distributed Ray aggregates over the
+    pruned segment metadata columns — page/token counts from docs.parquet,
+    distinct-term counts from dict.parquet (two metadata-scale groupbys);
+    only the per-source result rows (one per site) reach the driver."""
     import glob
 
     import pandas as pd
-    import pyarrow.parquet as pq
 
     index_dir = cached_index(sf_dir)
-    rows: dict[str, dict] = {}
-    for f in sorted(glob.glob(f"{index_dir}/part=*/docs.parquet")):
-        t = pq.read_table(f, columns=["site", "doc_len"])
-        for site, dl in zip(t["site"].to_pylist(), t["doc_len"].to_pylist()):
-            r = rows.setdefault(_source_of_site(site), {"n_docs": 0, "total_tokens": 0})
-            r["n_docs"] += 1
-            r["total_tokens"] += dl
-    # distinct terms per source across partitions
-    import collections
 
-    terms_per_source: dict[str, set] = collections.defaultdict(set)
-    for f in sorted(glob.glob(f"{index_dir}/part=*/dict.parquet")):
-        t = pq.read_table(f, columns=["site", "term"])
-        for site, term in zip(t["site"].to_pylist(), t["term"].to_pylist()):
-            terms_per_source[_source_of_site(site)].add(term)
-    out = [{"source": s, "n_docs": r["n_docs"], "total_tokens": r["total_tokens"],
-            "n_terms": len(terms_per_source[s])}
-           for s, r in sorted(rows.items())]
-    return pd.DataFrame(out)
+    def _docs_to_source(batch: pa.Table) -> pa.Table:
+        sources = [_source_of_site(s) for s in batch["site"].to_pylist()]
+        return pa.table({"source": pa.array(sources, pa.string()),
+                         "doc_len": batch["doc_len"].cast(pa.int64())})
+
+    pages = rd.read_parquet(
+        sorted(glob.glob(f"{index_dir}/part=*/docs.parquet")),
+        columns=["site", "doc_len"]) \
+        .map_batches(_docs_to_source, batch_format="pyarrow") \
+        .groupby("source").aggregate(Count(alias_name="n_docs"),
+                                     Sum("doc_len", alias_name="total_tokens"))
+
+    def _dict_to_source(batch: pa.Table) -> pa.Table:
+        sources = [_source_of_site(s) for s in batch["site"].to_pylist()]
+        return pa.table({"source": pa.array(sources, pa.string()),
+                         "term": batch["term"]})
+
+    nterms = rd.read_parquet(
+        sorted(glob.glob(f"{index_dir}/part=*/dict.parquet")),
+        columns=["site", "term"]) \
+        .map_batches(_dict_to_source, batch_format="pyarrow") \
+        .groupby(["source", "term"]).aggregate(Count(alias_name="nparts")) \
+        .groupby("source").aggregate(Count(alias_name="n_terms"))
+
+    pdf = pages.to_pandas()
+    tdf = nterms.to_pandas()[["source", "n_terms"]]
+    out = pdf.merge(tdf, on="source", how="left")
+    out["n_terms"] = out["n_terms"].fillna(0).astype("int64")
+    out = out[["source", "n_docs", "total_tokens", "n_terms"]]
+    return out.sort_values("source").reset_index(drop=True)
 
 
 # fixed query SET for the batched fan-out entry (ST5); terms from the driver
@@ -267,10 +293,9 @@ def q_search_batch(sf_dir: str):
            "limit": 1_000_000} for q in BATCH_QUERIES]
     out = search_queryset(index_dir, qs, scorer="reference",
                           morphology="simple", concurrency=(1, 4)).to_pandas()
-    src = _src_doc_map(index_dir)
     return pd.DataFrame({
         "query_id": out["query_id"].astype("int64"),
-        "doc_id": [src[int(d)] for d in out["doc_id"]],
+        "doc_id": _src_ids_of(index_dir, out["doc_id"].to_numpy()),
         "relevance": out["score"].astype("float64"),
     })
 

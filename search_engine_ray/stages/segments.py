@@ -169,7 +169,6 @@ def make_segment_builder(index_dir: str, cfg: IndexBuildConfig, config_hash: str
     def build_segment(group: pa.Table) -> pa.Table:
         t0 = time.monotonic()
         part = int(group["part"][0].as_py())
-        input_rows = group.num_rows
 
         # --- dedup per url: latest warc_ts wins (deterministic) ----------
         order = pc.sort_indices(
@@ -188,13 +187,20 @@ def make_segment_builder(index_dir: str, cfg: IndexBuildConfig, config_hash: str
         n_docs = g.num_rows
         doc_ids = (np.int64(part) << DOC_ID_PART_SHIFT) + np.arange(n_docs, dtype=np.int64)
 
-        # order-independent input fingerprint (lineage)
+        # Order-independent input fingerprint (lineage), computed over the
+        # DEDUPED rows with wrap-around uint64 SUM: a Ray task retry in the
+        # shuffle-write phase duplicates run files, and dedup absorbs the
+        # duplicate doc rows — fingerprinting pre-dedup rows (or XOR, which
+        # cancels exact-duplicate pairs) would make lineage depend on retry
+        # history.  input_rows is likewise the deduped count.
+        input_rows = n_docs
         from ..functions.hashing import stable_hash_array
 
-        fp = np.bitwise_xor.reduce(stable_hash_array(
-            [f"{u}\x00{t}" for u, t in zip(group["url"].to_pylist(),
-                                           group["warc_ts"].to_pylist())]
-        )) if input_rows else np.uint64(0)
+        with np.errstate(over="ignore"):
+            fp = np.add.reduce(stable_hash_array(
+                [f"{u}\x00{t}" for u, t in zip(g["url"].to_pylist(),
+                                               g["warc_ts"].to_pylist())]
+            ), dtype=np.uint64) if n_docs else np.uint64(0)
 
         # --- explode terms/tfs vectorized --------------------------------
         terms_list = g["terms"]
@@ -294,9 +300,13 @@ def make_segment_builder(index_dir: str, cfg: IndexBuildConfig, config_hash: str
             "path": g["path"],
             "title": g["title"],
             "doc_len": g["doc_len"],
-            # batch input has no HTTP exchange; 200 stands in for the
-            # reference's stored status (Page.code, model/Page.java:28-30)
-            "code": pa.array(np.full(n_docs, 200, dtype=np.int32)),
+            # the reference stores the fetch status per page (Page.code,
+            # model/Page.java:28-30, incl. 102/415/500 sentinels); a
+            # Common-Crawl-style input may carry it as a `code` column —
+            # pass it through, else 200 stands in for batch input
+            "code": (pc.cast(g["code"], pa.int32())
+                     if "code" in g.column_names
+                     else pa.array(np.full(n_docs, 200, dtype=np.int32))),
         }
         if cfg.store_doc_text and "whole_text" in g.column_names:
             docs_cols["whole_text"] = g["whole_text"]
