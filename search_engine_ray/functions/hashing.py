@@ -17,20 +17,101 @@ import numpy as np
 _MASK64 = np.uint64(0xFFFFFFFFFFFFFFFF)
 
 
-def stable_hash_str(s: str, seed: int = 0) -> int:
-    """64-bit stable hash of a string (blake2b, keyed by seed)."""
-    h = hashlib.blake2b(s.encode("utf-8"), digest_size=8, key=seed.to_bytes(8, "little"))
-    return int.from_bytes(h.digest(), "little")
+# Polynomial rolling hash over the raw UTF-8 bytes, finished with a
+# splitmix64 mixer — fully vectorized in numpy over the Arrow string
+# buffer (offsets + contiguous data), no per-row Python.  Replaced the
+# round-1 per-row blake2b loop, which sat on the flagship build's routing
+# path (stages/extract.py) and every dedup family; hash VALUES changed,
+# so the routing version rides in the build config hash ("hashv") and a
+# committed index with a different config hash is rebuilt, not resumed.
+
+_POLY_P = np.uint64(0x9E3779B97F4A7C15)  # odd golden-ratio multiplier
+_SM1 = np.uint64(0xBF58476D1CE4E5B9)
+_SM2 = np.uint64(0x94D049BB133111EB)
+
+
+def _splitmix64(z: np.ndarray) -> np.ndarray:
+    z = (z + _POLY_P).astype(np.uint64)
+    z ^= z >> np.uint64(30)
+    z *= _SM1
+    z ^= z >> np.uint64(27)
+    z *= _SM2
+    z ^= z >> np.uint64(31)
+    return z
+
+
+_POW_CACHE = np.array([1], np.uint64)
+
+
+def _powers(n: int) -> np.ndarray:
+    """[P^0, P^1, ..., P^(n-1)] mod 2^64 (cached, grown on demand)."""
+    global _POW_CACHE
+    if _POW_CACHE.size < n:
+        grow = max(n, 2 * _POW_CACHE.size, 256)
+        out = np.empty(grow, np.uint64)
+        out[0] = 1
+        np.multiply.accumulate(np.full(grow - 1, _POLY_P, np.uint64),
+                               out=out[1:])
+        _POW_CACHE = out
+    return _POW_CACHE
+
+
+def _flat_utf8(strings) -> tuple[np.ndarray, np.ndarray]:
+    """(flat byte array in row order, per-row lengths) for list[str] or an
+    Arrow string column — the Arrow path is zero-copy on the data buffer."""
+    import pyarrow as pa
+
+    if isinstance(strings, pa.ChunkedArray):
+        strings = strings.combine_chunks()
+    if not isinstance(strings, pa.Array):
+        strings = pa.array(list(strings), pa.string())
+    if pa.types.is_large_string(strings.type):
+        off_dtype: type = np.int64
+    else:
+        if not pa.types.is_string(strings.type):
+            strings = strings.cast(pa.string())
+        off_dtype = np.int32
+    bufs = strings.buffers()
+    off = np.frombuffer(bufs[1], dtype=off_dtype)[
+        strings.offset: strings.offset + len(strings) + 1].astype(np.int64)
+    lens = np.diff(off)
+    if bufs[2] is None or lens.sum() == 0:
+        return np.empty(0, np.uint8), lens
+    data = np.frombuffer(bufs[2], dtype=np.uint8)[off[0]: off[-1]]
+    return data, lens
 
 
 def stable_hash_array(strings, seed: int = 0) -> np.ndarray:
-    """64-bit stable hashes for an iterable of strings -> uint64 array."""
-    key = seed.to_bytes(8, "little")
-    out = np.empty(len(strings), dtype=np.uint64)
-    for i, s in enumerate(strings):
-        h = hashlib.blake2b(s.encode("utf-8"), digest_size=8, key=key)
-        out[i] = int.from_bytes(h.digest(), "little")
-    return out
+    """64-bit stable hashes for strings -> uint64 array (vectorized).
+
+    Accepts a list/iterable of ``str`` or a pyarrow (Chunked)Array; identical
+    values either way.  Deterministic across processes, runs and cluster
+    sizes (no PYTHONHASHSEED dependence) — the split-stability contract the
+    partition router and resume manifests key on.
+    """
+    data, lens = _flat_utf8(strings)
+    n = lens.size
+    if n == 0:
+        return np.empty(0, np.uint64)
+    # 1-element array: numpy warns on scalar uint64 overflow, arrays wrap
+    seed64 = _splitmix64(np.array([seed & 0xFFFFFFFFFFFFFFFF], np.uint64))[0]
+    H = np.zeros(n, np.uint64)
+    if data.size:
+        P = _powers(int(lens.max()))
+        # exponent of each byte = (bytes remaining after it in its row)
+        ends = np.cumsum(lens)
+        exp = np.repeat(ends, lens) - 1 - np.arange(data.size, dtype=np.int64)
+        terms = (data.astype(np.uint64) + np.uint64(1)) * P[exp]
+        nz = lens > 0
+        idx = np.zeros(int(nz.sum()), np.int64)
+        np.cumsum(lens[nz][:-1], out=idx[1:])
+        H[nz] = np.add.reduceat(terms, idx) if idx.size else terms.sum(dtype=np.uint64)
+    return _splitmix64(H ^ (lens.astype(np.uint64) * _POLY_P) ^ seed64)
+
+
+def stable_hash_str(s: str, seed: int = 0) -> int:
+    """Scalar twin of :func:`stable_hash_array` (identical values)."""
+    return int(stable_hash_array([s], seed)[0])
 
 
 def md5_hex_array(strings) -> list[str]:

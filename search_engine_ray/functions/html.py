@@ -18,7 +18,12 @@ invariant of BASELINE.json ``input_hint``):
    (``&nbsp;`` -> U+00A0, which is NOT collapsible whitespace — the
    reference's snippet splitter treats it specially, ``LemmasFinder.java:108``).
 2. Text inside ``script``, ``style``, ``template`` and ``noscript`` elements
-   is dropped.
+   is dropped.  All four are RAW-TEXT: after the open tag everything is
+   data until the first end tag of the *same* element in html.parser's
+   strict CDATA form — ``</`` + optional whitespace + the element name +
+   optional whitespace + ``>`` (so ``</scripts>`` and ``</script x=1>``
+   stay raw, ``</ script >`` closes); unclosed drops to end of input; no
+   nesting (first matching close wins).
 3. Every open or close tag of a *block-level* element (and ``<br>``)
    contributes a whitespace separator.
 4. The concatenation is normalized: runs of ASCII whitespace
@@ -57,23 +62,30 @@ _ASCII_WS = " \t\r\n\f\x0b"
 
 
 class _Extractor(HTMLParser):
-    """One-pass extractor producing normalized text, whole text and title."""
+    """One-pass extractor producing normalized text, whole text and title.
+
+    All four skip elements are declared CDATA so html.parser applies its
+    strict raw-text end-tag rule (``</\\s*elem\\s*>``, nothing else before
+    ``>``) uniformly — the frozen-spec rule the fast scanner mirrors.  In
+    CDATA mode html.parser only fires ``handle_endtag`` for the matching
+    element, so near-misses (``</scripts>``, ``</script x=1>``) arrive as
+    data and stay dropped."""
+
+    CDATA_CONTENT_ELEMENTS = ("script", "style", "template", "noscript")
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
-        self._skip_depth = 0
+        self._skip_elem: str | None = None
         self._in_title = False
         self.parts: list[str] = []  # for normalized text (block-separated)
         self.raw_parts: list[str] = []  # for whole text (original whitespace)
         self.title_parts: list[str] = []
 
     def handle_starttag(self, tag: str, attrs) -> None:  # noqa: ANN001
-        if tag in _SKIP_ELEMENTS:
-            # raw-text semantics, first close wins (no nesting) — matches
-            # Jsoup's subtree drop and the fast scanner
-            self._skip_depth = 1
+        if self._skip_elem is not None:
             return
-        if self._skip_depth:
+        if tag in _SKIP_ELEMENTS:
+            self._skip_elem = tag
             return
         if tag in _BLOCK_ELEMENTS:
             self.parts.append(" ")
@@ -81,16 +93,17 @@ class _Extractor(HTMLParser):
             self._in_title = True
 
     def handle_startendtag(self, tag: str, attrs) -> None:  # noqa: ANN001
-        if self._skip_depth or tag in _SKIP_ELEMENTS:
+        if self._skip_elem is not None or tag in _SKIP_ELEMENTS:
             return
         if tag in _BLOCK_ELEMENTS:
             self.parts.append(" ")
 
     def handle_endtag(self, tag: str) -> None:
-        if tag in _SKIP_ELEMENTS:
-            self._skip_depth = 0
+        if self._skip_elem is not None:
+            if tag == self._skip_elem:
+                self._skip_elem = None
             return
-        if self._skip_depth:
+        if tag in _SKIP_ELEMENTS:
             return
         if tag in _BLOCK_ELEMENTS:
             self.parts.append(" ")
@@ -98,7 +111,7 @@ class _Extractor(HTMLParser):
             self._in_title = False
 
     def handle_data(self, data: str) -> None:
-        if self._skip_depth:
+        if self._skip_elem is not None:
             return
         self.parts.append(data)
         self.raw_parts.append(data)
@@ -121,7 +134,12 @@ def _parse(html: str) -> _Extractor:
 # has two independent witnesses.
 
 _TAG_RE = re.compile(
-    r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
+    # tag names follow html.parser's tagfind_tolerant ([a-zA-Z][^\t\n\r\f />]*)
+    # so <p-x> is the (non-block) element "p-x" in both witnesses
+    r"<(/?)([a-zA-Z][^\t\n\r\f />]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
+    # html.parser's endtagfind also accepts whitespace before the name, but
+    # only the strict all-whitespace form (`</ p >`); `</ p x>` is bogus
+    r"|</\s+([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
     r"|<!--.*?-->|<!\[CDATA\[.*?\]\]>|<![^>]*>|<\?[^>]*>"
     # HTML5 "bogus comment": </ followed by a non-letter swallows up to >
     # (html.parser's parse_bogus_comment does the same)
@@ -129,7 +147,10 @@ _TAG_RE = re.compile(
     re.S,
 )
 _AMP = re.compile("&")
-_RAW_CLOSE = {t: re.compile(rf"</{t}[^>]*>", re.I) for t in _SKIP_ELEMENTS}
+# strict CDATA end-tag form (html.parser's endtagfind restricted to the same
+# element): nothing but whitespace between the name and ``>`` — ``</scripts>``
+# and ``</script x=1>`` stay raw text
+_RAW_CLOSE = {t: re.compile(rf"</\s*{t}\s*>", re.I) for t in _SKIP_ELEMENTS}
 
 import html as _html_mod
 
@@ -166,9 +187,13 @@ def _scan(html: str) -> _Scanned:
         pos = m.end()
         tag = m.group(2)
         if tag is None:
-            continue  # comment / doctype / CDATA / processing instruction
-        closing = m.group(1) == "/"
-        self_closing = m.group(4) == "/"
+            tag = m.group(5)  # `</ name >` leading-whitespace end tag
+            if tag is None:
+                continue  # comment / doctype / CDATA / processing instruction
+            closing, self_closing = True, False
+        else:
+            closing = m.group(1) == "/"
+            self_closing = m.group(4) == "/"
         tag = tag.lower()
         if not closing and not self_closing and tag in _SKIP_ELEMENTS:
             cm = _RAW_CLOSE[tag].search(html, pos)

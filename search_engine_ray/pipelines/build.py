@@ -61,9 +61,13 @@ class BuildResult:
 
 
 def _config_hash(cfg: IndexBuildConfig, num_partitions: int) -> str:
+    # "hashv" is the url-routing hash version: stable_hash_array changed in
+    # round 2 (blake2b loop -> vectorized polynomial+splitmix64), which
+    # re-routes every url, so indexes built under a different version must
+    # rebuild rather than resume (build_index invalidates mismatched parts).
     payload = json.dumps(
         {"p": num_partitions, "block": cfg.block_size, "morph": cfg.morphology,
-         "text": cfg.store_doc_text}, sort_keys=True)
+         "text": cfg.store_doc_text, "hashv": 2}, sort_keys=True)
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 
 
@@ -130,6 +134,17 @@ def build_index(
     cfg_hash = _config_hash(cfg, num_partitions)
 
     already = done_parts(index_dir) if resume else {}
+    # a committed partition only counts as done under the SAME config hash:
+    # a config/hash-version change re-routes or re-shapes every partition,
+    # so stale segments are deleted and rebuilt (never silently mixed)
+    stale = {p for p, m in already.items() if m.config_hash != cfg_hash}
+    if stale:
+        import shutil as _shutil
+
+        for p in sorted(stale):
+            _shutil.rmtree(os.path.join(index_dir, f"part={p:05d}"),
+                           ignore_errors=True)
+        already = {p: m for p, m in already.items() if p not in stale}
     todo = set(range(num_partitions)) - set(already)
     lem_actors, cpus = _pool_sizes(num_docs_hint)
 

@@ -23,8 +23,12 @@ from ..functions.urls import split_site_path
 
 
 def assign_part_batch(batch: pa.Table, num_partitions: int) -> pa.Table:
-    h = stable_hash_array(batch["url"].to_pylist())
-    part = (h % num_partitions).astype("int32")
+    # Arrow column goes straight into the vectorized hash (zero-copy on the
+    # string data buffer); stay in uint64 array land for the modulo
+    import numpy as np
+
+    h = stable_hash_array(batch["url"])
+    part = (h % np.uint64(num_partitions)).astype("int32")
     return batch.append_column("part", pa.array(part, pa.int32()))
 
 

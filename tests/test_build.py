@@ -313,3 +313,47 @@ def test_stale_partial_runs_are_discarded(ray_session, tmp_path):
     assert r.built_parts == 1
     after = _read_all_postings(idx)
     assert after["00002"].equals(clean["00002"])
+
+
+def test_config_change_invalidates_committed_parts(ray_session, tmp_path):
+    """A committed partition only resumes under the SAME config hash: a
+    morphology (or routing-hash-version) change must rebuild everything
+    rather than silently mixing configs."""
+    import ray.data as rd
+
+    idx = str(tmp_path / "idx")
+    pages = tiny_fixture_pages()
+    build_index(rd.from_arrow(pages), idx, IndexBuildConfig(num_partitions=3))
+
+    r = build_index(rd.from_arrow(pages), idx,
+                    IndexBuildConfig(num_partitions=3, morphology="simple"))
+    assert r.built_parts == 3  # all invalidated + rebuilt
+    assert r.skipped_parts == 0
+    hashes = {m.config_hash for m in done_parts(idx).values()}
+    assert len(hashes) == 1  # never mixed
+
+
+def test_code_column_passthrough(ray_session, tmp_path):
+    """An input `code` column (fetch status, reference Page.code) survives
+    into the doc metadata instead of being overwritten with 200."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    pages = tiny_fixture_pages()
+    codes = pa.array([200 + (i % 3) * 100 for i in range(pages.num_rows)],
+                     pa.int32())
+    pages = pages.append_column("code", codes)
+    idx = str(tmp_path / "idx")
+    build_index(rd.from_arrow(pages), idx, IndexBuildConfig(num_partitions=2))
+    got = {}
+    for path in glob.glob(f"{idx}/part=*/docs.parquet"):
+        t = pq.read_table(path, columns=["url", "code"])
+        got.update(zip(t["url"].to_pylist(), t["code"].to_pylist()))
+    # duplicate-url rows dedup to one capture; every surviving code must be
+    # one of the codes that url actually carried in the input
+    want: dict[str, set[int]] = {}
+    for u, c in zip(pages["url"].to_pylist(), codes.to_pylist()):
+        want.setdefault(u, set()).add(c)
+    assert got
+    assert all(got[u] in want[u] for u in got)
+    assert len(set(got.values())) > 1

@@ -105,6 +105,32 @@ def test_fast_scanner_agrees_with_reference_parser():
         "",
         "   \n\t  ",
         "&nbsp;&nbsp;x",
+        # strict CDATA end-tag rule (html.parser): near-miss closes stay raw
+        "a<script>b</scripts>c</script>d",
+        "a<script>b</script x=1>c</script>d",
+        "a<script>b</script >c",
+        "a<script>b</ script>c",
+        "a<style>b</styleX>c</style>d",
+        # skip elements do not un-skip on a DIFFERENT element's close
+        "<noscript>a<script>b</script>c</noscript>d",
+        "<noscript>a</style>b</noscript>c",
+        "<template>x<style>y</style>z</template>w",
+        # tolerant tag-name / leading-whitespace end-tag forms
+        "x</ p>y",
+        "x<p-x>y</p-x>z",
+        "x</ div >y",
+        "</ p q>bogus swallowed>tail",
     ]
     for h in cases:
         assert extract_all(h) == extract_all_ref(h), h[:80]
+
+
+def test_raw_text_strict_close_semantics():
+    """The frozen-spec rule itself (not just witness agreement): near-miss
+    closes keep the element raw, nested skip subtrees drop whole."""
+    from search_engine_ray.functions.html import extract_text
+
+    assert extract_text("a<script>b</scripts>c</script>d") == "ad"
+    assert extract_text("a<script>b</script x=1>c</script>d") == "ad"
+    assert extract_text("a<script>b</ script >c") == "ac"
+    assert extract_text("<noscript>a<script>b</script>c</noscript>d") == "d"

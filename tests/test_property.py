@@ -120,6 +120,10 @@ _html_soup = st.lists(
             "</style>", "<!-- c -->", "<!-- <p>x</p> -->", "<a href='q>r'>",
             "</a>", "&amp;", "&nbsp;", "&#65;", "< notag", "text", "слово",
             " ", "\n", "\t", "two words", "x<y", "5 > 4",
+            # CDATA end-tag near-misses (must stay raw) + strict variants
+            "</scripts>", "</script x=1>", "</script >", "</ script>",
+            "</styles>", "<noscript>", "</noscript>", "<template>",
+            "</template>", "</ p>", "</ div >", "<p-x>", "</p-x>",
         ]),
         st.text(alphabet="abc атица<>&;/ \n", max_size=12),
     ),
@@ -134,3 +138,30 @@ def test_fast_scanner_equals_parser_on_soup(parts):
 
     html = "".join(parts)
     assert extract_all(html) == extract_all_ref(html), html
+
+
+# --- stable hash (routing/dedup contract) ----------------------------------
+
+
+@given(st.lists(st.text(max_size=40), max_size=25), st.integers(0, 2**32))
+@settings(max_examples=150, deadline=None)
+def test_stable_hash_list_arrow_scalar_agree(strings, seed):
+    from search_engine_ray.functions.hashing import stable_hash_array, stable_hash_str
+
+    h_list = stable_hash_array(strings, seed)
+    h_arrow = stable_hash_array(pa.array(strings, pa.string()), seed)
+    assert (h_list == h_arrow).all()
+    for s, h in zip(strings, h_list):
+        assert stable_hash_str(s, seed) == int(h)
+
+
+@given(st.lists(st.text(max_size=30), min_size=4, max_size=20),
+       st.integers(0, 3), st.integers(0, 3))
+@settings(max_examples=100, deadline=None)
+def test_stable_hash_sliced_arrow_offset(strings, lo, hi):
+    """Value must not depend on array offset or batch composition."""
+    from search_engine_ray.functions.hashing import stable_hash_array
+
+    arr = pa.array(strings, pa.string())
+    sl = arr.slice(lo, max(1, len(strings) - lo - hi))
+    assert (stable_hash_array(sl) == stable_hash_array(sl.to_pylist())).all()
