@@ -201,6 +201,15 @@ class IndexReader:
         if not lemmas:
             return SearchResponse(result=True, count=0, data=[])
 
+        # site-scoped pruning (reference J2, SearchServiceImpl.java:126):
+        # a site is dropped unless ALL query lemmas exist in its dictionary —
+        # redundant for correctness (every match implies coverage) but it
+        # skips posting decode entirely when the scoped site lacks a term
+        if site is not None:
+            ok = self._sites_with_all_terms(lemmas)
+            if site not in ok:
+                return SearchResponse(result=True, count=0, data=[])
+
         if scorer == "reference":
             doc_ids, scores = self._reference_scores(lemmas, site)
             count = len(doc_ids)

@@ -10,7 +10,7 @@ from __future__ import annotations
 import ray.data as rd
 from ray.data.aggregate import Count, Sum
 
-from ..state.manifest import done_parts
+from ..state.manifest import done_parts, failed_parts
 
 
 def index_statistics(index_dir: str) -> dict:
@@ -18,9 +18,17 @@ def index_statistics(index_dir: str) -> dict:
 
     Shape mirrors the reference's ``/api/statistics`` payload: totals plus a
     per-partition detail list (the reference's per-site detail,
-    ``dto/statistics/StatisticsResponse`` family).
+    ``dto/statistics/StatisticsResponse`` family).  Failed partitions
+    (reference FAILED status + last_error, ``model/Site.java`` /
+    ``PageAnalyzer.java:541-548``) surface from their markers; ``indexing``
+    is true while a build's exchange run files exist (the in-progress
+    signal a batch build actually has).
     """
+    import glob
+    import os
+
     manifests = done_parts(index_dir)
+    failed = failed_parts(index_dir)
     detailed = [
         {
             "part": p,
@@ -33,13 +41,19 @@ def index_statistics(index_dir: str) -> dict:
         }
         for p, m in sorted(manifests.items())
     ]
+    for p, rec in sorted(failed.items()):
+        if p not in manifests:
+            detailed.append({"part": p, "status": "failed",
+                             "last_error": rec.get("last_error", ""),
+                             "status_time": rec.get("status_time")})
     return {
         "total": {
             "partitions": len(manifests),
             "pages": sum(m.n_docs for m in manifests.values()),
             "lemmas": sum(m.n_terms for m in manifests.values()),
             "postings": sum(m.n_postings for m in manifests.values()),
-            "indexing": False,  # batch build: done manifests only
+            "failed": len([p for p in failed if p not in manifests]),
+            "indexing": bool(glob.glob(os.path.join(index_dir, ".runs-*"))),
         },
         "detailed": detailed,
     }

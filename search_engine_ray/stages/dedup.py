@@ -69,7 +69,11 @@ def _shingle_hashes(text: str, n: int) -> np.ndarray:
 
 
 class _ShingleStage:
-    """Actor-pool stage: doc -> distinct n-gram shingle hash rows."""
+    """Actor-pool stage: doc -> distinct n-gram shingle hash rows.
+
+    Each row carries the doc's total distinct-shingle count ``n_shingles``:
+    the Jaccard denominator then rides THROUGH the pair pipeline instead of
+    requiring a per-doc sizes lookup on the driver."""
 
     def __init__(self, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
         self.n = n
@@ -81,13 +85,16 @@ class _ShingleStage:
         texts = batch[self.text_col].to_pylist()
         out_ids: list[int] = []
         out_sh: list[int] = []
+        out_n: list[int] = []
         for did, text in zip(ids, texts):
             hs = _shingle_hashes(text or "", self.n)
             out_ids.extend([did] * hs.size)
             out_sh.extend(int(h) for h in hs)
+            out_n.extend([hs.size] * hs.size)
         return pa.table({
             "doc_id": pa.array(out_ids, pa.int64()),
             "shingle": pa.array(out_sh, pa.uint64()),
+            "n_shingles": pa.array(out_n, pa.int64()),
         })
 
 
@@ -275,37 +282,40 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, n: int = 3, threshold: float = 0.5,
     """
     shingles = ds.map_batches(
         _ShingleStage, fn_constructor_kwargs=dict(n=n, text_col=text_col, id_col=id_col),
-        batch_format="pyarrow", concurrency=(1, 8)).materialize()
-
-    sizes_ds = shingles.groupby("doc_id").aggregate(Count(alias_name="n_shingles"))
-    sizes = {r["doc_id"]: r["n_shingles"] for r in sizes_ds.take_all()}
-    import ray
-
-    sizes_ref = ray.put(sizes)
+        batch_format="pyarrow", concurrency=(1, 8))
 
     def emit_pairs(group: pa.Table) -> pa.Table:
-        ids = np.sort(group["doc_id"].to_numpy())
-        if ids.size < 2 or ids.size > max_shingle_df:
+        ids_raw = group["doc_id"].to_numpy()
+        if ids_raw.size < 2 or ids_raw.size > max_shingle_df:
             return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64())})
+                             "doc_b": pa.array([], pa.int64()),
+                             "na": pa.array([], pa.int64()),
+                             "nb": pa.array([], pa.int64())})
+        order = np.argsort(ids_raw, kind="stable")
+        ids = ids_raw[order]
+        ns = group["n_shingles"].to_numpy()[order]
         a, b = np.triu_indices(ids.size, k=1)
         return pa.table({"doc_a": pa.array(ids[a], pa.int64()),
-                         "doc_b": pa.array(ids[b], pa.int64())})
+                         "doc_b": pa.array(ids[b], pa.int64()),
+                         "na": pa.array(ns[a], pa.int64()),
+                         "nb": pa.array(ns[b], pa.int64())})
 
     pairs = shingles.groupby("shingle").map_groups(emit_pairs, batch_format="pyarrow")
-    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="n_inter"))
+    # the Jaccard denominators na/nb are identical on every row of a pair
+    # (each is a per-doc constant), so Min is just "pick it up" — no sizes
+    # dict on the driver, no second pass over the shingle table
+    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Count(alias_name="n_inter"),
+        Min("na", alias_name="na"), Min("nb", alias_name="nb"))
 
     def jaccard_batch(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        sz = _ray.get(sizes_ref)
-        a = batch["doc_a"].to_numpy()
-        b = batch["doc_b"].to_numpy()
         ni = batch["n_inter"].to_numpy().astype(np.float64)
-        na = np.array([sz[int(x)] for x in a], np.float64)
-        nb = np.array([sz[int(x)] for x in b], np.float64)
+        na = batch["na"].to_numpy().astype(np.float64)
+        nb = batch["nb"].to_numpy().astype(np.float64)
         j = ni / (na + nb - ni)
-        out = batch.append_column("jaccard", pa.array(j))
+        out = pa.table({"doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+                        "n_inter": batch["n_inter"],
+                        "jaccard": pa.array(j, pa.float64())})
         return out.filter(pa.array(j >= threshold))
 
     return inter.map_batches(jaccard_batch, batch_format="pyarrow")
@@ -316,13 +326,27 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, n: int = 3, threshold: float = 0.5,
 # --------------------------------------------------------------------------
 
 def embedding_dup_pairs(emb_ds: rd.Dataset, *, threshold: float = 0.95,
-                        id_col: str = "vec_id", vec_col: str = "embedding") -> rd.Dataset:
+                        id_col: str = "vec_id", vec_col: str = "embedding",
+                        max_rows: int = 100_000) -> rd.Dataset:
     """Cosine-similar pairs (>= threshold) via blocked matmul against a
     broadcast normalized matrix (``ray.put`` once, read per task — no
-    per-batch reshipping).  O(N^2/blocks) compute; the LSH route for true
-    scale is ``similarity.knn_lsh_buckets``."""
+    per-batch reshipping).  O(N^2/blocks) compute.
+
+    This is the EXACT oracle for the approximate families, and it broadcasts
+    the whole (ids, matrix) pair — valid only while that fits a worker heap.
+    ``max_rows`` makes the boundary explicit: beyond it the call refuses and
+    points at the scale path (``similarity.knn_lsh_buckets``) instead of
+    silently OOMing a 100-TB job.
+    """
     import ray
 
+    n = emb_ds.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_dup_pairs is the exact O(N^2) fixture oracle; input "
+            f"has {n} rows > max_rows={max_rows}. Use "
+            "similarity.knn_lsh_buckets (LSH-bucketed cosine) at scale, or "
+            "raise max_rows explicitly if the broadcast fits worker memory.")
     all_rows = emb_ds.select_columns([id_col, vec_col]).take_all()
     ids = np.array([r[id_col] for r in all_rows], np.int64)
     order = np.argsort(ids, kind="stable")

@@ -161,14 +161,42 @@ def commit_empty_part(index_dir: str, part: int, cfg: IndexBuildConfig,
                      engine_version=__version__),
     )
     commit_part_dir(tmp_dir, final_dir)
+    from ..state.manifest import clear_failed_marker
+
+    clear_failed_marker(index_dir, part)
 
 
 def make_segment_builder(index_dir: str, cfg: IndexBuildConfig, config_hash: str):
-    """Returns the map_groups fn; the closure carries only small config."""
+    """Returns the map_groups fn; the closure carries only small config.
+
+    A build exception writes a per-partition failed marker (last_error +
+    timestamp, reference FAILED semantics ``PageAnalyzer.java:541-548``)
+    before propagating, so a crashed run leaves a diagnosable record and
+    resume rebuilds exactly the failed partitions; a later successful
+    commit clears the marker."""
 
     def build_segment(group: pa.Table) -> pa.Table:
-        t0 = time.monotonic()
+        from ..state.manifest import clear_failed_marker, write_failed_marker
+
         part = int(group["part"][0].as_py())
+        try:
+            out = _build_segment_inner(group, part, index_dir, cfg, config_hash)
+        except Exception as exc:  # noqa: BLE001 — marker then re-raise
+            import traceback
+
+            write_failed_marker(index_dir, part,
+                                f"{exc!r}\n{traceback.format_exc(limit=8)}",
+                                config_hash)
+            raise
+        clear_failed_marker(index_dir, part)
+        return out
+
+    return build_segment
+
+
+def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
+                         cfg: IndexBuildConfig, config_hash: str) -> pa.Table:
+        t0 = time.monotonic()
 
         # --- dedup per url: latest warc_ts wins (deterministic) ----------
         order = pc.sort_indices(
@@ -361,5 +389,3 @@ def make_segment_builder(index_dir: str, cfg: IndexBuildConfig, config_hash: str
                 "wall_sec": pa.array([wall], pa.float64()),
             }
         )
-
-    return build_segment

@@ -26,9 +26,17 @@ def _normalize(mat: np.ndarray) -> np.ndarray:
 
 def _queries_matrix(emb_ds: rd.Dataset, query_ids: list[int],
                     id_col: str, vec_col: str) -> tuple[np.ndarray, np.ndarray]:
-    rows = emb_ds.filter(
-        lambda r, q=frozenset(query_ids): r[id_col] in q
-    ).take_all()
+    """Fetch the Q query vectors with a vectorized ``is_in`` batch filter
+    (a per-row lambda ``filter`` would run the whole scan in Python)."""
+    import pyarrow.compute as pc
+
+    qset = pa.array(sorted(set(int(q) for q in query_ids)), pa.int64())
+
+    def pick(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch[id_col], value_set=qset))
+
+    rows = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        pick, batch_format="pyarrow").take_all()
     rows.sort(key=lambda r: r[id_col])
     ids = np.array([r[id_col] for r in rows], np.int64)
     mat = _normalize(np.stack([np.asarray(r[vec_col], np.float64) for r in rows]))

@@ -94,3 +94,57 @@ def done_parts(index_dir: str) -> dict[int, PartManifest]:
         if m is not None and m.status == "done":
             out[m.part] = m
     return out
+
+
+# --- failure markers (reference FAILED status + last_error) -----------------
+# The reference marks a whole site FAILED with an error string
+# (``dto/indexing/PageAnalyzer.java:541-548``, ``model/Site.java`` status /
+# last_error).  Batch equivalent: a segment-build exception writes a
+# per-partition failed marker OUTSIDE the atomic part-dir protocol (markers
+# never block a later successful commit), the exception still propagates so
+# Ray retries / the job fails loudly, and a subsequent successful commit
+# clears the marker.  ``done_parts`` ignores markers, so resume rebuilds
+# exactly the failed partitions.
+
+FAILED_DIR = "_failed"
+
+
+def write_failed_marker(index_dir: str, part: int, error: str,
+                        config_hash: str = "") -> None:
+    d = os.path.join(index_dir, FAILED_DIR)
+    os.makedirs(d, exist_ok=True)
+    import time
+
+    payload = {"part": part, "status": "failed", "last_error": error[:4000],
+               "config_hash": config_hash, "status_time": time.time()}
+    tmp = os.path.join(d, f"part={part:05d}.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, os.path.join(d, f"part={part:05d}.json"))
+
+
+def clear_failed_marker(index_dir: str, part: int) -> None:
+    try:
+        os.remove(os.path.join(index_dir, FAILED_DIR, f"part={part:05d}.json"))
+    except OSError:
+        pass
+
+
+def failed_parts(index_dir: str) -> dict[int, dict]:
+    """part -> failure record (last_error, config_hash, status_time)."""
+    d = os.path.join(index_dir, FAILED_DIR)
+    out: dict[int, dict] = {}
+    if not os.path.isdir(d):
+        return out
+    for name in os.listdir(d):
+        if not (name.startswith("part=") and name.endswith(".json")):
+            continue
+        try:
+            with open(os.path.join(d, name)) as f:
+                rec = json.load(f)
+            out[int(rec["part"])] = rec
+        except (OSError, ValueError, KeyError):
+            continue
+    return out

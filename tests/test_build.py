@@ -357,3 +357,58 @@ def test_code_column_passthrough(ray_session, tmp_path):
     assert got
     assert all(got[u] in want[u] for u in got)
     assert len(set(got.values())) > 1
+
+
+def test_failed_partition_marker_and_recovery(ray_session, tmp_path):
+    """A segment-build exception leaves a diagnosable per-partition failure
+    record (reference FAILED + last_error semantics), statistics surface it,
+    and a later successful build of that partition clears it."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.stats import index_statistics
+    from search_engine_ray.stages.segments import make_segment_builder
+    from search_engine_ray.state.manifest import failed_parts
+
+    idx = str(tmp_path / "idx")
+    os.makedirs(idx)
+    cfg = IndexBuildConfig(num_partitions=3)
+    builder = make_segment_builder(idx, cfg, "deadbeef")
+    # poisoned partition: the lemmatizer columns are missing entirely
+    bad = pa.table({"part": pa.array([1], pa.int32()),
+                    "url": pa.array(["https://s.example/x"])})
+    with pytest.raises(Exception):
+        builder(bad)
+    rec = failed_parts(idx)
+    assert 1 in rec and rec[1]["last_error"]
+    st = index_statistics(idx)
+    assert st["total"]["failed"] == 1
+    assert any(d.get("status") == "failed" and d["part"] == 1
+               for d in st["detailed"])
+    assert 1 not in done_parts(idx)  # resume will rebuild exactly this part
+
+    # successful build in the same dir clears the marker
+    build_index(rd.from_arrow(tiny_fixture_pages()), idx, cfg)
+    assert failed_parts(idx) == {}
+    st2 = index_statistics(idx)
+    assert st2["total"]["failed"] == 0
+    assert st2["total"]["indexing"] is False
+
+
+def test_site_all_terms_pruning_scoped_query(ray_session, tiny_index):
+    """Reference J2 (SearchServiceImpl.java:126): a site-scoped query whose
+    site lacks one lemma short-circuits to an empty result."""
+    from search_engine_ray.pipelines.query import IndexReader
+
+    ix = IndexReader(tiny_index, preload=True)
+    # fixture: 'quartz' deliberately absent on site1
+    ok = ix._sites_with_all_terms(["zebra", "quartz"])
+    assert "https://site1.example" not in ok
+    assert "https://site0.example" in ok
+
+    r = ix.search("zebra quartz", site="https://site1.example",
+                  with_snippets=False)
+    assert r.result is True and r.count == 0 and r.data == []
+    r2 = ix.search("zebra quartz", site="https://site0.example",
+                   with_snippets=False)
+    assert r2.count >= 1
