@@ -162,6 +162,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def search_batch(sf_dir):
         return dq.q_search_batch(sf_dir)
 
+    def search_scatter(sf_dir):
+        return dq.q_search_scatter(sf_dir)
+
     def image_meta(sf_dir):
         return dq.q_image_meta(sf_dir)
 
@@ -395,6 +398,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ref_multi": search_ref_multi,
         "search_bm25": search_bm25,
         "search_batch": search_batch,
+        "search_scatter": search_scatter,
         "image_meta": image_meta,
         "site_stats": site_stats,
         "lang_distribution": lang_distribution,
@@ -464,6 +468,8 @@ ORDER BY df DESC, term ASC LIMIT 50
         f"SELECT {q['query_id']}::BIGINT AS query_id, doc_id, relevance "
         f"FROM ({_search_ref_sql(q['terms'])})"
         for q in BATCH_QUERIES)
+    # the scatter/gather path must answer the same query set identically
+    sql["search_scatter"] = sql["search_batch"]
 
     sql["image_meta"] = """
 SELECT doc_id,

@@ -115,11 +115,26 @@ def _bench_queries(index_dir: str) -> dict:
             t0 = time.perf_counter()
             ix.search(q, scorer="reference", with_snippets=False)
             lat_ref.append(time.perf_counter() - t0)
+    # partition-parallel scatter/gather path (pipelines/scatter.py): same
+    # queries through the searcher-actor pool, rank-identical results
+    from search_engine_ray.pipelines.scatter import ScatterIndex
+
+    lat_scatter = []
+    with ScatterIndex(index_dir, preload=True) as sc:
+        for terms in term_sets:
+            q = " ".join(terms)
+            sc.search(q, scorer="bm25", with_snippets=False)  # warm
+            for _ in range(3):
+                t0 = time.perf_counter()
+                sc.search(q, scorer="bm25", with_snippets=False)
+                lat_scatter.append(time.perf_counter() - t0)
     return {
         "bm25_p50_s": statistics.median(lat_bm25) if lat_bm25 else 0.0,
         "bm25_p95_s": (sorted(lat_bm25)[int(0.95 * (len(lat_bm25) - 1))]
                        if lat_bm25 else 0.0),
         "ref_p50_s": statistics.median(lat_ref) if lat_ref else 0.0,
+        "scatter_bm25_p50_s": (statistics.median(lat_scatter)
+                               if lat_scatter else 0.0),
         "n_queries": len(term_sets),
     }
 
@@ -163,6 +178,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         timings["query_bm25_p50"] = round(qb["bm25_p50_s"], 6)
         timings["query_bm25_p95"] = round(qb["bm25_p95_s"], 6)
         timings["query_ref_p50"] = round(qb["ref_p50_s"], 6)
+        timings["query_scatter_p50"] = round(qb["scatter_bm25_p50_s"], 6)
 
         import __ray_entry__ as entrymod
 

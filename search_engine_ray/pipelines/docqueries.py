@@ -300,6 +300,36 @@ def q_search_batch(sf_dir: str):
     })
 
 
+def q_search_scatter(sf_dir: str):
+    """The same batched query set answered through the partition-parallel
+    scatter/gather path (pipelines/scatter.py): per-range searcher actors,
+    reference scorer, global max-normalize on the driver — rank-identical
+    to q_search_batch and checked against the same SQL oracle."""
+    import pandas as pd
+
+    from .scatter import ScatterIndex
+
+    index_dir = cached_index(sf_dir)
+    qid_out: list[int] = []
+    doc_out: list[int] = []
+    rel_out: list[float] = []
+    with ScatterIndex(index_dir, preload=True) as sc:
+        for q in BATCH_QUERIES:
+            resp = sc.search(" ".join(q["terms"]), morphology="simple",
+                             scorer="reference", with_snippets=False,
+                             limit=1_000_000)
+            for h in resp.data:
+                qid_out.append(q["query_id"])
+                doc_out.append(h.doc_id)
+                rel_out.append(h.score)
+    return pd.DataFrame({
+        "query_id": pd.Series(qid_out, dtype="int64"),
+        "doc_id": _src_ids_of(index_dir, doc_out) if doc_out else
+                  pd.Series([], dtype="int64"),
+        "relevance": pd.Series(rel_out, dtype="float64"),
+    })
+
+
 def q_image_meta(sf_dir: str) -> rd.Dataset:
     """Multimodal plumbing entry: deterministic FakeImage payloads derived
     from doc_id, decoded back to typed metadata by the DecodeImage actor

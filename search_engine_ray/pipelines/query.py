@@ -151,7 +151,8 @@ class IndexReader:
     # block-max WAND to the vectorized exhaustive kernel (see dispatch note)
     dense_cutoff: float = 0.05
 
-    def __init__(self, index_dir: str, preload: bool = False) -> None:
+    def __init__(self, index_dir: str, preload: bool = False,
+                 parts: list[int] | None = None) -> None:
         self.index_dir = index_dir
         self.stats = load_corpus_stats(index_dir)
         gd = pq.read_table(os.path.join(index_dir, GLOBAL_DICT_DIR))
@@ -159,7 +160,13 @@ class IndexReader:
                                   (int(x) for x in gd["df"].to_pylist())))
         self._preload = preload
         self._readers: dict[int, SegmentReader] = {}
-        self.parts: list[int] = self.stats["parts"]
+        # ``parts`` restricts this reader to a partition subset — the unit a
+        # scatter/gather searcher actor owns (pipelines/scatter.py); corpus
+        # stats (N, avgdl, global df) stay GLOBAL so BM25 scores are
+        # identical no matter how partitions are sharded across actors.
+        all_parts = self.stats["parts"]
+        self.parts: list[int] = (all_parts if parts is None
+                                 else [p for p in all_parts if p in set(parts)])
 
     def reader(self, part: int) -> SegmentReader:
         r = self._readers.get(part)
@@ -235,9 +242,10 @@ class IndexReader:
                               morphology, with_snippets, settings)
         return SearchResponse(result=True, count=count, data=data)
 
-    def _sites_with_all_terms(self, lemmas: list[str]) -> set[str] | None:
-        """Site-level pruning via per-part dict.parquet (reference J2)."""
-
+    def _site_term_sets(self, lemmas: list[str]) -> dict[str, set[str]]:
+        """site -> subset of ``lemmas`` present in that site's dictionary,
+        over THIS reader's partitions (mergeable by set-union across
+        partition-range searchers)."""
         per_site: dict[str, set[str]] = {}
         for part in self.parts:
             path = os.path.join(self.index_dir, f"part={part:05d}", "dict.parquet")
@@ -245,7 +253,12 @@ class IndexReader:
             t = t.filter(pc.is_in(t["term"], value_set=pa.array(lemmas)))
             for s, term in zip(t["site"].to_pylist(), t["term"].to_pylist()):
                 per_site.setdefault(s, set()).add(term)
-        return {s for s, ts in per_site.items() if len(ts) == len(lemmas)}
+        return per_site
+
+    def _sites_with_all_terms(self, lemmas: list[str]) -> set[str]:
+        """Site-level pruning via per-part dict.parquet (reference J2)."""
+        return {s for s, ts in self._site_term_sets(lemmas).items()
+                if len(ts) == len(lemmas)}
 
     def _reference_scores(self, lemmas: list[str], site: str | None
                           ) -> tuple[np.ndarray, np.ndarray]:
@@ -309,18 +322,25 @@ class IndexReader:
         return math.log(1.0 + (n - df + 0.5) / (df + 0.5))
 
     def bm25_topk(self, lemmas: list[str], k: int, *, site: str | None = None,
-                  params: Bm25Params | None = None, pruned: bool = True
-                  ) -> list[tuple[float, int]]:
+                  params: Bm25Params | None = None, pruned: bool = True,
+                  floor: float = -math.inf) -> list[tuple[float, int]]:
         """Top-k (score, doc_id), ordered score desc then doc_id asc.
 
         Disjunctive (standard BM25 top-k).  ``pruned=False`` runs the
         exhaustive scorer — the verification oracle for WAND.
+
+        ``floor``: externally known lower bound on the global k-th score
+        (scatter/gather threshold propagation: a subset's k-th best never
+        exceeds the global k-th best, so another partition range's k-th
+        score is a valid floor).  Docs scoring < floor are pruned; the
+        global merge still yields the identical top-k.
         """
         params = params or Bm25Params()
         idfs = {t: self.idf(t) for t in lemmas if t in self.global_df}
         if not idfs:
             return []
-        # heap of (score, -doc_id): the min element is the current worst
+        # heap of (score, -doc_id): the min element is the current worst;
+        # an external floor only PRUNES (it never enters the heap)
         heap: list[tuple[float, int]] = []
         for part in self.parts:
             rd = self.reader(part)
@@ -334,11 +354,13 @@ class IndexReader:
                 tot_df = sum(e.df for e in (rd.postings(t) for t in idfs)
                              if e is not None)
                 if tot_df >= max(4096, self.dense_cutoff * len(rd.doc_ids)):
-                    self._exhaustive_part(rd, idfs, k, params, heap)
+                    self._exhaustive_part(rd, idfs, k, params, heap,
+                                          floor=floor)
                 else:
-                    self._wand_part(rd, idfs, k, params, heap)
+                    self._wand_part(rd, idfs, k, params, heap, floor=floor)
             else:
-                self._exhaustive_part(rd, idfs, k, params, heap, site)
+                self._exhaustive_part(rd, idfs, k, params, heap, site,
+                                      floor=floor)
         out = sorted(heap, key=lambda x: (-x[0], -x[1]))
         return [(s, -negid) for s, negid in out][:k]
 
@@ -349,7 +371,8 @@ class IndexReader:
     def _exhaustive_part(self, rd: SegmentReader, idfs: dict[str, float],
                          k: int, params: Bm25Params,
                          heap: list[tuple[float, int]],
-                         site: str | None = None) -> None:
+                         site: str | None = None, *,
+                         floor: float = -math.inf) -> None:
         ids_all, contrib_all = [], []
         for term, idf in idfs.items():
             enc = rd.postings(term)
@@ -374,10 +397,12 @@ class IndexReader:
             # kth-largest score as threshold; keep ties AT the threshold so
             # the (score desc, doc_id asc) tie-break stays exact.
             kth = np.partition(scores, uniq.size - k)[uniq.size - k]
-            floor = heap[0][0] if len(heap) >= k else -math.inf
-            keep = scores >= max(kth, floor)
+            heap_floor = heap[0][0] if len(heap) >= k else -math.inf
+            keep = scores >= max(kth, heap_floor, floor)
             uniq, scores = uniq[keep], scores[keep]
         for d, s in zip(uniq.tolist(), scores.tolist()):
+            if s < floor:  # below the external bound: not in the global top-k
+                continue
             item = (s, -d)
             if len(heap) < k:
                 heapq.heappush(heap, item)
@@ -385,7 +410,8 @@ class IndexReader:
                 heapq.heapreplace(heap, item)
 
     def _wand_part(self, rd: SegmentReader, idfs: dict[str, float], k: int,
-                   params: Bm25Params, heap: list[tuple[float, int]]) -> None:
+                   params: Bm25Params, heap: list[tuple[float, int]], *,
+                   floor: float = -math.inf) -> None:
         cursors = []
         for order, (term, idf) in enumerate(idfs.items()):
             enc = rd.postings(term)
@@ -399,7 +425,8 @@ class IndexReader:
             if not cursors:
                 return
             cursors.sort(key=lambda c: c.doc())
-            threshold = heap[0][0] if len(heap) >= k else -math.inf
+            threshold = max(floor,
+                            heap[0][0] if len(heap) >= k else -math.inf)
             # pivot: first index where the cumulative term upper bounds
             # could beat the threshold
             acc = 0.0
