@@ -28,12 +28,92 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Count, Min
+from ray.data.aggregate import Count, Min, Sum
 
-from ..functions.hashing import hamming64, minhash_signature, simhash, stable_hash_array
+from ..functions.hashing import (
+    _POLY_P,
+    _hash_params,
+    _splitmix64,
+    hamming64,
+    minhash_signature,
+    simhash,
+    stable_hash_array,
+)
 from ..functions.textstats import content_hash_batch
 
 _WORD_RE = re.compile(r"[a-z]+")
+
+
+def _shuffle_parts() -> int:
+    """Coarse shuffle-partition count for the bucket groupbys.
+
+    Grouping directly on the bucket key hands Ray one group per DISTINCT
+    key (hundreds of thousands of single-row groups -> per-group UDF
+    overhead dominates).  Instead rows hash into ~4 coarse parts per CPU;
+    the part's UDF re-sorts its rows and walks key runs vectorized.  Output
+    is identical — the part is pure routing."""
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(16, 4 * cpus)
+
+
+def _key_runs(*keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """lexsort rows by the key tuple; return (order, run_starts, run_ends)."""
+    order = np.lexsort(keys[::-1])
+    n = order.size
+    if n == 0:
+        return order, np.empty(0, np.int64), np.empty(0, np.int64)
+    change = np.zeros(n, bool)
+    for k in keys:
+        ks = k[order]
+        change[1:] |= ks[1:] != ks[:-1]
+    starts = np.concatenate(([0], np.flatnonzero(change)))
+    ends = np.concatenate((starts[1:], [n]))
+    return order, starts, ends
+
+
+def _batch_shingles(texts: list[str], n: int
+                    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Distinct word-n-gram shingle hashes for a whole batch, vectorized.
+
+    Returns ``(doc_idx, shingle_hash, per_doc_distinct_counts)`` with rows
+    sorted by (doc_idx, shingle_hash).  One ``stable_hash_array`` call hashes
+    every token of the batch; each shingle hash is a polynomial combine of
+    its n consecutive token hashes (split-stable, collision quality like the
+    token hash itself); windows crossing document boundaries are masked out;
+    per-doc dedup is one lexsort.  Replaces the round-1 per-doc Python
+    string-join/set loop — the constant-factor bottleneck of the minhash and
+    jaccard pipelines."""
+    toks_per_doc = [_WORD_RE.findall((t or "").lower()) for t in texts]
+    lens = np.array([len(t) for t in toks_per_doc], np.int64)
+    n_docs = len(texts)
+    total = int(lens.sum())
+    if total < n:
+        return (np.empty(0, np.int64), np.empty(0, np.uint64),
+                np.zeros(n_docs, np.int64))
+    flat = [t for toks in toks_per_doc for t in toks]
+    h = stable_hash_array(flat)
+    acc = np.zeros(total - n + 1, np.uint64)
+    for j in range(n):
+        acc = acc * _POLY_P + h[j: total - n + 1 + j]
+    win = _splitmix64(acc)
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    starts = np.zeros(n_docs, np.int64)
+    np.cumsum(lens[:-1], out=starts[1:])
+    pos_in = np.arange(total, dtype=np.int64) - starts[doc_of]
+    head = total - n + 1
+    valid = pos_in[:head] <= (lens[doc_of[:head]] - n)
+    docs = doc_of[:head][valid]
+    sh = win[valid]
+    order = np.lexsort((sh, docs))
+    docs, sh = docs[order], sh[order]
+    keep = np.ones(docs.size, bool)
+    if docs.size > 1:
+        keep[1:] = (docs[1:] != docs[:-1]) | (sh[1:] != sh[:-1])
+    docs, sh = docs[keep], sh[keep]
+    counts = np.bincount(docs, minlength=n_docs).astype(np.int64)
+    return docs, sh, counts
 
 
 # --------------------------------------------------------------------------
@@ -60,14 +140,6 @@ def exact_duplicates(ds: rd.Dataset, text_col: str = "text",
 # shingling helpers
 # --------------------------------------------------------------------------
 
-def _shingle_hashes(text: str, n: int) -> np.ndarray:
-    toks = _WORD_RE.findall(text.lower())
-    if len(toks) < n:
-        return np.empty(0, np.uint64)
-    shingles = {" ".join(toks[i: i + n]) for i in range(len(toks) - n + 1)}
-    return stable_hash_array(sorted(shingles))
-
-
 class _ShingleStage:
     """Actor-pool stage: doc -> distinct n-gram shingle hash rows.
 
@@ -81,20 +153,13 @@ class _ShingleStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_ids: list[int] = []
-        out_sh: list[int] = []
-        out_n: list[int] = []
-        for did, text in zip(ids, texts):
-            hs = _shingle_hashes(text or "", self.n)
-            out_ids.extend([did] * hs.size)
-            out_sh.extend(int(h) for h in hs)
-            out_n.extend([hs.size] * hs.size)
+        ids = np.asarray(batch[self.id_col].to_pylist(), np.int64)
+        docs, sh, counts = _batch_shingles(batch[self.text_col].to_pylist(),
+                                           self.n)
         return pa.table({
-            "doc_id": pa.array(out_ids, pa.int64()),
-            "shingle": pa.array(out_sh, pa.uint64()),
-            "n_shingles": pa.array(out_n, pa.int64()),
+            "doc_id": pa.array(ids[docs], pa.int64()),
+            "shingle": pa.array(sh, pa.uint64()),
+            "n_shingles": pa.array(counts[docs], pa.int64()),
         })
 
 
@@ -113,29 +178,53 @@ class _MinHashStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids = batch[self.id_col].to_pylist()
-        texts = batch[self.text_col].to_pylist()
-        out_id, out_band, out_bh, out_sig = [], [], [], []
-        for did, text in zip(ids, texts):
-            hs = _shingle_hashes(text or "", self.n)
-            if hs.size == 0:
-                continue
-            sig = minhash_signature(hs, self.num_perm)
-            sig_bytes = sig.tobytes()
-            for b in range(self.bands):
-                band = sig[b * self.rows_per_band: (b + 1) * self.rows_per_band]
-                bh = int.from_bytes(
-                    __import__("hashlib").blake2b(band.tobytes(), digest_size=8).digest(),
-                    "little")
-                out_id.append(did)
-                out_band.append(b)
-                out_bh.append(bh)
-                out_sig.append(sig_bytes)
+        ids = np.asarray(batch[self.id_col].to_pylist(), np.int64)
+        docs, sh, counts = _batch_shingles(batch[self.text_col].to_pylist(),
+                                           self.n)
+        with_sh = np.flatnonzero(counts > 0)
+        if with_sh.size == 0:
+            return pa.table({
+                "doc_id": pa.array([], pa.int64()),
+                "band": pa.array([], pa.int32()),
+                "band_hash": pa.array([], pa.uint64()),
+                "sig": pa.array([], pa.binary()),
+            })
+        # Batched MinHash: one (rows x num_perm) multiply-shift per chunk,
+        # per-doc signature via segmented minimum.reduceat — identical values
+        # to minhash_signature() per doc, no per-doc Python loop.
+        a, b = _hash_params(self.num_perm, seed=7)
+        seg_starts = np.searchsorted(docs, with_sh)
+        sigs = np.empty((with_sh.size, self.num_perm), np.uint64)
+        # chunk by docs so the expanded matrix stays ~64 MB
+        rows_per_chunk = max(1, (8 << 20) // self.num_perm)
+        d0 = 0
+        while d0 < with_sh.size:
+            d1 = d0
+            r0 = seg_starts[d0]
+            r_end = r0
+            while d1 < with_sh.size and r_end - r0 < rows_per_chunk:
+                d1 += 1
+                r_end = seg_starts[d1] if d1 < with_sh.size else sh.size
+            x = sh[r0:r_end, None] * a[None, :] + b[None, :]
+            sigs[d0:d1] = np.minimum.reduceat(x, seg_starts[d0:d1] - r0,
+                                              axis=0)
+            d0 = d1
+        # band hashes: polynomial combine of each band's rows + splitmix
+        bands_view = sigs.reshape(with_sh.size, self.bands, self.rows_per_band)
+        acc = np.zeros((with_sh.size, self.bands), np.uint64)
+        for r in range(self.rows_per_band):
+            acc = acc * _POLY_P + bands_view[:, :, r]
+        band_hash = _splitmix64(acc)
+        sig_bytes = [s.tobytes() for s in sigs]
+        m = with_sh.size
+        out_id = np.repeat(ids[with_sh], self.bands)
+        out_band = np.tile(np.arange(self.bands, dtype=np.int32), m)
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
             "band": pa.array(out_band, pa.int32()),
-            "band_hash": pa.array(out_bh, pa.uint64()),
-            "sig": pa.array(out_sig, pa.binary()),
+            "band_hash": pa.array(band_hash.reshape(-1), pa.uint64()),
+            "sig": pa.array([sig_bytes[i] for i in range(m)
+                             for _ in range(self.bands)], pa.binary()),
         })
 
 
@@ -156,32 +245,46 @@ def minhash_lsh_pairs(ds: rd.Dataset, *, n: int = 3, num_perm: int = 64,
                                    text_col=text_col, id_col=id_col),
         batch_format="pyarrow", concurrency=(1, 8),
     )
+    n_parts = _shuffle_parts()
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        if ids.size < 2 or ids.size > max_bucket:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "est_jaccard": pa.array([], pa.float64())})
-        sigs = [np.frombuffer(s, np.uint64) for s in group["sig"].to_pylist()]
-        order = np.argsort(ids, kind="stable")
+    def add_part(batch: pa.Table) -> pa.Table:
+        bh = batch["band_hash"].to_numpy()
+        b = batch["band"].to_numpy().astype(np.uint64)
+        part = ((bh ^ (b * _POLY_P)) % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("bpart", pa.array(part, pa.int32()))
+
+    def part_bucket_pairs(group: pa.Table) -> pa.Table:
+        """All buckets routed to this part: walk (band, band_hash) runs;
+        per multi-member bucket, one vectorized signature-agreement matrix."""
+        bandc = group["band"].to_numpy()
+        bhc = group["band_hash"].to_numpy()
+        idsc = group["doc_id"].to_numpy()
+        order, starts, ends = _key_runs(bandc.astype(np.uint64), bhc)
         a_out, b_out, j_out = [], [], []
-        for i in range(len(order)):
-            for j in range(i + 1, len(order)):
-                ia, ib = order[i], order[j]
-                if ids[ia] == ids[ib]:
-                    continue
-                est = float((sigs[ia] == sigs[ib]).mean())
-                if est >= threshold:
-                    a_out.append(int(ids[ia]))
-                    b_out.append(int(ids[ib]))
-                    j_out.append(est)
+        sig_col = group["sig"]
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > max_bucket:
+                continue
+            sel = order[s:e]
+            ids = idsc[sel]
+            iord = np.argsort(ids, kind="stable")
+            sel = sel[iord]
+            ids = ids[iord]
+            sigs = np.stack([np.frombuffer(sig_col[int(i)].as_py(), np.uint64)
+                             for i in sel])
+            est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            ai, bi = np.triu_indices(int(m), k=1)
+            ok = (est[ai, bi] >= threshold) & (ids[ai] != ids[bi])
+            a_out.extend(ids[ai[ok]].tolist())
+            b_out.extend(ids[bi[ok]].tolist())
+            j_out.extend(est[ai[ok], bi[ok]].tolist())
         return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                          "doc_b": pa.array(b_out, pa.int64()),
                          "est_jaccard": pa.array(j_out, pa.float64())})
 
-    pairs = bands_ds.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
+    pairs = bands_ds.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("bpart").map_groups(part_bucket_pairs, batch_format="pyarrow")
     # a pair can surface from several bands — keep one row
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("est_jaccard", alias_name="est_jaccard"))
@@ -199,18 +302,40 @@ class _SimHashStage:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch[self.id_col].to_pylist()
         texts = batch[self.text_col].to_pylist()
-        sigs = []
-        for text in texts:
-            toks = _WORD_RE.findall((text or "").lower())
-            uniq, counts = np.unique(toks, return_counts=True) if toks else (np.array([]), np.array([]))
-            if uniq.size == 0:
-                sigs.append(0)
-                continue
-            hs = stable_hash_array(list(uniq))
-            sigs.append(simhash(hs, counts.astype(np.int64)))
+        n_docs = len(texts)
+        toks_per_doc = [_WORD_RE.findall((t or "").lower()) for t in texts]
+        lens = np.array([len(t) for t in toks_per_doc], np.int64)
+        total = int(lens.sum())
+        sig_out = np.zeros(n_docs, np.uint64)
+        if total:
+            # one batch-wide token hash; per-(doc, token) weights via one
+            # lexsort; bit accumulation as a segmented reduce — the same
+            # weighted-simhash values as the per-doc simhash() loop
+            flat = [t for toks in toks_per_doc for t in toks]
+            h = stable_hash_array(flat)
+            doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+            order = np.lexsort((h, doc_of))
+            d_s, h_s = doc_of[order], h[order]
+            first = np.ones(d_s.size, bool)
+            if d_s.size > 1:
+                first[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            starts = np.flatnonzero(first)
+            w = np.diff(np.append(starts, d_s.size)).astype(np.int64)
+            d_u, h_u = d_s[starts], h_s[starts]
+            bits = ((h_u[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                    & np.uint64(1)).astype(np.int8)
+            contrib = (bits * np.int8(2) - np.int8(1)
+                       ).astype(np.int32) * w.astype(np.int32)[:, None]
+            uniq_docs = np.unique(d_u)
+            doc_seg = np.searchsorted(d_u, uniq_docs)
+            acc = np.add.reduceat(contrib, doc_seg, axis=0)
+            packed = ((acc > 0).astype(np.uint64)
+                      * (np.uint64(1) << np.arange(64, dtype=np.uint64))
+                      ).sum(axis=1, dtype=np.uint64)
+            sig_out[uniq_docs] = packed
         return pa.table({
             "doc_id": pa.array(ids, pa.int64()),
-            "simhash": pa.array(sigs, pa.uint64()),
+            "simhash": pa.array(sig_out, pa.uint64()),
         })
 
 
@@ -237,31 +362,45 @@ def simhash_pairs(ds: rd.Dataset, *, max_hamming: int = 8,
                          "band": pa.array(band), "band_val": pa.array(band_val)})
 
     banded = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
+    n_parts = _shuffle_parts()
 
-    def bucket_pairs(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
-        if ids.size < 2 or ids.size > max_bucket:
-            return pa.table({"doc_a": pa.array([], pa.int64()),
-                             "doc_b": pa.array([], pa.int64()),
-                             "hamming": pa.array([], pa.int32())})
-        sigs = group["simhash"].to_numpy().astype(np.uint64)
-        order = np.argsort(ids, kind="stable")
-        ids, sigs = ids[order], sigs[order]
+    def add_part(batch: pa.Table) -> pa.Table:
+        bv = batch["band_val"].to_numpy().astype(np.uint64)
+        b = batch["band"].to_numpy().astype(np.uint64)
+        part = (((bv * np.uint64(4) + b) * _POLY_P) % np.uint64(n_parts)
+                ).astype(np.int32)
+        return batch.append_column("bpart", pa.array(part, pa.int32()))
+
+    def part_bucket_pairs(group: pa.Table) -> pa.Table:
+        bandc = group["band"].to_numpy().astype(np.uint64)
+        bvc = group["band_val"].to_numpy()
+        idsc = group["doc_id"].to_numpy()
+        sigc = group["simhash"].to_numpy().astype(np.uint64)
+        order, starts, ends = _key_runs(bandc, bvc)
         a_out, b_out, h_out = [], [], []
-        for i in range(len(ids)):
-            hs = hamming64(sigs[i + 1:], int(sigs[i]))
-            for off in np.flatnonzero(hs <= max_hamming):
-                j = i + 1 + off
-                if ids[j] != ids[i]:
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > max_bucket:
+                continue
+            sel = order[s:e]
+            ids = idsc[sel]
+            iord = np.argsort(ids, kind="stable")
+            ids = ids[iord]
+            sigs = sigc[sel][iord]
+            for i in range(int(m) - 1):
+                hs = hamming64(sigs[i + 1:], int(sigs[i]))
+                hits = np.flatnonzero((hs <= max_hamming)
+                                      & (ids[i + 1:] != ids[i]))
+                for off in hits:
                     a_out.append(int(ids[i]))
-                    b_out.append(int(ids[j]))
+                    b_out.append(int(ids[i + 1 + off]))
                     h_out.append(int(hs[off]))
         return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                          "doc_b": pa.array(b_out, pa.int64()),
                          "hamming": pa.array(h_out, pa.int32())})
 
-    pairs = banded.groupby(["band", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pyarrow")
+    pairs = banded.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("bpart").map_groups(part_bucket_pairs, batch_format="pyarrow")
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
 
@@ -284,28 +423,64 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, n: int = 3, threshold: float = 0.5,
         _ShingleStage, fn_constructor_kwargs=dict(n=n, text_col=text_col, id_col=id_col),
         batch_format="pyarrow", concurrency=(1, 8))
 
+    n_parts = _shuffle_parts()
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        sh = batch["shingle"].to_numpy()
+        part = (sh % np.uint64(n_parts)).astype(np.int32)
+        return batch.append_column("spart", pa.array(part, pa.int32()))
+
     def emit_pairs(group: pa.Table) -> pa.Table:
-        ids_raw = group["doc_id"].to_numpy()
-        if ids_raw.size < 2 or ids_raw.size > max_shingle_df:
+        """All shingles routed to this part: per shared-shingle run (with
+        2..max_shingle_df members), emit the doc-id pairs + denominators."""
+        shc = group["shingle"].to_numpy()
+        idsc = group["doc_id"].to_numpy()
+        nsc = group["n_shingles"].to_numpy()
+        order, starts, ends = _key_runs(shc)
+        a_out, b_out, na_out, nb_out = [], [], [], []
+        for s, e in zip(starts, ends):
+            m = e - s
+            if m < 2 or m > max_shingle_df:
+                continue
+            sel = order[s:e]
+            ids = idsc[sel]
+            iord = np.argsort(ids, kind="stable")
+            ids = ids[iord]
+            ns = nsc[sel][iord]
+            ai, bi = np.triu_indices(int(m), k=1)
+            a_out.append(ids[ai])
+            b_out.append(ids[bi])
+            na_out.append(ns[ai])
+            nb_out.append(ns[bi])
+        if not a_out:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),
+                             "n_partial": pa.array([], pa.int64()),
                              "na": pa.array([], pa.int64()),
                              "nb": pa.array([], pa.int64())})
-        order = np.argsort(ids_raw, kind="stable")
-        ids = ids_raw[order]
-        ns = group["n_shingles"].to_numpy()[order]
-        a, b = np.triu_indices(ids.size, k=1)
-        return pa.table({"doc_a": pa.array(ids[a], pa.int64()),
-                         "doc_b": pa.array(ids[b], pa.int64()),
-                         "na": pa.array(ns[a], pa.int64()),
-                         "nb": pa.array(ns[b], pa.int64())})
+        # map-side combine: the same pair repeats once per shared shingle
+        # routed to this part — collapse to a partial co-occurrence count
+        # before the global aggregate (classic combiner; cuts the expensive
+        # two-key sort-aggregate's input severalfold)
+        a = np.concatenate(a_out)
+        b = np.concatenate(b_out)
+        na = np.concatenate(na_out)
+        nb = np.concatenate(nb_out)
+        order, starts, ends = _key_runs(a, b)
+        first = order[starts]
+        return pa.table({"doc_a": pa.array(a[first], pa.int64()),
+                         "doc_b": pa.array(b[first], pa.int64()),
+                         "n_partial": pa.array(ends - starts, pa.int64()),
+                         "na": pa.array(na[first], pa.int64()),
+                         "nb": pa.array(nb[first], pa.int64())})
 
-    pairs = shingles.groupby("shingle").map_groups(emit_pairs, batch_format="pyarrow")
+    pairs = shingles.map_batches(add_part, batch_format="pyarrow") \
+        .groupby("spart").map_groups(emit_pairs, batch_format="pyarrow")
     # the Jaccard denominators na/nb are identical on every row of a pair
     # (each is a per-doc constant), so Min is just "pick it up" — no sizes
     # dict on the driver, no second pass over the shingle table
     inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Count(alias_name="n_inter"),
+        Sum("n_partial", alias_name="n_inter"),
         Min("na", alias_name="na"), Min("nb", alias_name="nb"))
 
     def jaccard_batch(batch: pa.Table) -> pa.Table:
