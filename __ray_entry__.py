@@ -225,6 +225,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["ts", "user_id"])
         return approx_distinct_daily(ds)
 
+    def users_daily(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.sketches import exact_distinct_daily
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "user_id"])
+        return exact_distinct_daily(ds)
+
+    def orders_by_nation(sf_dir):
+        """Fact (orders) x broadcast dims (customer, nation): the canonical
+        big-join-small shape — the fact table streams, the dims ship via
+        ``ray.put`` exactly once (stages/relational.broadcast_hash_join)."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+
+        from search_engine_ray.stages.relational import broadcast_hash_join
+
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey", "o_totalprice"])
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                               columns=["n_nationkey", "n_name"])
+        joined = broadcast_hash_join(orders, cust, big_key="o_custkey",
+                                     small_key="c_custkey")
+        joined = broadcast_hash_join(
+            joined,
+            nation.set_column(0, "n_nationkey",
+                              nation["n_nationkey"].cast(pa.int32())),
+            big_key="c_nationkey", small_key="n_nationkey")
+
+        def cents(batch: pa.Table) -> pa.Table:
+            # half-up (floor(x+0.5)) on BOTH sides: np.round is half-to-EVEN while
+            # DuckDB ROUND is half-away — they disagree on exact .5 cents
+            c = np.floor(batch["o_totalprice"].to_numpy() * 100 + 0.5).astype(np.int64)
+            return pa.table({"n_name": batch["n_name"],
+                             "cents": pa.array(c, pa.int64())})
+
+        return joined.map_batches(cents, batch_format="pyarrow") \
+            .groupby("n_name").aggregate(
+                Count(alias_name="n_orders"),
+                Sum("cents", alias_name="total_cents"))
+
+    def lineitem_pricing(sf_dir):
+        """TPC-H-Q1-style rollup with an explicit MAP-SIDE COMBINER: each
+        batch collapses to <=6 (returnflag, linestatus) partials before the
+        global groupby — the all-to-all moves a handful of rows per block,
+        not the fact table."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity",
+                     "l_extendedprice", "l_discount"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            flag = pc.binary_join_element_wise(
+                batch["l_returnflag"].cast(pa.string()),
+                batch["l_linestatus"].cast(pa.string()), "\x00")
+            enc = flag.combine_chunks().dictionary_encode()
+            idx = enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            n = len(enc.dictionary)
+            qty = batch["l_quantity"].to_numpy()
+            base = np.floor(batch["l_extendedprice"].to_numpy() * 100 + 0.5)
+            disc = np.floor(batch["l_extendedprice"].to_numpy()
+                            * (1.0 - batch["l_discount"].to_numpy()) * 100
+                            + 0.5)
+            keys = [k.split("\x00") for k in enc.dictionary.to_pylist()]
+            return pa.table({
+                "l_returnflag": pa.array([k[0] for k in keys], pa.string()),
+                "l_linestatus": pa.array([k[1] for k in keys], pa.string()),
+                "n_items": pa.array(np.bincount(idx, minlength=n).astype(np.int64)),
+                "sum_qty": pa.array(np.bincount(idx, weights=qty, minlength=n).astype(np.int64)),
+                "sum_base_cents": pa.array(np.bincount(idx, weights=base, minlength=n).astype(np.int64)),
+                "sum_disc_cents": pa.array(np.bincount(idx, weights=disc, minlength=n).astype(np.int64)),
+            })
+
+        return ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["l_returnflag", "l_linestatus"]).aggregate(
+                Sum("n_items", alias_name="n_items"),
+                Sum("sum_qty", alias_name="sum_qty"),
+                Sum("sum_base_cents", alias_name="sum_base_cents"),
+                Sum("sum_disc_cents", alias_name="sum_disc_cents"))
+
     def exact_dedup(sf_dir):
         import ray.data as rd
 
@@ -407,6 +500,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": fingerprint,
         "token_count": token_count,
         "approx_users_daily": approx_users_daily,
+        "users_daily": users_daily,
+        "orders_by_nation": orders_by_nation,
+        "lineitem_pricing": lineitem_pricing,
         "exact_dedup": exact_dedup,
         "ngram_jaccard": ngram_jaccard,
         "minhash_lsh": minhash_lsh,
@@ -547,6 +643,31 @@ FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
     # approx_users_daily: HyperLogLog sketch — approximate by design, no SQL
     # value-parity possible; rows-only driver check + a 5%-accuracy pytest
     # against the exact count (tests/test_build.py::test_hll_approx_distinct_daily).
+    # users_daily is its EXACT oracle-checked sibling:
+    sql["users_daily"] = """
+SELECT epoch_us(ts) // 86400000000 AS day,
+       COUNT(DISTINCT user_id)::BIGINT AS n_users
+FROM events GROUP BY 1
+"""
+
+    sql["orders_by_nation"] = """
+SELECT n_name,
+       COUNT(*)::BIGINT AS n_orders,
+       SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT))::BIGINT AS total_cents
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY n_name
+"""
+
+    sql["lineitem_pricing"] = """
+SELECT l_returnflag, l_linestatus,
+       COUNT(*)::BIGINT AS n_items,
+       SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_base_cents,
+       SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS sum_disc_cents
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
 
     sql["exact_dedup"] = """
 SELECT md5(text) AS content_hash,

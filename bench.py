@@ -32,7 +32,8 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "800000"))
-SCALING_LEVELS = (8, 32)
+SCALING_LEVELS = tuple(
+    int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(","))
 SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 
 
@@ -144,6 +145,7 @@ HEADLINE = [
     "tf", "dictionary", "search_bm25", "search_batch", "exact_dedup",
     "minhash_lsh", "simhash_dedup", "knn_cosine", "knn_ivf",
     "events_window", "sessionize", "doc_quality", "approx_users_daily",
+    "users_daily",
 ]
 
 
@@ -264,7 +266,7 @@ def run_build_worker(input_dir: str, out_dir: str, num_cpus: int) -> None:
         n_parts = max(1, (n_hint + 12_499) // 12_500)
         cfg = IndexBuildConfig(morphology="default",
                                target_docs_per_partition=12_500,
-                               exchange_group=max(1, round(n_parts / 32)),
+                               exchange_group=1,
                                lemmatizer_batch_size=1024,
                                extract_batch_size=1024,
                                run_write_batch_size=16384,
@@ -286,11 +288,13 @@ def run_scaling(sf_dir: str) -> dict:
     # shares hardware (writeback storms, neighbor noise cause up to 2x wall
     # variance between identical runs), and best-of-N is the standard way to
     # measure the code rather than the neighbors.  All runs are reported.
-    legs: dict[int, dict] = {}
-    all_runs: dict[str, list] = {}
-    for cpus in SCALING_LEVELS:
-        runs = []
-        for _ in range(max(1, SCALING_REPEATS)):
+    # Legs are INTERLEAVED (lo, hi, lo, hi, ...) rather than all-lo-then-
+    # all-hi: this VM's noise drifts on a minutes timescale, so adjacent
+    # lo/hi runs see comparable conditions and per-round efficiencies are
+    # meaningful alongside the best-wall headline.
+    runs_by_level: dict[int, list] = {c: [] for c in SCALING_LEVELS}
+    for _ in range(max(1, SCALING_REPEATS)):
+        for cpus in SCALING_LEVELS:
             # flush dirty pages (corpus gen / previous leg) so delayed
             # writeback doesn't steal I/O bandwidth from the measurement
             subprocess.run(["sync"], check=False)
@@ -301,10 +305,17 @@ def run_scaling(sf_dir: str) -> dict:
                  "--out", f"/tmp/serx_scaling_index_{cpus}",
                  "--num-cpus", str(cpus)],
                 capture_output=True, text=True, check=True, cwd=REPO)
-            runs.append(json.loads(out.stdout.strip().splitlines()[-1]))
-        legs[cpus] = min(runs, key=lambda r: r["wall_s"])
-        all_runs[str(cpus)] = [round(r["wall_s"], 2) for r in runs]
+            runs_by_level[cpus].append(
+                json.loads(out.stdout.strip().splitlines()[-1]))
+    legs = {c: min(rs, key=lambda r: r["wall_s"])
+            for c, rs in runs_by_level.items()}
+    all_runs = {str(c): [round(r["wall_s"], 2) for r in rs]
+                for c, rs in runs_by_level.items()}
     lo, hi = SCALING_LEVELS
+    pair_effs = [
+        round((h["docs_per_s"] / l["docs_per_s"]) / (hi / lo), 3)
+        for l, h in zip(runs_by_level[lo], runs_by_level[hi])
+    ]
     eff = (legs[hi]["docs_per_s"] / legs[lo]["docs_per_s"]) / (hi / lo)
     identical = _indexes_identical(f"/tmp/serx_scaling_index_{lo}",
                                    f"/tmp/serx_scaling_index_{hi}")
@@ -323,6 +334,7 @@ def run_scaling(sf_dir: str) -> dict:
         "scaling_docs": SCALING_DOCS,
         "levels": list(SCALING_LEVELS),
         "all_wall_s": all_runs,
+        "pair_efficiencies": pair_effs,
         # determinism across parallelism levels (SURVEY §5.5): both legs'
         # segment payloads must be byte-identical
         "indexes_identical": identical,

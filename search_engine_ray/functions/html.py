@@ -133,19 +133,45 @@ def _parse(html: str) -> _Extractor:
 # adversarial markup (tests/test_html.py), so the frozen byte-identity spec
 # has two independent witnesses.
 
-_TAG_RE = re.compile(
-    # tag names follow html.parser's tagfind_tolerant ([a-zA-Z][^\t\n\r\f />]*)
-    # so <p-x> is the (non-block) element "p-x" in both witnesses
-    r"<(/?)([a-zA-Z][^\t\n\r\f />]*)((?:[^>\"']|\"[^\"]*\"|'[^']*')*?)(/?)>"
-    # html.parser's endtagfind also accepts whitespace before the name, but
-    # only the strict all-whitespace form (`</ p >`); `</ p x>` is bogus
-    r"|</\s+([a-zA-Z][-.a-zA-Z0-9:_]*)\s*>"
-    r"|<!--.*?-->|<!\[CDATA\[.*?\]\]>|<![^>]*>|<\?[^>]*>"
-    # HTML5 "bogus comment": </ followed by a non-letter swallows up to >
-    # (html.parser's parse_bogus_comment does the same)
-    r"|</(?:[^a-zA-Z>][^>]*)?>",
-    re.S,
+# The scanner mirrors html.parser's tolerant tokenizer STEP BY STEP, using
+# the stdlib's own compiled sub-regexes as the single source of truth for
+# the fiddly parts (quote-aware start-tag scan, strict-then-tolerant end
+# tags, `--  >` comment closes).  html.parser IS the reference witness, so
+# fidelity here is what keeps the two-witness byte-identity invariant.
+from html.parser import (  # noqa: E402  (CPython html/parser.py:27-58)
+    attrfind_tolerant as _ATTRFIND,
+    commentclose as _COMMENT_CLOSE,
+    endtagfind as _ENDTAG_STRICT,
+    locatestarttagend_tolerant as _LOCATE_START,
+    tagfind_tolerant as _TAGFIND,
 )
+
+# check_for_whole_start_tag: a next-char in this set means "end of input in
+# or before attribute value" -> incomplete tag (html/parser.py:403-407)
+_INCOMPLETE_NEXT = frozenset("abcdefghijklmnopqrstuvwxyz"
+                             "ABCDEFGHIJKLMNOPQRSTUVWXYZ=/")
+_ASCII_ALPHA = frozenset("abcdefghijklmnopqrstuvwxyz"
+                         "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+# _markupbase marked-section closes: CDATA-family sections end at `] ] >`,
+# MS conditionals at `] >`; unknown keywords make html.parser raise, so the
+# fast path falls back to the bogus-comment rule there (untestable branch)
+_MS_CLOSE = re.compile(r"]\s*]\s*>")
+_MSIE_CLOSE = re.compile(r"]\s*>")
+_MS_KEYWORD = re.compile(r"<!\[\s*([a-zA-Z][-_.a-zA-Z0-9]*)")
+
+# Fast paths for WELL-FORMED tags — strict subsets of the tolerant grammar
+# above, verified to consume the identical span and produce the identical
+# events, so the faithful (multi-regex) logic only runs on odd markup.
+# Start: simple name, whitespace-separated attrs with quoted (quote-aware,
+# '>' allowed inside quotes, same as locatestarttagend_tolerant) or plain
+# bare values, optional '/>'.
+_SIMPLE_START = re.compile(
+    r"<([a-zA-Z][a-zA-Z0-9-]*)"
+    r"(?:\s+[a-zA-Z_:][-a-zA-Z0-9_:.]*"
+    r"(?:\s*=\s*(?:\"[^\"]*\"|'[^']*'|[-a-zA-Z0-9_./:;%#?+&~,]*))?)*"
+    r"\s*(/?)>")
+# End: subset of endtagfind (no leading whitespace variant needed here)
+_SIMPLE_END = re.compile(r"</([a-zA-Z][a-zA-Z0-9-]*)\s*>")
 _AMP = re.compile("&")
 # strict CDATA end-tag form (html.parser's endtagfind restricted to the same
 # element): nothing but whitespace between the name and ``>`` — ``</scripts>``
@@ -172,29 +198,146 @@ def _scan(html: str) -> _Scanned:
     pos = 0
     n = len(html)
     unescape = _html_mod.unescape
-    for m in _TAG_RE.finditer(html):
-        start = m.start()
-        if start < pos:
-            continue  # inside a raw-text element already skipped past
-        if start > pos:
-            data = html[pos:start]
-            if _AMP.search(data):
-                data = unescape(data)
-            parts.append(data)
-            raw_parts.append(data)
-            if in_title:
-                title_parts.append(data)
-        pos = m.end()
-        tag = m.group(2)
-        if tag is None:
-            tag = m.group(5)  # `</ name >` leading-whitespace end tag
-            if tag is None:
-                continue  # comment / doctype / CDATA / processing instruction
-            closing, self_closing = True, False
+    find = html.find
+    startswith = html.startswith
+
+    def emit(data: str) -> None:
+        if _AMP.search(data):
+            data = unescape(data)
+        parts.append(data)
+        raw_parts.append(data)
+        if in_title:
+            title_parts.append(data)
+
+    def eof_chunk(i: int) -> int:
+        # goahead's k<0 + end-of-feed fallback (html/parser.py:198-209):
+        # emit through the next '>', else to the next '<', else one char
+        k = find(">", i + 1)
+        if k < 0:
+            k = find("<", i + 1)
+            if k < 0:
+                k = i + 1
         else:
-            closing = m.group(1) == "/"
-            self_closing = m.group(4) == "/"
-        tag = tag.lower()
+            k += 1
+        emit(html[i:k])
+        return k
+
+    while pos < n:
+        lt = find("<", pos)
+        if lt < 0:
+            emit(html[pos:])
+            break
+        if lt > pos:
+            emit(html[pos:lt])
+        pos = lt
+        nxt = html[lt + 1: lt + 2]
+        tag = None
+        closing = self_closing = False
+        if nxt in _ASCII_ALPHA:
+            # --- start tag: parse_starttag + check_for_whole_start_tag ---
+            fm = _SIMPLE_START.match(html, lt)
+            if fm:  # well-formed fast path (identical events by subset)
+                tag = fm.group(1).lower()
+                self_closing = fm.group(2) == "/"
+                pos = fm.end()
+            else:
+                j = _LOCATE_START.match(html, lt).end()
+                ch = html[j: j + 1]
+                if ch == ">":
+                    endpos = j + 1
+                elif ch == "/":
+                    if startswith("/>", j):
+                        endpos = j + 2
+                    elif j + 1 < n:  # '/' + junk: bogus, tag ends unclosed
+                        endpos = j if j > lt else lt + 1
+                    else:
+                        endpos = -1  # lone '/' at end of input
+                elif ch == "" or ch in _INCOMPLETE_NEXT:
+                    endpos = -1  # end of input in or before attribute value
+                else:
+                    endpos = j if j > lt else lt + 1
+                if endpos < 0:
+                    pos = eof_chunk(lt)
+                    continue
+                m = _TAGFIND.match(html, lt + 1)
+                k = m.end()
+                while k < endpos:  # attr sweep: find where attrs stop
+                    am = _ATTRFIND.match(html, k)
+                    if not am:
+                        break
+                    k = am.end()
+                end_marker = html[k:endpos].strip()
+                if end_marker not in (">", "/>"):
+                    emit(html[lt:endpos])  # malformed region becomes data
+                    pos = endpos
+                    continue
+                tag = m.group(1).lower()
+                self_closing = end_marker == "/>"
+                pos = endpos
+        elif nxt == "/":
+            # --- end tag: parse_endtag -------------------------------
+            fm = _SIMPLE_END.match(html, lt)
+            if fm:  # well-formed fast path (subset of endtagfind)
+                tag = fm.group(1).lower()
+                closing = True
+                pos = fm.end()
+            elif find(">", lt + 1) < 0:
+                pos = eof_chunk(lt)
+                continue
+            else:
+                sm = _ENDTAG_STRICT.match(html, lt)
+                if sm:
+                    tag = sm.group(1).lower()
+                    closing = True
+                    pos = sm.end()
+                else:
+                    nm = _TAGFIND.match(html, lt + 2)
+                    if nm:
+                        # tolerant: name at i+2, then consume to the FIRST
+                        # '>' after it — deliberately NOT quote-aware,
+                        # unlike start tags (</b attr=">"> closes at the
+                        # quoted '>')
+                        tag = nm.group(1).lower()
+                        closing = True
+                        pos = find(">", nm.end()) + 1
+                    elif startswith("</>", lt):
+                        pos = lt + 3  # html5 end-tag-open special case
+                        continue
+                    else:  # bogus comment: swallow through the next '>'
+                        b = find(">", lt + 2)
+                        pos = b + 1 if b >= 0 else eof_chunk(lt)
+                        continue
+        elif startswith("<!--", lt):
+            cm = _COMMENT_CLOSE.search(html, lt + 4)  # '--  >' also closes
+            pos = cm.end() if cm else eof_chunk(lt)
+            continue
+        elif nxt == "?":
+            g = find(">", lt + 2)
+            pos = g + 1 if g >= 0 else eof_chunk(lt)
+            continue
+        elif nxt == "!":
+            if startswith("<![", lt):
+                km = _MS_KEYWORD.match(html, lt)
+                kw = km.group(1).lower() if km else ""
+                if kw in ("cdata", "temp", "ignore", "include", "rcdata"):
+                    mm = _MS_CLOSE.search(html, lt + 3)
+                elif kw in ("if", "else", "endif"):
+                    mm = _MSIE_CLOSE.search(html, lt + 3)
+                else:
+                    mm = None  # html.parser raises here; treat as bogus
+                if mm:
+                    pos = mm.end()
+                else:
+                    g = find(">", lt + 2)
+                    pos = g + 1 if g >= 0 else eof_chunk(lt)
+                continue
+            g = find(">", lt + 2)  # doctype / bogus comment
+            pos = g + 1 if g >= 0 else eof_chunk(lt)
+            continue
+        else:
+            emit("<")
+            pos = lt + 1
+            continue
         if not closing and not self_closing and tag in _SKIP_ELEMENTS:
             cm = _RAW_CLOSE[tag].search(html, pos)
             if tag in _BLOCK_ELEMENTS:
@@ -210,14 +353,6 @@ def _scan(html: str) -> _Scanned:
             parts.append(" ")
         if tag == "title" and not self_closing:
             in_title = not closing
-    if pos < n:
-        data = html[pos:]
-        if _AMP.search(data):
-            data = unescape(data)
-        parts.append(data)
-        raw_parts.append(data)
-        if in_title:
-            title_parts.append(data)
     return _Scanned(parts, raw_parts, title_parts)
 
 
@@ -250,6 +385,19 @@ def extract_all(html: str) -> tuple[str, str, str]:
     text = _WS_RUN.sub(" ", "".join(p.parts)).strip(_ASCII_WS)
     title = _WS_RUN.sub(" ", "".join(p.title_parts)).strip(_ASCII_WS)
     return text, "".join(p.raw_parts), title
+
+
+def scan_parts(html: str) -> tuple[str, str, str]:
+    """(unnormalized text, whole_text, unnormalized title) in a single scan.
+
+    Batch-path variant of :func:`extract_all`: the whitespace-run collapse
+    and strip are left to the CALLER so a batch stage can apply them as one
+    vectorized Arrow kernel over the whole column instead of two Python
+    ``re.sub`` calls per document (``extract.extract_batch``).
+    ``extract_all(h) == normalize(scan_parts(h))`` by construction.
+    """
+    p = _scan(html)
+    return "".join(p.parts), "".join(p.raw_parts), "".join(p.title_parts)
 
 
 def extract_all_ref(html: str) -> tuple[str, str, str]:

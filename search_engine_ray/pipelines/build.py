@@ -31,7 +31,9 @@ from __future__ import annotations
 
 import hashlib
 import json
+import logging
 import os
+import time as _timemod
 from dataclasses import asdict, dataclass
 
 import ray
@@ -71,18 +73,33 @@ def _config_hash(cfg: IndexBuildConfig, num_partitions: int) -> str:
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 
 
-def _wait_for_cpus(cpus: int, timeout: float = 15.0) -> None:
+def _wait_for_cpus(cpus: int, timeout: float = 15.0,
+                   plateau: float = 1.0) -> None:
     """Block until (nearly) all cluster CPUs are schedulable again —
     actor pools release their reservations asynchronously after their
-    execution finishes."""
+    execution finishes.
+
+    Returns early when the release PLATEAUS: occasionally a couple of
+    actors linger well past teardown (observed: 28/32 free for >15s), and
+    burning the full timeout to recover 4 CPUs costs far more than running
+    the build 28-wide.  The danger case this guard exists for — only the
+    reserve CPUs free, measured 12x slowdown — shows up as avail < half
+    the cluster, so the plateau exit also requires avail >= cpus/2."""
     import time as _time
 
     deadline = _time.monotonic() + timeout
     avail = 0.0
+    best = -1.0
+    best_t = _time.monotonic()
     while _time.monotonic() < deadline:
         avail = ray.available_resources().get("CPU", 0)
         if avail >= cpus - 1:
             return
+        now = _time.monotonic()
+        if avail > best:
+            best, best_t = avail, now
+        elif avail >= cpus / 2 and now - best_t >= plateau:
+            return  # release stalled at a usable width — don't burn timeout
         _time.sleep(0.2)
     # Proceeding with fewer CPUs is correct but slow (the build tasks get
     # only the reserve CPUs — measured 12x); make it diagnosable.
@@ -104,7 +121,11 @@ def _pool_sizes(num_docs_hint: int) -> tuple[tuple[int, int], int]:
     inputs start wide immediately.  ``reserve`` keeps read + run-writer
     headroom so no stage starves (SURVEY.md §4.1)."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    reserve = max(1, cpus // 8)
+    # measured split on the 800k-doc corpus: extract+lemmatize ~105 CPU·s
+    # vs read+run-write ~32 CPU·s => the pool wants ~3/4 of the node; a
+    # smaller reserve starves the run writer (the 8-CPU leg measured
+    # io-bound at reserve=1: phase A 35s vs ~18s compute-bound)
+    reserve = max(1, cpus // 4)
     pool_max = max(2, cpus - reserve)
     pool_min = max(2, min(pool_max, num_docs_hint // 5_000))
     return (pool_min, pool_max), cpus
@@ -164,6 +185,8 @@ def build_index(
         # at the few reserve CPUs (measured 12x slowdown).  The document
         # payload moves through group-keyed run files; only tiny ack rows
         # come back to the driver.
+        _log = logging.getLogger(__name__)
+        _t_phase = _timemod.perf_counter()
         keep = None if len(todo) == num_partitions else todo
         ds = pages
         if "text" in ds.schema().names:  # golden column: never ship it
@@ -190,12 +213,18 @@ def build_index(
         groups_with_data: set[int] = set()
         for b in acks.iter_batches(batch_format="pyarrow", batch_size=4096):
             groups_with_data.update(b["grp"].to_pylist())
+        _log.info("build phase A (shuffle-write) %.2fs",
+                  _timemod.perf_counter() - _t_phase)
+        _t_phase = _timemod.perf_counter()
 
         # The write execution is done; its lemmatizer actors are shutting
         # down but still HOLD their CPU reservations for a moment.  Starting
         # the build tasks before those free would leave them only the
         # reserve CPUs (measured 12x slowdown), so wait for the release.
         _wait_for_cpus(cpus)
+        _log.info("build barrier (actor CPU release) %.2fs",
+                  _timemod.perf_counter() - _t_phase)
+        _t_phase = _timemod.perf_counter()
 
         # ---- shuffle read: one task per exchange group --------------------
         grps = sorted(groups_with_data)
@@ -206,6 +235,9 @@ def build_index(
                 make_runs_segment_builder(runs_dir, index_dir, cfg, cfg_hash),
                 batch_format="pyarrow")
             stats_rows = stats.take_all()  # one tiny row per partition
+        _log.info("build phase B (segment build) %.2fs",
+                  _timemod.perf_counter() - _t_phase)
+        _t_phase = _timemod.perf_counter()
 
         # hash routing can leave partitions with zero documents (no ack row,
         # no group): commit empty segments so resume sees them done
@@ -219,7 +251,10 @@ def build_index(
             shutil.rmtree(runs_dir, ignore_errors=True)
 
     if todo or not os.path.exists(os.path.join(index_dir, CORPUS_STATS)):
+        _t_fin = _timemod.perf_counter()
         finalize_index(index_dir)
+        logging.getLogger(__name__).info(
+            "build finalize %.2fs", _timemod.perf_counter() - _t_fin)
 
     built = {r["part"] for r in stats_rows}
     manifests = done_parts(index_dir)

@@ -58,3 +58,30 @@ def approx_distinct_daily(events: rd.Dataset, key_col: str = "user_id",
 
     partials = events.map_batches(partial, batch_format="pyarrow")
     return partials.groupby("day").map_groups(merge, batch_format="pyarrow")
+
+
+def exact_distinct_daily(events: rd.Dataset, key_col: str = "user_id",
+                         ts_col: str = "ts") -> rd.Dataset:
+    """(day, n_users) — EXACT distinct ``key_col`` per UTC day.
+
+    The oracle-checked sibling of :func:`approx_distinct_daily` (which is
+    probabilistic and therefore driver-checked rows-only).  Scale shape:
+    a map-side combiner collapses each batch to its distinct (day, key)
+    pairs, one hash aggregate dedups globally, and the per-day count runs
+    over the (tiny) deduped stream — no row-level all-to-all of raw events.
+    """
+    from ray.data.aggregate import Count
+
+    def distinct_pairs(batch: pa.Table) -> pa.Table:
+        days = _day_of(batch[ts_col])
+        keys = batch[key_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = np.unique(np.stack([days, keys], axis=1), axis=0)
+        return pa.table({
+            "day": pa.array(uniq[:, 0], pa.int64()),
+            key_col: pa.array(uniq[:, 1], pa.int64()),
+        })
+
+    pairs = events.map_batches(distinct_pairs, batch_format="pyarrow")
+    deduped = pairs.groupby(["day", key_col]).aggregate(Count(alias_name="_c"))
+    return deduped.drop_columns(["_c"]).groupby("day").aggregate(
+        Count(alias_name="n_users"))

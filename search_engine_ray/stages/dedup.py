@@ -22,6 +22,7 @@ exists as its verification oracle at test scale.
 
 from __future__ import annotations
 
+import logging
 import re
 
 import numpy as np
@@ -262,9 +263,14 @@ def minhash_lsh_pairs(ds: rd.Dataset, *, n: int = 3, num_perm: int = 64,
         order, starts, ends = _key_runs(bandc.astype(np.uint64), bhc)
         a_out, b_out, j_out = [], [], []
         sig_col = group["sig"]
+        dropped_buckets = dropped_rows = 0
         for s, e in zip(starts, ends):
             m = e - s
-            if m < 2 or m > max_bucket:
+            if m > max_bucket:
+                dropped_buckets += 1
+                dropped_rows += int(m)
+                continue
+            if m < 2:
                 continue
             sel = order[s:e]
             ids = idsc[sel]
@@ -279,6 +285,13 @@ def minhash_lsh_pairs(ds: rd.Dataset, *, n: int = 3, num_perm: int = 64,
             a_out.extend(ids[ai[ok]].tolist())
             b_out.extend(ids[bi[ok]].tolist())
             j_out.extend(est[ai[ok], bi[ok]].tolist())
+        if dropped_buckets:
+            # the cap is the documented recall boundary — make every drop
+            # visible in the job log instead of silently shrinking recall
+            logging.getLogger(__name__).warning(
+                "minhash_lsh: dropped %d over-full band buckets "
+                "(> max_bucket=%d; %d member rows) in this part",
+                dropped_buckets, max_bucket, dropped_rows)
         return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                          "doc_b": pa.array(b_out, pa.int64()),
                          "est_jaccard": pa.array(j_out, pa.float64())})
@@ -378,9 +391,14 @@ def simhash_pairs(ds: rd.Dataset, *, max_hamming: int = 8,
         sigc = group["simhash"].to_numpy().astype(np.uint64)
         order, starts, ends = _key_runs(bandc, bvc)
         a_out, b_out, h_out = [], [], []
+        dropped_buckets = dropped_rows = 0
         for s, e in zip(starts, ends):
             m = e - s
-            if m < 2 or m > max_bucket:
+            if m > max_bucket:
+                dropped_buckets += 1
+                dropped_rows += int(m)
+                continue
+            if m < 2:
                 continue
             sel = order[s:e]
             ids = idsc[sel]
@@ -395,6 +413,11 @@ def simhash_pairs(ds: rd.Dataset, *, max_hamming: int = 8,
                     a_out.append(int(ids[i]))
                     b_out.append(int(ids[i + 1 + off]))
                     h_out.append(int(hs[off]))
+        if dropped_buckets:
+            logging.getLogger(__name__).warning(
+                "simhash: dropped %d over-full band buckets "
+                "(> max_bucket=%d; %d member rows) in this part",
+                dropped_buckets, max_bucket, dropped_rows)
         return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                          "doc_b": pa.array(b_out, pa.int64()),
                          "hamming": pa.array(h_out, pa.int32())})
@@ -438,9 +461,13 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, n: int = 3, threshold: float = 0.5,
         nsc = group["n_shingles"].to_numpy()
         order, starts, ends = _key_runs(shc)
         a_out, b_out, na_out, nb_out = [], [], [], []
+        dropped_shingles = 0
         for s, e in zip(starts, ends):
             m = e - s
-            if m < 2 or m > max_shingle_df:
+            if m > max_shingle_df:
+                dropped_shingles += 1
+                continue
+            if m < 2:
                 continue
             sel = order[s:e]
             ids = idsc[sel]
@@ -452,6 +479,13 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, n: int = 3, threshold: float = 0.5,
             b_out.append(ids[bi])
             na_out.append(ns[ai])
             nb_out.append(ns[bi])
+        if dropped_shingles:
+            # part of the operator contract (the SQL oracle applies the same
+            # df cap) — logged at debug, unlike the LSH recall-loss warnings
+            logging.getLogger(__name__).debug(
+                "ngram_jaccard: ignored %d stop-shingles with df > "
+                "max_shingle_df=%d in this part", dropped_shingles,
+                max_shingle_df)
         if not a_out:
             return pa.table({"doc_a": pa.array([], pa.int64()),
                              "doc_b": pa.array([], pa.int64()),

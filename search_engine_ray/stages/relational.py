@@ -1,0 +1,93 @@
+"""Generic relational stages: broadcast hash join and pre-aggregated rollup.
+
+The reference resolves its page<->site and lemma-dictionary foreign keys
+with in-process lookups (``model/Page.java`` site FK;
+``services/SearchServiceImpl.java:126`` lemma->site filter).  At cluster
+scale the same shape is a BROADCAST HASH JOIN: the small side is built once
+on the driver (or from a small Dataset), shipped to the object store with
+``ray.put`` exactly once, and every ``map_batches`` task reads it zero-copy —
+no all-to-all shuffle of the big side, which never leaves its blocks.
+
+``broadcast_hash_join`` is the reusable operator; ``pipelines/docqueries``
+and the TPC-H-style enrichment queries in ``__ray_entry__`` use it.  The
+100-TB contract: the SMALL side must fit a worker heap (dimension tables,
+id->label maps); the big side streams.  For big-big joins use the exchange
+in ``stages/segments`` (hash-partition both sides on the key) instead.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data as rd
+
+
+def _small_table(small: "rd.Dataset | pa.Table") -> pa.Table:
+    if isinstance(small, pa.Table):
+        return small
+    # small side materializes by contract (dimension-table scale)
+    refs = small.to_arrow_refs()
+    return pa.concat_tables(ray.get(refs), promote_options="permissive")
+
+
+def broadcast_hash_join(
+    big: rd.Dataset,
+    small: "rd.Dataset | pa.Table",
+    *,
+    big_key: str,
+    small_key: str,
+    select: list[str] | None = None,
+    how: str = "inner",
+) -> rd.Dataset:
+    """Join a streaming big side against a broadcast small side.
+
+    ``select`` names the small-side columns to append (default: all except
+    the key).  ``how`` is ``"inner"`` (drop unmatched big rows) or
+    ``"left"`` (keep them, null payload).  Matching is by exact key equality
+    with a sorted-key binary search per batch (vectorized ``searchsorted``);
+    duplicate small-side keys are rejected — pre-aggregate the small side
+    first (a 1:N small side would need an explode, not a lookup).
+    """
+    st = _small_table(small)
+    if select is None:
+        select = [c for c in st.column_names if c != small_key]
+    keys = st[small_key].to_numpy(zero_copy_only=False)
+    order = np.argsort(keys, kind="stable")
+    skeys = keys[order]
+    if skeys.size > 1 and (skeys[1:] == skeys[:-1]).any():
+        raise ValueError(
+            f"broadcast_hash_join: small side has duplicate {small_key!r} "
+            "keys; aggregate the small side to unique keys first")
+    payload = {c: st[c].take(pa.array(order)).combine_chunks() for c in select}
+    ref = ray.put((skeys, payload))
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        g_keys, g_payload = ray.get(ref)
+        bk = batch[big_key].to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(g_keys, bk)
+        pos_c = np.clip(pos, 0, max(0, g_keys.size - 1))
+        hit = (g_keys.size > 0) & (g_keys[pos_c] == bk)
+        out = batch
+        if how == "inner":
+            if not hit.all():
+                out = out.filter(pa.array(hit))
+                pos_c = pos_c[hit]
+            for c in select:
+                out = out.append_column(
+                    c, g_payload[c].take(pa.array(pos_c, pa.int64())))
+        elif how == "left":
+            idx = np.where(hit, pos_c, -1)
+            take_ix = pa.array(
+                np.where(idx >= 0, idx, 0), pa.int64())
+            null_mask = pa.array(idx < 0)
+            for c in select:
+                col = g_payload[c].take(take_ix)
+                col = pc.if_else(null_mask, pa.nulls(len(out), col.type), col)
+                out = out.append_column(c, col)
+        else:
+            raise ValueError(f"unsupported how={how!r}")
+        return out
+
+    return big.map_batches(join_batch, batch_format="pyarrow")

@@ -72,6 +72,10 @@ def make_run_writer(runs_dir: str, exchange_group: int = 1):
             d = os.path.join(runs_dir, f"grp={int(g)}")
             os.makedirs(d, exist_ok=True)
             tmp = os.path.join(d, f".tmp-run-{uuid.uuid4().hex}.parquet")
+            # snappy+dictionary (parquet defaults) measured FASTER end-to-end
+            # than uncompressed/plain here: at full-width concurrency the
+            # exchange is DRAM-bandwidth-bound, so fewer bytes through
+            # tmpfs beats saving codec CPU
             pq.write_table(sub, tmp)
             os.rename(tmp, tmp.replace(".tmp-run-", "run-"))
             rows.append((int(g), sub.num_rows))
@@ -118,9 +122,13 @@ def make_runs_segment_builder(runs_dir: str, index_dir: str,
             gt = pa.concat_tables([pq.read_table(f) for f in files],
                                   promote_options="permissive")
             parts = gt["part"].to_numpy(zero_copy_only=False)
-            for part in np.unique(parts):
-                sub = gt.filter(pa.array(parts == part))
-                outs.append(builder(sub))
+            uniq_parts = np.unique(parts)
+            if uniq_parts.size == 1:
+                outs.append(builder(gt))  # group == part: skip the re-copy
+            else:
+                for part in uniq_parts:
+                    sub = gt.filter(pa.array(parts == part))
+                    outs.append(builder(sub))
         return pa.concat_tables(outs) if outs else _empty_stats(-1).slice(0, 0)
 
     return build_from_runs
@@ -199,17 +207,34 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         t0 = time.monotonic()
 
         # --- dedup per url: latest warc_ts wins (deterministic) ----------
+        # The sort/dedup permutation is computed on the LIGHT key columns
+        # only; the heavy list columns (terms/tfs) are never gathered —
+        # postings are built from the original row order with doc ids mapped
+        # through the permutation.  Under 32-wide concurrency the build is
+        # DRAM-bandwidth-bound, so skipping the full-table take/filter is a
+        # direct scaling win, not just a constant factor.
         order = pc.sort_indices(
-            group,
+            group.select(["url", "warc_ts", "title"]),
             sort_keys=[("url", "ascending"), ("warc_ts", "descending"),
                        ("title", "descending")],
         )
-        g = group.take(order)
-        urls = np.asarray(g["url"].to_pylist(), dtype=object)
-        first_of_url = np.ones(len(urls), dtype=bool)
-        if len(urls) > 1:
-            first_of_url[1:] = urls[1:] != urls[:-1]
-        g = g.filter(pa.array(first_of_url))
+        order_np = order.to_numpy().astype(np.int64)
+        u_sorted = group["url"].take(order)
+        if isinstance(u_sorted, pa.ChunkedArray):
+            u_sorted = u_sorted.combine_chunks()
+        n_rows = group.num_rows
+        first_of_url = np.ones(n_rows, dtype=bool)
+        if n_rows > 1:
+            first_of_url[1:] = pc.not_equal(
+                u_sorted.slice(1), u_sorted.slice(0, n_rows - 1)
+            ).to_numpy(zero_copy_only=False)
+        kept = order_np[first_of_url]  # original-row indices, url-sorted
+        had_dups = kept.size != n_rows
+
+        # doc-level (light) columns of the surviving rows, url-sorted
+        heavy = {"terms", "tfs", "part"}
+        g = group.select([c for c in group.column_names
+                          if c not in heavy]).take(pa.array(kept))
 
         # --- deterministic doc ids (already url-sorted) ------------------
         n_docs = g.num_rows
@@ -222,31 +247,53 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         # cancels exact-duplicate pairs) would make lineage depend on retry
         # history.  input_rows is likewise the deduped count.
         input_rows = n_docs
-        from ..functions.hashing import stable_hash_array
+        from ..functions.hashing import _POLY_P, _splitmix64, stable_hash_array
 
         with np.errstate(over="ignore"):
-            fp = np.add.reduce(stable_hash_array(
-                [f"{u}\x00{t}" for u, t in zip(g["url"].to_pylist(),
-                                               g["warc_ts"].to_pylist())]
-            ), dtype=np.uint64) if n_docs else np.uint64(0)
+            hu = stable_hash_array(g["url"].to_pylist())
+            ts_col = g["warc_ts"]
+            if pa.types.is_timestamp(ts_col.type) or pa.types.is_integer(ts_col.type):
+                ht = pc.cast(ts_col, pa.int64(), safe=False).to_numpy(
+                    zero_copy_only=False).astype(np.uint64)
+            else:
+                ht = stable_hash_array([str(t) for t in ts_col.to_pylist()])
+            fp = np.add.reduce(_splitmix64(hu * _POLY_P ^ ht),
+                               dtype=np.uint64) if n_docs else np.uint64(0)
 
-        # --- explode terms/tfs vectorized --------------------------------
-        terms_list = g["terms"]
+        # --- explode terms/tfs vectorized (original row order) -----------
+        terms_list = group["terms"]
         if isinstance(terms_list, pa.ChunkedArray):
             terms_list = terms_list.combine_chunks()
-        tfs_list = g["tfs"]
+        tfs_list = group["tfs"]
         if isinstance(tfs_list, pa.ChunkedArray):
             tfs_list = tfs_list.combine_chunks()
         lens = pc.list_value_length(terms_list).to_numpy().astype(np.int64)
         flat_terms = pc.list_flatten(terms_list)
         flat_tfs = pc.list_flatten(tfs_list).to_numpy().astype(np.int64)
-        post_doc_ids = np.repeat(doc_ids, lens)
-        doc_len_arr = g["doc_len"].to_numpy().astype(np.int64)
-        post_doc_lens = np.repeat(doc_len_arr, lens)
-        site_codes_doc = pc.dictionary_encode(g["site"].combine_chunks() if isinstance(g["site"], pa.ChunkedArray) else g["site"])
-        site_idx_doc = np.asarray(site_codes_doc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
-        sites_dict = site_codes_doc.dictionary.to_pylist()
+        # doc id per ORIGINAL row (-1 = dropped duplicate), spread to postings
+        row_doc_id = np.full(n_rows, -1, dtype=np.int64)
+        row_doc_id[kept] = doc_ids
+        post_doc_ids = np.repeat(row_doc_id, lens)
+        dl_all = group["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
+        post_doc_lens = np.repeat(dl_all, lens)
+        site_all = group["site"]
+        site_codes_doc = pc.dictionary_encode(
+            site_all.combine_chunks() if isinstance(site_all, pa.ChunkedArray)
+            else site_all)
+        site_idx_raw = np.asarray(site_codes_doc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
+        sites_raw = site_codes_doc.dictionary.to_pylist()
+        # dictionary_encode assigns codes in ARRIVAL order, which depends on
+        # run-file arrival; re-rank lexicographically so the dict table's
+        # row order (sorted by (site, term) code) is input-order-invariant —
+        # the cross-parallelism byte-identity guarantee covers dict.parquet
+        site_lex = sorted(range(len(sites_raw)), key=sites_raw.__getitem__)
+        site_rank = np.empty(max(1, len(sites_raw)), np.int64)
+        for r, i in enumerate(site_lex):
+            site_rank[i] = r
+        sites_dict = [sites_raw[i] for i in site_lex]
+        site_idx_doc = site_rank[site_idx_raw] if site_idx_raw.size else site_idx_raw
         post_sites = np.repeat(site_idx_doc, lens)
+        doc_len_arr = dl_all[kept]
 
         dict_enc = pc.dictionary_encode(flat_terms)
         raw_idx = np.asarray(dict_enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
@@ -261,10 +308,20 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         term_idx = rank_of[raw_idx] if raw_idx.size else raw_idx
         term_dict: list[str] = [raw_dict[i] for i in lex]
 
+        # postings of dropped duplicate rows carry doc_id -1 — filter them
+        # out before grouping (no-op on the common dup-free path)
+        if had_dups:
+            valid = post_doc_ids >= 0
+            term_idx = term_idx[valid]
+            post_doc_ids = post_doc_ids[valid]
+            flat_tfs = flat_tfs[valid]
+            post_doc_lens = post_doc_lens[valid]
+            post_sites = post_sites[valid]
+
         # postings must be term-grouped with doc_ids ascending inside each
-        # term; the flat stream is doc-ascending, so a stable sort on term
-        # alone preserves doc order.
-        sort_ix = np.argsort(term_idx, kind="stable")
+        # term; the flat stream is in arbitrary row order, so sort on the
+        # (term, doc_id) pair.
+        sort_ix = np.lexsort((post_doc_ids, term_idx))
         term_sorted = term_idx[sort_ix]
         docs_sorted = post_doc_ids[sort_ix]
         tfs_sorted = flat_tfs[sort_ix]
@@ -313,10 +370,19 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         # --- per-(site, term) document frequency (reference A2) ----------
         st_key = post_sites[sort_ix] * np.int64(len(term_dict)) + term_sorted
         uniq_st, st_counts = np.unique(st_key, return_counts=True)
+        if uniq_st.size:
+            nt = np.int64(len(term_dict))
+            dict_site = pc.take(pa.array(sites_dict, pa.string()),
+                                pa.array(uniq_st // nt))
+            dict_term = pc.take(pa.array(term_dict, pa.string()),
+                                pa.array(uniq_st % nt))
+        else:
+            dict_site = pa.array([], pa.string())
+            dict_term = pa.array([], pa.string())
         dict_tbl = pa.table(
             {
-                "site": pa.array([sites_dict[int(k // len(term_dict))] for k in uniq_st], pa.string()),
-                "term": pa.array([term_dict[int(k % len(term_dict))] for k in uniq_st], pa.string()),
+                "site": dict_site,
+                "term": dict_term,
                 "df": pa.array(st_counts.astype(np.int64), pa.int64()),
             }
         )

@@ -256,6 +256,13 @@ def test_hll_approx_distinct_daily(ray_session):
     for day in out.index:
         assert out.loc[day, "approx_distinct"] == out2.loc[day, "approx_distinct"]
 
+    # the exact sibling matches pandas nunique precisely
+    from search_engine_ray.pipelines.sketches import exact_distinct_daily
+
+    ex_out = exact_distinct_daily(rd.from_arrow(t)).to_pandas().set_index("day")
+    for day, got in ex_out["n_users"].items():
+        assert got == exact.loc[day], (day, got, exact.loc[day])
+
 
 def test_build_empty_input(ray_session, tmp_path):
     """Zero input docs: build commits empty segments for every partition and

@@ -120,6 +120,13 @@ def test_fast_scanner_agrees_with_reference_parser():
         "x<p-x>y</p-x>z",
         "x</ div >y",
         "</ p q>bogus swallowed>tail",
+        # end-tag tolerant fallback is quote-UNAWARE (html.parser consumes
+        # to the FIRST '>' after the name), unlike quote-aware start tags
+        "</b<a href='q>r'>",
+        '</b attr=">">x',
+        "a</b foo>c",
+        "<a href='q>r'>x",
+        '<p title="a>b">t</p></p junk="c>d">tail',
     ]
     for h in cases:
         assert extract_all(h) == extract_all_ref(h), h[:80]

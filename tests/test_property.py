@@ -124,8 +124,11 @@ _html_soup = st.lists(
             "</scripts>", "</script x=1>", "</script >", "</ script>",
             "</styles>", "<noscript>", "</noscript>", "<template>",
             "</template>", "</ p>", "</ div >", "<p-x>", "</p-x>",
+            # end-tag tolerant fallback is quote-UNAWARE in html.parser —
+            # quoted '>' fragments must hit both the start- and end-tag paths
+            "</b<a href='q>r'>", '</b attr=">">', "</b foo>", '"', "'",
         ]),
-        st.text(alphabet="abc атица<>&;/ \n", max_size=12),
+        st.text(alphabet="abc атица<>&;/'\" \n", max_size=12),
     ),
     max_size=30,
 )
