@@ -318,6 +318,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 Sum("sum_base_cents", alias_name="sum_base_cents"),
                 Sum("sum_disc_cents", alias_name="sum_disc_cents"))
 
+    def top_docs_per_lang(sf_dir):
+        """Per-language top-3 docs by distinct-token count: the grouped
+        top-k operator (per-batch partial top-k -> tiny per-group merge,
+        stages/relational.grouped_topk)."""
+        import ray.data as rd
+
+        from search_engine_ray.functions.textstats import (langid_batch,
+                                                           quality_batch)
+        from search_engine_ray.stages.relational import grouped_topk
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        ds = ds.map_batches(langid_batch, batch_format="pyarrow") \
+            .map_batches(quality_batch, batch_format="pyarrow") \
+            .select_columns(["lang_id", "doc_id", "n_uniq_tokens"])
+        return grouped_topk(ds, group_col="lang_id", order_col="n_uniq_tokens",
+                            tie_col="doc_id", k=3)
+
     def exact_dedup(sf_dir):
         import ray.data as rd
 
@@ -503,6 +521,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_daily": users_daily,
         "orders_by_nation": orders_by_nation,
         "lineitem_pricing": lineitem_pricing,
+        "top_docs_per_lang": top_docs_per_lang,
         "exact_dedup": exact_dedup,
         "ngram_jaccard": ngram_jaccard,
         "minhash_lsh": minhash_lsh,
@@ -658,6 +677,29 @@ FROM orders
 JOIN customer ON o_custkey = c_custkey
 JOIN nation ON c_nationkey = n_nationkey
 GROUP BY n_name
+"""
+
+    sql["top_docs_per_lang"] = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+    FROM documents
+),
+agg AS (
+    SELECT doc_id, COUNT(DISTINCT tok)::BIGINT AS n_uniq_tokens
+    FROM toks GROUP BY doc_id
+),
+q AS (
+    SELECT CASE WHEN regexp_matches(lower(d.text), '[а-яё]') THEN 'ru'
+                WHEN regexp_matches(lower(d.text), '[a-z]') THEN 'en'
+                ELSE 'other' END AS lang_id,
+           d.doc_id,
+           COALESCE(a.n_uniq_tokens, 0)::BIGINT AS n_uniq_tokens
+    FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+)
+SELECT lang_id, doc_id, n_uniq_tokens, rank FROM (
+    SELECT q.*, ROW_NUMBER() OVER (
+        PARTITION BY lang_id ORDER BY n_uniq_tokens DESC, doc_id) AS rank
+    FROM q) WHERE rank <= 3
 """
 
     sql["lineitem_pricing"] = """

@@ -91,3 +91,50 @@ def broadcast_hash_join(
         return out
 
     return big.map_batches(join_batch, batch_format="pyarrow")
+
+
+def grouped_topk(ds: rd.Dataset, *, group_col: str, order_col: str,
+                 tie_col: str, k: int, descending: bool = True) -> rd.Dataset:
+    """Top-k rows per group with a deterministic (order, tie) sort.
+
+    Scale shape (SURVEY §2.6 family): a per-BATCH partial top-k bounds the
+    all-to-all to at most ``k`` rows per (group, block) — the groupby then
+    merges tiny partials instead of shuffling the full table.  Ties break on
+    ``tie_col`` ascending, so output is order- and parallelism-invariant.
+    Output adds an int64 ``rank`` column (1-based within the group).
+    """
+
+    def _topk_table(t: pa.Table, with_rank: bool) -> pa.Table:
+        gv = t[group_col]
+        enc = (gv.combine_chunks() if isinstance(gv, pa.ChunkedArray) else gv
+               ).dictionary_encode()
+        gidx = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                          np.int64)
+        v = t[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        tie = t[tie_col].to_numpy(zero_copy_only=False)
+        order = np.lexsort((tie, -v if descending else v, gidx))
+        gs = gidx[order]
+        first = np.ones(gs.size, bool)
+        if gs.size > 1:
+            first[1:] = gs[1:] != gs[:-1]
+        # rank within group = position since the group's first row
+        starts = np.flatnonzero(first)
+        rank = np.arange(gs.size, dtype=np.int64) - np.repeat(
+            starts, np.diff(np.append(starts, gs.size))) + 1
+        keep = rank <= k
+        sel = order[keep]
+        out = t.take(pa.array(sel, pa.int64()))
+        if with_rank:
+            out = out.append_column("rank", pa.array(rank[keep], pa.int64()))
+        return out
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        return _topk_table(batch, with_rank=False)
+
+    def merge(group: pa.Table) -> pa.Table:
+        return _topk_table(group, with_rank=True)
+
+    return ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(merge, batch_format="pyarrow")

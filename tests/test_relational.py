@@ -1,0 +1,94 @@
+"""Broadcast hash join + grouped top-k (stages/relational)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def _big_ds(rows):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.table(rows))
+
+
+def test_broadcast_join_inner(ray_session):
+    from search_engine_ray.stages.relational import broadcast_hash_join
+
+    big = _big_ds({"k": pa.array([3, 1, 2, 9, 1], pa.int64()),
+                   "v": pa.array([30, 10, 20, 90, 11], pa.int64())})
+    small = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                      "name": pa.array(["a", "b", "c"])})
+    out = broadcast_hash_join(big, small, big_key="k", small_key="k") \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    assert out["k"].tolist() == [1, 1, 2, 3]
+    assert out["name"].tolist() == ["a", "a", "b", "c"]  # 9 dropped
+
+
+def test_broadcast_join_left_nulls(ray_session):
+    from search_engine_ray.stages.relational import broadcast_hash_join
+
+    big = _big_ds({"k": pa.array([5, 1], pa.int64())})
+    small = pa.table({"k": pa.array([1], pa.int64()),
+                      "name": pa.array(["a"])})
+    out = broadcast_hash_join(big, small, big_key="k", small_key="k",
+                              how="left").to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    assert out["name"].tolist()[0] == "a"
+    assert out["name"].isna().tolist() == [False, True]
+
+
+def test_broadcast_join_rejects_dup_keys(ray_session):
+    from search_engine_ray.stages.relational import broadcast_hash_join
+
+    big = _big_ds({"k": pa.array([1], pa.int64())})
+    small = pa.table({"k": pa.array([1, 1], pa.int64()),
+                      "name": pa.array(["a", "b"])})
+    with pytest.raises(ValueError, match="duplicate"):
+        broadcast_hash_join(big, small, big_key="k", small_key="k")
+
+
+def test_grouped_topk_matches_pandas(ray_session):
+    import pandas as pd
+
+    from search_engine_ray.stages.relational import grouped_topk
+
+    rng = np.random.RandomState(3)
+    n = 5000
+    df = pd.DataFrame({
+        "g": rng.choice(["x", "y", "z", "w"], n),
+        "score": rng.randint(0, 50, n).astype("int64"),  # many ties
+        "id": np.arange(n, dtype="int64"),
+    })
+    out = grouped_topk(_big_ds({c: pa.array(df[c]) for c in df}),
+                       group_col="g", order_col="score", tie_col="id",
+                       k=5).to_pandas()
+    exp = (df.sort_values(["g", "score", "id"],
+                          ascending=[True, False, True])
+             .groupby("g").head(5))
+    exp = exp.sort_values(["g", "score", "id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    got = out.sort_values(["g", "score", "id"],
+                          ascending=[True, False, True]).reset_index(drop=True)
+    assert got[["g", "score", "id"]].equals(exp[["g", "score", "id"]])
+    # rank is 1..5 within each group, aligned with the sort
+    for g, sub in got.groupby("g"):
+        assert sub["rank"].tolist() == list(range(1, len(sub) + 1))
+
+
+def test_grouped_topk_parallelism_invariant(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.stages.relational import grouped_topk
+
+    rng = np.random.RandomState(11)
+    t = pa.table({"g": pa.array(rng.choice(["a", "b"], 2000)),
+                  "score": pa.array(rng.randint(0, 9, 2000), pa.int64()),
+                  "id": pa.array(np.arange(2000), pa.int64())})
+    outs = []
+    for blocks in (1, 7):
+        ds = rd.from_arrow(t).repartition(blocks)
+        out = grouped_topk(ds, group_col="g", order_col="score",
+                           tie_col="id", k=4).to_pandas() \
+            .sort_values(["g", "rank"]).reset_index(drop=True)
+        outs.append(out)
+    assert outs[0].equals(outs[1])
