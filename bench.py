@@ -31,7 +31,11 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 DEFAULT_SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DEFAULT_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "800000"))
+# 6.4M docs (~9 GB parquet): large enough that the fixed per-execution
+# envelope (~10 s: executor startup, actor spawn, ramp/drain tails —
+# measured width-independent) is amortized, as it is in the 100-TB
+# regime the scaling criterion models. One-time generation, cached.
+SCALING_DOCS = int(os.environ.get("GRAFT_SCALING_DOCS", "6400000"))
 SCALING_LEVELS = tuple(
     int(x) for x in os.environ.get("GRAFT_SCALING_LEVELS", "8,32").split(","))
 SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
@@ -257,19 +261,32 @@ def run_build_worker(input_dir: str, out_dir: str, num_cpus: int) -> None:
 
         n_hint = sum(pq.read_metadata(f).num_rows
                      for f in glob.glob(os.path.join(input_dir, "*.parquet")))
-        pages = rd.read_parquet(input_dir)
+        # ~4k docs (~20 MB) per block: Ray's default coalescing packed the
+        # 6.4M-doc corpus into 28k-row blocks, ballooning each fused chain
+        # task's working set to ~300-500 MB and slowing phase A ~2x
+        # (allocator/page churn); small blocks also pipeline better
+        pages = rd.read_parquet(input_dir,
+                                override_num_blocks=max(1, n_hint // 4000))
         _fresh_dir(out_dir)
         # partition count fixed by the INPUT (≈32 parts), not the CPU level,
         # so both legs do identical work and produce identical output
         # small cache-friendly partitions, coarse exchange groups (~32),
         # tmpfs exchange (single-node analog of per-node NVMe shuffle dirs)
         n_parts = max(1, (n_hint + 12_499) // 12_500)
+        # Exchange-group count capped at 64: each write batch appends one
+        # run file PER GROUP it touches, so rows-per-file is
+        # run_write_batch_size / n_groups — groups growing with the input
+        # (512 at 6.4M docs) shredded the exchange into ~30-row parquet
+        # files and made the write side 10x slower than linear.  64 groups
+        # x 64k-row batches keeps run files ~1000 rows at any input size
+        # (per NODE at multi-node scale, since each node runs its own
+        # writers against node-local scratch).
         cfg = IndexBuildConfig(morphology="default",
                                target_docs_per_partition=12_500,
-                               exchange_group=1,
+                               exchange_group=max(1, n_parts // 64),
                                lemmatizer_batch_size=1024,
                                extract_batch_size=1024,
-                               run_write_batch_size=16384,
+                               run_write_batch_size=65536,
                                exchange_dir=f"/dev/shm/serx_exchange_{num_cpus}")
         t0 = time.perf_counter()
         res = build_index(pages, out_dir, cfg,
@@ -283,7 +300,8 @@ def run_build_worker(input_dir: str, out_dir: str, num_cpus: int) -> None:
 
 
 def run_scaling(sf_dir: str) -> dict:
-    input_dir = _scaling_input("/tmp/serx_scaling_pages", SCALING_DOCS)
+    input_dir = _scaling_input(
+        f"/tmp/serx_scaling_pages_{SCALING_DOCS // 1000}k", SCALING_DOCS)
     # Each leg runs SCALING_REPEATS times and the BEST wall is used: this VM
     # shares hardware (writeback storms, neighbor noise cause up to 2x wall
     # variance between identical runs), and best-of-N is the standard way to
@@ -341,6 +359,55 @@ def run_scaling(sf_dir: str) -> dict:
     }
 
 
+def run_calibration() -> dict:
+    """Pure-register spin loop at each scaling width: measures what the
+    HOST actually delivers, independent of this engine.  A loop with zero
+    memory traffic that inflates at higher widths proves hypervisor cycle
+    oversubscription — ``effective_cores[w] = w * t_serial / t_mean(w)``
+    is then the PHYSICAL ceiling any software (including a perfect
+    embarrassingly-parallel job) can reach on this box.  BASELINE.md cites
+    this as the isolation evidence for the scaling criterion."""
+    import ray
+
+    ray.init(address="local", num_cpus=max(SCALING_LEVELS),
+             include_dashboard=False)
+    try:
+        @ray.remote
+        def spin(n: int) -> float:
+            t0 = time.perf_counter()
+            x = 0
+            for _ in range(n):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            return time.perf_counter() - t0
+
+        N = 20_000_000
+        ray.get(spin.remote(N))  # warm a worker
+        base = min(ray.get(spin.remote(N)) for _ in range(3))
+        eff_cores = {}
+        for width in SCALING_LEVELS:
+            means = []
+            for _ in range(3):
+                ts = ray.get([spin.remote(N) for _ in range(width)])
+                means.append(sum(ts) / len(ts))
+            eff_cores[width] = round(width * base / min(means), 2)
+        lo, hi = SCALING_LEVELS
+        return {
+            "metric": "cpu_calibration_effective_cores",
+            "value": eff_cores[hi],
+            "unit": "cores",
+            "queries": {f"effective_cores_{w}": v
+                        for w, v in eff_cores.items()},
+            "sf": -1.0,
+            "num_cpus": hi,
+            "spin_serial_s": round(base, 3),
+            # ceiling for (tp_hi/tp_lo)/(hi/lo) on THIS host
+            "physical_efficiency_ceiling": round(
+                (eff_cores[hi] / eff_cores[lo]) / (hi / lo), 3),
+        }
+    finally:
+        ray.shutdown()
+
+
 def _indexes_identical(a: str, b: str) -> bool:
     import glob
     import hashlib
@@ -362,6 +429,9 @@ def _indexes_identical(a: str, b: str) -> bool:
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--calibrate", action="store_true",
+                    help="pure-spin effective-core measurement at the "
+                         "scaling widths (host cycle-delivery ceiling)")
     ap.add_argument("--build-worker", action="store_true")
     ap.add_argument("--input")
     ap.add_argument("--out")
@@ -374,7 +444,9 @@ def main() -> None:
             ap.error("--build-worker requires --input and --out")
         run_build_worker(args.input, args.out, args.num_cpus)
         return
-    if args.scaling:
+    if args.calibrate:
+        result = run_calibration()
+    elif args.scaling:
         result = run_scaling(args.sf_dir)
     else:
         result = run_default(args.sf_dir, args.num_cpus)

@@ -42,7 +42,7 @@ import ray.data as rd
 from ..config import IndexBuildConfig, derive_num_partitions
 from ..stages.extract import assign_part_batch, extract_batch, make_part_filter
 from ..stages.lemmatize import Lemmatizer
-from ..stages.segments import make_run_writer, make_runs_segment_builder
+from ..stages.segments import RunWriterActor, make_runs_segment_builder
 from ..state.manifest import done_parts
 
 CORPUS_STATS = "corpus_stats.json"
@@ -111,24 +111,28 @@ def _wait_for_cpus(cpus: int, timeout: float = 15.0,
         cpus)
 
 
-def _pool_sizes(num_docs_hint: int) -> tuple[tuple[int, int], int]:
-    """(lemmatizer pool bounds, cpus) from the cluster AND the work size.
+def _pool_sizes(num_docs_hint: int) -> tuple[tuple[int, int], int, int]:
+    """(lemmatizer pool bounds, writer actors, cpus) from the cluster AND
+    the work size.
 
     Ray Data's actor autoscaler ramps far too slowly for short jobs (measured
     2.3x wall on 400k docs with min=2 vs a full pool), so the pool MINIMUM is
     sized from the known input: roughly one actor per 5k docs, clamped to
     [2, max].  Small inputs still skip the full-pool startup cost; large
-    inputs start wide immediately.  ``reserve`` keeps read + run-writer
-    headroom so no stage starves (SURVEY.md §4.1)."""
+    inputs start wide immediately.
+
+    The run WRITER is its own (small) actor pool — a task-pool writer
+    competes with reads for the leftover CPUs and gets starved at low
+    widths, letting chain outputs pile toward object-store capacity
+    (measured 6x collapse at 6.4M docs / 8 CPUs).  Split from the measured
+    work ratio: chain ~0.14 ms/doc vs write ~0.03 ms/doc => writer ~1/6 of
+    the node, one CPU of read headroom (reads are ~0.01 ms/doc)."""
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    # measured split on the 800k-doc corpus: extract+lemmatize ~105 CPU·s
-    # vs read+run-write ~32 CPU·s => the pool wants ~3/4 of the node; a
-    # smaller reserve starves the run writer (the 8-CPU leg measured
-    # io-bound at reserve=1: phase A 35s vs ~18s compute-bound)
-    reserve = max(1, cpus // 4)
-    pool_max = max(2, cpus - reserve)
+    writer = max(1, cpus // 6)
+    read_reserve = max(1, cpus // 16)
+    pool_max = max(2, cpus - writer - read_reserve)
     pool_min = max(2, min(pool_max, num_docs_hint // 5_000))
-    return (pool_min, pool_max), cpus
+    return (pool_min, pool_max), writer, cpus
 
 
 def build_index(
@@ -167,7 +171,7 @@ def build_index(
                            ignore_errors=True)
         already = {p: m for p, m in already.items() if p not in stale}
     todo = set(range(num_partitions)) - set(already)
-    lem_actors, cpus = _pool_sizes(num_docs_hint)
+    lem_actors, writer_actors, cpus = _pool_sizes(num_docs_hint)
 
     stats_rows = []
     if todo:
@@ -206,9 +210,14 @@ def build_index(
             concurrency=lem_actors,
             num_cpus=1,
         )
-        acks = ds.map_batches(make_run_writer(runs_dir, cfg.exchange_group),
-                              batch_format="pyarrow",
-                              batch_size=cfg.run_write_batch_size)
+        acks = ds.map_batches(
+            RunWriterActor,
+            fn_constructor_kwargs={"runs_dir": runs_dir,
+                                   "exchange_group": cfg.exchange_group},
+            batch_format="pyarrow",
+            batch_size=cfg.run_write_batch_size,
+            concurrency=(writer_actors, writer_actors),
+            num_cpus=1)
         # ---- drive the shuffle-write execution, collecting ack groups ----
         groups_with_data: set[int] = set()
         for b in acks.iter_batches(batch_format="pyarrow", batch_size=4096):

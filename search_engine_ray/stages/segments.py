@@ -87,6 +87,24 @@ def make_run_writer(runs_dir: str, exchange_group: int = 1):
     return write_runs
 
 
+class RunWriterActor:
+    """Actor-pool wrapper for the run writer.
+
+    A TASK-pool writer competes with read tasks for the non-pool CPUs; at
+    low CPU counts the scheduler starves it, chain outputs pile up toward
+    object-store capacity, and the pipeline collapses once eviction starts
+    (measured: 6.4M docs at 8 CPUs ran 6x slower with all write tasks
+    deferred to the end of the run).  Dedicated writer actors guarantee the
+    exchange drains at production rate regardless of cluster width.
+    """
+
+    def __init__(self, runs_dir: str, exchange_group: int = 1) -> None:
+        self._fn = make_run_writer(runs_dir, exchange_group)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self._fn(batch)
+
+
 def make_runs_segment_builder(runs_dir: str, index_dir: str,
                               cfg: IndexBuildConfig, config_hash: str):
     """Shuffle-READ side: one task per exchange GROUP pulls that group's run
@@ -126,9 +144,18 @@ def make_runs_segment_builder(runs_dir: str, index_dir: str,
             if uniq_parts.size == 1:
                 outs.append(builder(gt))  # group == part: skip the re-copy
             else:
-                for part in uniq_parts:
-                    sub = gt.filter(pa.array(parts == part))
-                    outs.append(builder(sub))
+                # ONE stable gather into part order, then zero-copy slices —
+                # a filter per part re-copies the whole group table per
+                # part (measured 6x per-part build inflation at 8
+                # parts/group)
+                order = np.argsort(parts, kind="stable")
+                gt = gt.take(pa.array(order, pa.int64()))
+                counts = np.bincount(parts - parts.min())
+                starts = np.zeros(uniq_parts.size + 1, np.int64)
+                np.cumsum(counts[counts > 0], out=starts[1:])
+                for i in range(uniq_parts.size):
+                    outs.append(builder(
+                        gt.slice(starts[i], starts[i + 1] - starts[i])))
         return pa.concat_tables(outs) if outs else _empty_stats(-1).slice(0, 0)
 
     return build_from_runs
