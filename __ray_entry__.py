@@ -336,6 +336,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_topk(ds, group_col="lang_id", order_col="n_uniq_tokens",
                             tie_col="doc_id", k=3)
 
+    def event_value_quantiles(sf_dir):
+        """Exact per-type value quantiles (discrete/element semantics —
+        bit-identical to DuckDB quantile_disc; stages/relational)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import grouped_quantiles
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+        return grouped_quantiles(ds, group_col="event_type",
+                                 value_col="value", qs=(0.5, 0.95, 0.99),
+                                 count_alias="n_events")
+
+    def events_range_join(sf_dir):
+        """Bounded-length range join (pipelines/joins.bounded_interval_join):
+        6-hour intervals derived deterministically from the orders table,
+        joined to events by ts containment (overlapping intervals), then
+        per-interval count + exact distinct users."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Count
+
+        from search_engine_ray.pipelines.joins import bounded_interval_join
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "user_id"])
+        t0 = int(pa.compute.min(
+            pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])["ts"]
+        ).cast(pa.int64()).as_py())
+        ok = pq.read_table(f"{sf_dir}/orders.parquet",
+                           columns=["o_orderkey"])["o_orderkey"] \
+            .to_numpy(zero_copy_only=False)
+        keys = ok[ok % 97 == 0].astype(np.int64)
+        six_h = 6 * 3600 * 1_000_000
+        intervals = pa.table({
+            "interval_id": pa.array(keys, pa.int64()),
+            "start_us": pa.array(t0 + (keys % 720) * 3_600_000_000,
+                                 pa.int64()),
+        })
+        joined = bounded_interval_join(ev, intervals, ts_col="ts",
+                                       max_len_us=six_h,
+                                       keep_cols=["user_id"])
+        # exact distinct users per interval: combiner-style double groupby
+        pairs = joined.groupby(["interval_id", "user_id"]).aggregate(
+            Count(alias_name="_c"))
+        users = pairs.drop_columns(["_c"]).groupby("interval_id").aggregate(
+            Count(alias_name="n_users"))
+        counts = joined.groupby("interval_id").aggregate(
+            Count(alias_name="n_events"))
+
+        def _merge(a, b):
+            import pandas as pd
+
+            return pd.merge(a.to_pandas(), b.to_pandas(), on="interval_id")
+
+        return _merge(counts, users)
+
     def exact_dedup(sf_dir):
         import ray.data as rd
 
@@ -522,6 +581,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_nation": orders_by_nation,
         "lineitem_pricing": lineitem_pricing,
         "top_docs_per_lang": top_docs_per_lang,
+        "event_value_quantiles": event_value_quantiles,
+        "events_range_join": events_range_join,
         "exact_dedup": exact_dedup,
         "ngram_jaccard": ngram_jaccard,
         "minhash_lsh": minhash_lsh,
@@ -700,6 +761,30 @@ SELECT lang_id, doc_id, n_uniq_tokens, rank FROM (
     SELECT q.*, ROW_NUMBER() OVER (
         PARTITION BY lang_id ORDER BY n_uniq_tokens DESC, doc_id) AS rank
     FROM q) WHERE rank <= 3
+"""
+
+    sql["event_value_quantiles"] = """
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       quantile_disc(value, 0.5) AS p50,
+       quantile_disc(value, 0.95) AS p95,
+       quantile_disc(value, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+    sql["events_range_join"] = """
+WITH t0 AS (SELECT epoch_us(MIN(ts)) AS v FROM events),
+iv AS (
+    SELECT o_orderkey AS interval_id,
+           (SELECT v FROM t0) + (o_orderkey % 720) * 3600000000 AS start_us
+    FROM orders WHERE o_orderkey % 97 = 0
+)
+SELECT iv.interval_id,
+       COUNT(*)::BIGINT AS n_events,
+       COUNT(DISTINCT e.user_id)::BIGINT AS n_users
+FROM iv JOIN events e
+  ON epoch_us(e.ts) BETWEEN iv.start_us AND iv.start_us + 21600000000
+GROUP BY iv.interval_id
 """
 
     sql["lineitem_pricing"] = """

@@ -94,3 +94,55 @@ def asof_join(
 
     return lt.union(rt).groupby(key_col).map_groups(resolve,
                                                     batch_format="pyarrow")
+
+
+def bounded_interval_join(
+    events: rd.Dataset,
+    intervals: pa.Table,
+    *,
+    ts_col: str = "ts",
+    id_col: str = "interval_id",
+    start_col: str = "start_us",
+    max_len_us: int,
+    keep_cols: list[str] | None = None,
+) -> rd.Dataset:
+    """Range join: event rows x (possibly overlapping) fixed-length
+    intervals, ``start <= ts <= start + max_len_us`` inclusive.
+
+    The interval table is the SMALL side: broadcast once (``ray.put``),
+    sorted by start.  Per batch, each event's candidate intervals are the
+    contiguous run of starts in ``[ts - max_len_us, ts]`` — two
+    ``searchsorted`` calls — and the (event, interval) pairs explode
+    vectorized.  The bounded length is what makes the candidate set a
+    contiguous run; arbitrary-length intervals would need an interval
+    tree or a partition-by-time-bucket shuffle instead (documented
+    custom-operator contract, SURVEY §2.4).
+    """
+    import ray
+
+    keep_cols = keep_cols or []
+    starts = intervals[start_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    ids = intervals[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+    order = np.argsort(starts, kind="stable")
+    ref = ray.put((starts[order], ids[order]))
+    ml = np.int64(max_len_us)
+
+    def join_batch(batch: pa.Table) -> pa.Table:
+        g_starts, g_ids = ray.get(ref)
+        ts = batch[ts_col].cast(pa.int64()).to_numpy()
+        lo = np.searchsorted(g_starts, ts - ml, side="left")
+        hi = np.searchsorted(g_starts, ts, side="right")
+        counts = hi - lo
+        n_out = int(counts.sum())
+        row_of = np.repeat(np.arange(ts.size), counts)
+        # flat candidate index: lo[row] + position-within-run
+        offs = np.zeros(ts.size + 1, np.int64)
+        np.cumsum(counts, out=offs[1:])
+        cand = lo[row_of] + (np.arange(n_out, dtype=np.int64) - offs[row_of])
+        cols = {id_col: pa.array(g_ids[cand], pa.int64()),
+                ts_col: batch[ts_col].take(pa.array(row_of, pa.int64()))}
+        for c in keep_cols:
+            cols[c] = batch[c].take(pa.array(row_of, pa.int64()))
+        return pa.table(cols)
+
+    return events.map_batches(join_batch, batch_format="pyarrow")

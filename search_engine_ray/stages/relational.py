@@ -93,6 +93,39 @@ def broadcast_hash_join(
     return big.map_batches(join_batch, batch_format="pyarrow")
 
 
+def grouped_quantiles(ds: rd.Dataset, *, group_col: str, value_col: str,
+                      qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                      count_alias: str = "n") -> rd.Dataset:
+    """Exact per-group discrete quantiles (DuckDB ``quantile_disc``
+    semantics: ``sorted[ceil(q*n) - 1]`` — an actual element, so results
+    are bit-identical across engines, no interpolation arithmetic).
+
+    Scale shape: only the (group, value) columns shuffle — prune the read
+    to those two.  Exact quantiles fundamentally need each group's values
+    in one place (8 bytes/value after pruning); for groups beyond a
+    worker's heap use a two-pass histogram refinement or a sketch
+    (``pipelines/sketches``) instead — this operator is the exact
+    oracle-checkable member of the family.
+    """
+    import math
+
+    cols = {f"p{int(round(q * 100))}": q for q in qs}
+
+    def per_group(g: pa.Table) -> pa.Table:
+        key = g[group_col][0]
+        v = np.sort(g[value_col].to_numpy(zero_copy_only=False))
+        n = v.size
+        out: dict = {group_col: pa.array([key.as_py()]),
+                     count_alias: pa.array([n], pa.int64())}
+        for name, q in cols.items():
+            idx = min(n - 1, max(0, math.ceil(q * n) - 1))
+            out[name] = pa.array([float(v[idx])], pa.float64())
+        return pa.table(out)
+
+    return ds.select_columns([group_col, value_col]) \
+        .groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+
+
 def grouped_topk(ds: rd.Dataset, *, group_col: str, order_col: str,
                  tie_col: str, k: int, descending: bool = True) -> rd.Dataset:
     """Top-k rows per group with a deterministic (order, tie) sort.

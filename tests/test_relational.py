@@ -92,3 +92,46 @@ def test_grouped_topk_parallelism_invariant(ray_session):
             .sort_values(["g", "rank"]).reset_index(drop=True)
         outs.append(out)
     assert outs[0].equals(outs[1])
+
+
+def test_grouped_quantiles_matches_duckdb_rule(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from search_engine_ray.stages.relational import grouped_quantiles
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"g": rng.choice(["a", "b", "c"], 3000),
+                       "v": rng.rand(3000) * 100})
+    out = grouped_quantiles(
+        _big_ds({"g": pa.array(df["g"]), "v": pa.array(df["v"])}),
+        group_col="g", value_col="v", qs=(0.25, 0.5, 0.99),
+        count_alias="n").to_pandas().set_index("g").sort_index()
+    exp = duckdb.sql("""
+        SELECT g, COUNT(*)::BIGINT AS n,
+               quantile_disc(v, 0.25) AS p25,
+               quantile_disc(v, 0.5) AS p50,
+               quantile_disc(v, 0.99) AS p99
+        FROM df GROUP BY g ORDER BY g""").df().set_index("g")
+    assert out["n"].tolist() == exp["n"].tolist()
+    for c in ("p25", "p50", "p99"):
+        assert out[c].tolist() == exp[c].tolist()  # exact element: bitwise
+
+
+def test_bounded_interval_join_overlapping(ray_session):
+    import pandas as pd
+
+    from search_engine_ray.pipelines.joins import bounded_interval_join
+
+    # overlapping 10us intervals at 0, 5, 20; events at 0,5,10,15,30
+    intervals = pa.table({"interval_id": pa.array([1, 2, 3], pa.int64()),
+                          "start_us": pa.array([0, 5, 20], pa.int64())})
+    ev = _big_ds({"ts": pa.array([0, 5, 10, 15, 30], pa.timestamp("us")),
+                  "user_id": pa.array([7, 7, 8, 8, 9], pa.int64())})
+    out = bounded_interval_join(ev, intervals, ts_col="ts", max_len_us=10,
+                                keep_cols=["user_id"]).to_pandas()
+    got = sorted(zip(out["interval_id"],
+                     out["ts"].astype("int64"), out["user_id"]))
+    # inclusive both ends: iv1 covers [0,10], iv2 [5,15], iv3 [20,30]
+    assert got == [(1, 0, 7), (1, 5, 7), (1, 10, 8),
+                   (2, 5, 7), (2, 10, 8), (2, 15, 8), (3, 30, 9)]
