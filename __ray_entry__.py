@@ -27,6 +27,42 @@ from search_engine_ray.functions.textstats import QUALITY_STOPWORDS
 
 _SPLIT_SQL = r"[ \t\n\x0b\f\r]+"
 
+# word-3-gram Jaccard candidate pairs (shared by ngram_jaccard and
+# dedup_clusters); mirrors stages/dedup.py ngram_jaccard_pairs exactly,
+# including the df<=50 stop-shingle cap
+_JACCARD_CTES = """toks AS (
+    SELECT doc_id, lower(text) AS t,
+           regexp_extract_all(lower(text), '[a-z]+') AS words
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+    FROM toks, UNNEST(range(1, len(words) - 1)) AS r(i)
+    WHERE len(words) >= 3
+),
+keep AS (
+    SELECT shingle FROM shingles GROUP BY shingle
+    HAVING COUNT(*) BETWEEN 2 AND 50
+),
+sizes AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n FROM shingles GROUP BY doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_inter
+    FROM shingles a
+    JOIN keep k ON k.shingle = a.shingle
+    JOIN shingles b ON b.shingle = a.shingle AND b.doc_id > a.doc_id
+    GROUP BY a.doc_id, b.doc_id
+),
+jpairs AS (
+    SELECT p.doc_a, p.doc_b, p.n_inter
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) >= 0.5
+)"""
+
 _TF_CTE = f"""
 raw_tok AS (
     SELECT doc_id,
@@ -414,6 +450,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_shingle_df=50) \
             .select_columns(["doc_a", "doc_b", "n_inter"])
 
+    def dedup_clusters(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import ngram_jaccard_pairs
+        from search_engine_ray.stages.graph import connected_components
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        pairs = ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_shingle_df=50)
+        return connected_components(pairs)
+
     def minhash_lsh(sf_dir):
         import ray.data as rd
 
@@ -557,6 +604,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sess(ds, gap_sec=1800).select_columns(
             ["user_id", "session_id", "n_events", "start_sec", "end_sec"])
 
+    def events_analytic(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import analytic_per_key
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id", "value"])
+        return analytic_per_key(ds)
+
+    def sample_bernoulli(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.sampling import bernoulli_sample
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang"])
+        return bernoulli_sample(ds, key_col="doc_id", p=0.1)
+
+    def sample_stratified(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.sampling import stratified_sample
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "lang"])
+        return stratified_sample(ds, strata_col="lang", key_col="doc_id",
+                                 n_per_stratum=20)
+
     return {
         "tf": tf,
         "term_df": term_df,
@@ -585,6 +660,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": events_range_join,
         "exact_dedup": exact_dedup,
         "ngram_jaccard": ngram_jaccard,
+        "dedup_clusters": dedup_clusters,
         "minhash_lsh": minhash_lsh,
         "simhash_dedup": simhash_dedup,
         "knn_cosine": knn_cosine,
@@ -595,6 +671,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": events_hopping,
         "events_asof": events_asof,
         "sessionize": sessionize,
+        "events_analytic": events_analytic,
+        "sample_bernoulli": sample_bernoulli,
+        "sample_stratified": sample_stratified,
     }
 
 
@@ -803,37 +882,30 @@ SELECT md5(text) AS content_hash,
 FROM documents GROUP BY md5(text)
 """
 
-    sql["ngram_jaccard"] = """
-WITH toks AS (
-    SELECT doc_id, lower(text) AS t,
-           regexp_extract_all(lower(text), '[a-z]+') AS words
-    FROM documents
+    sql["ngram_jaccard"] = f"""
+WITH {_JACCARD_CTES}
+SELECT doc_a, doc_b, n_inter FROM jpairs
+"""
+
+    # connected components of the >=0.5-Jaccard pair graph: transitive
+    # closure via a recursive CTE (min reachable node id = cluster id)
+    sql["dedup_clusters"] = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jpairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM jpairs
 ),
-shingles AS (
-    SELECT DISTINCT doc_id,
-           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
-    FROM toks, UNNEST(range(1, len(words) - 1)) AS r(i)
-    WHERE len(words) >= 3
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
 ),
-keep AS (
-    SELECT shingle FROM shingles GROUP BY shingle
-    HAVING COUNT(*) BETWEEN 2 AND 50
-),
-sizes AS (
-    SELECT doc_id, COUNT(*)::BIGINT AS n FROM shingles GROUP BY doc_id
-),
-pairs AS (
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_inter
-    FROM shingles a
-    JOIN keep k ON k.shingle = a.shingle
-    JOIN shingles b ON b.shingle = a.shingle AND b.doc_id > a.doc_id
-    GROUP BY a.doc_id, b.doc_id
-)
-SELECT p.doc_a, p.doc_b, p.n_inter
-FROM pairs p
-JOIN sizes sa ON sa.doc_id = p.doc_a
-JOIN sizes sb ON sb.doc_id = p.doc_b
-WHERE CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) >= 0.5
+clusters AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster::BIGINT AS cluster,
+       (node = cluster) AS is_canonical
+FROM clusters
 """
 
     sql["knn_cosine"] = """
@@ -917,6 +989,41 @@ SELECT user_id, session_id::BIGINT AS session_id,
        COUNT(*)::BIGINT AS n_events,
        MIN(sec) AS start_sec, MAX(sec) AS end_sec
 FROM sessions GROUP BY user_id, session_id
+"""
+
+    sql["events_analytic"] = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER w AS rn,
+       LAG(value) OVER w AS prev_value,
+       LEAD(value) OVER w AS next_value,
+       date_diff('second', LAG(ts) OVER w, ts)::BIGINT AS gap_sec,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+    # deterministic hash sampling (stages/sampling.py): the threshold is the
+    # Python-side floor of p*2^32 inlined as a literal, because SQL
+    # double->BIGINT CAST rounds while Python int() truncates
+    _t = int(0.1 * (1 << 32))
+    sql["sample_bernoulli"] = f"""
+SELECT doc_id, lang FROM documents
+WHERE (doc_id * 2654435761) % 4294967296 < {_t}
+"""
+
+    sql["sample_stratified"] = """
+WITH h AS (
+    SELECT doc_id, lang, (doc_id * 2654435761) % 4294967296 AS h
+    FROM documents
+),
+r AS (
+    SELECT doc_id, lang, h,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h, doc_id) AS "rank"
+    FROM h
+)
+SELECT doc_id, lang, h, "rank" FROM r WHERE "rank" <= 20
 """
 
     # minhash_lsh, simhash_dedup, knn_ivf, knn_lsh: probabilistic/bucketed —

@@ -121,3 +121,48 @@ def sessionize(events: rd.Dataset, gap_sec: int = 1800,
         })
 
     return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+def analytic_per_key(events: rd.Dataset, key_col: str = "user_id",
+                     ts_col: str = "ts", order_col: str = "event_id",
+                     value_col: str = "value") -> rd.Dataset:
+    """Per-key analytic (window) functions: row_number, lag/lead, gap to the
+    previous event, and a cumulative sum.
+
+    Scale shape: ONE shuffle (``groupby(key)``), then fully vectorized numpy
+    per group.  Same partitioning assumption as :func:`sessionize`: one key's
+    history must fit in a worker — true for per-user event logs at any corpus
+    size, because the shuffle spreads *keys*, not time.
+
+    The cumulative column is integer cents (``floor(value*100)`` summed as
+    int64) rather than a float running sum: DuckDB's windowed ``SUM`` uses
+    tree aggregation whose float association order differs from a sequential
+    ``np.cumsum`` (observed ~1e-12 drift), so the SQL-parity contract is only
+    exact over integers.  ``lag``/``lead`` copy raw doubles — exact.
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending"),
+                                                  (order_col, "ascending")])
+        g = group.take(order)
+        n = g.num_rows
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        ts = g[ts_col].cast(pa.int64()).to_numpy() // 1_000_000
+        cents = np.floor(v * 100.0).astype(np.int64)
+        nan1 = np.array([np.nan])
+        prev = np.concatenate([nan1, v[:-1]]) if n else v
+        nxt = np.concatenate([v[1:], nan1]) if n else v
+        gap = np.concatenate([[0], np.diff(ts)]) if n else ts
+        gap_mask = np.zeros(n, bool)
+        if n:
+            gap_mask[0] = True  # first event of a key has no predecessor
+        return pa.table({
+            order_col: g[order_col],
+            key_col: g[key_col],
+            "rn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "prev_value": pa.array(prev, pa.float64()),
+            "next_value": pa.array(nxt, pa.float64()),
+            "gap_sec": pa.array(gap, pa.int64(), mask=gap_mask),
+            "cum_cents": pa.array(np.cumsum(cents), pa.int64()),
+        })
+
+    return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -39,3 +39,32 @@ def test_asof_join_semantics(ray_session):
     assert out.loc[3, "right_rvalue"] == 2.5
     base = int(_ts(10).timestamp() * 1_000_000)
     assert out.loc[2, "right_ts_us"] == base
+
+
+def test_analytic_per_key(ray_session):
+    from search_engine_ray.pipelines.windows import analytic_per_key
+
+    events = pa.table({
+        "event_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "user_id": pa.array([7, 7, 7, 8, 8], pa.int64()),
+        "ts": pa.array([_ts(0), _ts(30), _ts(10), _ts(5), _ts(5)],
+                       pa.timestamp("us")),
+        "value": pa.array([1.0, 2.5, 0.5, 9.99, 3.0], pa.float64()),
+    })
+    out = analytic_per_key(rd.from_arrow(events)).to_pandas() \
+        .sort_values(["user_id", "rn"]).reset_index(drop=True)
+    # user 7 in ts order: events 1 (v=1.0), 3 (v=0.5), 2 (v=2.5)
+    u7 = out[out.user_id == 7]
+    assert list(u7.event_id) == [1, 3, 2]
+    assert list(u7.rn) == [1, 2, 3]
+    assert u7.prev_value.tolist()[1:] == [1.0, 0.5]
+    assert u7.next_value.tolist()[:2] == [0.5, 2.5]
+    assert u7.gap_sec.tolist()[1:] == [10, 20]
+    assert u7.gap_sec.isna().tolist() == [True, False, False]
+    assert list(u7.cum_cents) == [100, 150, 400]
+    # user 8: same ts -> order by event_id; floor(9.99*100) == 999 in
+    # float64 (9.99*100 = 999.0000000000001) — identical in DuckDB, which
+    # is exactly the double-for-double parity the operator promises.
+    u8 = out[out.user_id == 8]
+    assert list(u8.event_id) == [4, 5]
+    assert list(u8.cum_cents) == [999, 1299]
