@@ -613,6 +613,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_id", "ts", "user_id", "value"])
         return analytic_per_key(ds)
 
+    def decontaminate(sf_dir):
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from search_engine_ray.stages.contamination import (
+            benchmark_shingles, decontaminate as _decon)
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        # stand-in benchmark: the 10 lowest-id documents
+        bench = docs.map_batches(
+            lambda t: t.filter(pc.less(t["doc_id"], 10)),
+            batch_format="pyarrow")
+        corpus = docs.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["doc_id"], 10)),
+            batch_format="pyarrow")
+        return _decon(corpus, benchmark_shingles(bench, n=3), n=3)
+
+    def heavy_hitters(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.sketches import heavy_hitters_cms
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return heavy_hitters_cms(docs, min_count=500)
+
     def sample_bernoulli(sf_dir):
         import ray.data as rd
 
@@ -674,6 +701,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_analytic": events_analytic,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
+        "decontaminate": decontaminate,
+        "heavy_hitters": heavy_hitters,
     }
 
 
@@ -1002,6 +1031,41 @@ SELECT event_id, user_id,
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+    # decontamination: string-shingle overlap vs the hash-shingle engine —
+    # parity also witnesses hash-collision freedom on the test corpus.
+    # (unreferenced CTEs in _JACCARD_CTES are not executed by DuckDB)
+    sql["decontaminate"] = f"""
+WITH {_JACCARD_CTES},
+bench AS (SELECT DISTINCT shingle FROM shingles WHERE doc_id < 10),
+hits AS (
+    SELECT s.doc_id, COUNT(*)::BIGINT AS n_hits
+    FROM shingles s
+    JOIN bench b ON b.shingle = s.shingle
+    WHERE s.doc_id >= 10
+    GROUP BY s.doc_id
+)
+SELECT d.doc_id, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+       (COALESCE(h.n_hits, 0) > 0) AS contaminated
+FROM documents d
+LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id >= 10
+"""
+
+    # Count-Min heavy hitters: est_count is an overestimate bounded by
+    # eps*N in general, but exact whenever the distinct-term count is far
+    # below the sketch width — structural here (vocab ~600 << 16384), so
+    # the exact-count oracle is valid on this corpus (verified, not luck);
+    # at real-corpus vocabularies the operator returns a superset and the
+    # oracle would be relaxed to rows-only.
+    sql["heavy_hitters"] = """
+WITH toks AS (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+),
+counts AS (SELECT term, COUNT(*)::BIGINT AS est_count FROM toks GROUP BY term)
+SELECT term, est_count FROM counts WHERE est_count >= 500
 """
 
     # deterministic hash sampling (stages/sampling.py): the threshold is the

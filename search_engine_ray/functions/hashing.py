@@ -234,3 +234,46 @@ def hll_estimate(registers: np.ndarray) -> float:
     if est <= 2.5 * m and zeros:
         est = m * np.log(m / zeros)
     return float(est)
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005)
+# --------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 1 << 14  # 16384 counters/row -> eps ~ e/16384 ~ 1.7e-4 of N
+
+
+def cms_indices(item_hashes: np.ndarray, depth: int = CMS_DEPTH,
+                width: int = CMS_WIDTH) -> np.ndarray:
+    """(depth, n) row-local counter indices for each item — the j-th hash is
+    ``splitmix64(h + j*POLY_P) % width`` (independent-enough rows from one
+    base hash, the standard h1+j*h2 construction)."""
+    offs = (np.arange(depth, dtype=np.uint64) * _POLY_P)[:, None]
+    return (_splitmix64(item_hashes[None, :] + offs) %
+            np.uint64(width)).astype(np.int64)
+
+
+def cms_fold(item_hashes: np.ndarray, counts: np.ndarray | None = None,
+             depth: int = CMS_DEPTH, width: int = CMS_WIDTH,
+             weights: np.ndarray | None = None) -> np.ndarray:
+    """Fold items into a (depth, width) int64 counter array (created when
+    ``counts`` is None).  Merge of two sketches = element-wise sum."""
+    if counts is None:
+        counts = np.zeros((depth, width), np.int64)
+    if item_hashes.size:
+        idx = cms_indices(item_hashes, depth, width)
+        w = np.ones(item_hashes.size, np.int64) if weights is None else weights
+        for j in range(depth):
+            np.add.at(counts[j], idx[j], w)
+    return counts
+
+
+def cms_query(counts: np.ndarray, item_hashes: np.ndarray) -> np.ndarray:
+    """Point estimates (min over rows) — overestimates, never under."""
+    depth, width = counts.shape
+    if not item_hashes.size:
+        return np.empty(0, np.int64)
+    idx = cms_indices(item_hashes, depth, width)
+    ests = counts[np.arange(depth)[:, None], idx]
+    return ests.min(axis=0)

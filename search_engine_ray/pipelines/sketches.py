@@ -85,3 +85,81 @@ def exact_distinct_daily(events: rd.Dataset, key_col: str = "user_id",
     deduped = pairs.groupby(["day", key_col]).aggregate(Count(alias_name="_c"))
     return deduped.drop_columns(["_c"]).groupby("day").aggregate(
         Count(alias_name="n_users"))
+
+
+# --------------------------------------------------------------------------
+# Count-Min heavy hitters
+# --------------------------------------------------------------------------
+
+def heavy_hitters_cms(docs: rd.Dataset, *, min_count: int,
+                      text_col: str = "text") -> rd.Dataset:
+    """Terms whose corpus-wide occurrence count is >= ``min_count``, with
+    Count-Min estimated counts (est >= true, never under — so the output is
+    a superset of the true heavy hitters; the overestimate is bounded by
+    eps*N w.h.p., eps ~ e/width).
+
+    Two streaming passes, both shuffle-light:
+
+    1. every batch folds its tokens into a (depth x width) partial sketch
+      (a fixed 512 KB regardless of batch size); partials tree-merge by
+      element-wise sum into ONE global sketch — the only "wide" step moves
+      ``n_blocks`` sketches, not tokens;
+    2. the candidate-term stream (per-batch distinct -> one dedup groupby)
+      probes the broadcast sketch and keeps terms with est >= min_count.
+
+    This is how you find hot n-grams/URLs/terms in a 100 TB corpus without
+    a full groupby-count over every token occurrence.
+    """
+    import re
+
+    import ray
+
+    from ..functions.hashing import cms_fold, cms_query
+
+    word_re = re.compile(r"[a-z]+")
+
+    def partial_sketch(batch: pa.Table) -> pa.Table:
+        toks = [t for s in batch[text_col].to_pylist()
+                for t in word_re.findall((s or "").lower())]
+        counts = cms_fold(stable_hash_array(toks))
+        return pa.table({"sketch": pa.array([counts.tobytes()], pa.binary())})
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        from ..functions.hashing import CMS_DEPTH, CMS_WIDTH
+
+        acc = np.zeros((CMS_DEPTH, CMS_WIDTH), np.int64)
+        for buf in group["sketch"].to_pylist():
+            acc += np.frombuffer(buf, np.int64).reshape(CMS_DEPTH, CMS_WIDTH)
+        return pa.table({"sketch": pa.array([acc.tobytes()], pa.binary())})
+
+    sketch_rows = docs.map_batches(partial_sketch, batch_format="pyarrow") \
+        .map_batches(lambda t: t.append_column("g", pa.nulls(t.num_rows, pa.int8())),
+                     batch_format="pyarrow") \
+        .groupby("g").map_groups(merge_group, batch_format="pyarrow") \
+        .take_all()
+    from ..functions.hashing import CMS_DEPTH, CMS_WIDTH
+
+    sketch = np.frombuffer(sketch_rows[0]["sketch"], np.int64) \
+        .reshape(CMS_DEPTH, CMS_WIDTH)
+    sketch_ref = ray.put(sketch)
+
+    def batch_distinct(batch: pa.Table) -> pa.Table:
+        toks = set(t for s in batch[text_col].to_pylist()
+                   for t in word_re.findall((s or "").lower()))
+        return pa.table({"term": pa.array(sorted(toks), pa.string())})
+
+    def probe_batch(batch: pa.Table) -> pa.Table:
+        terms = batch["term"].to_pylist()
+        est = cms_query(ray.get(sketch_ref), stable_hash_array(terms))
+        keep = est >= min_count
+        return pa.table({
+            "term": batch["term"].filter(pa.array(keep)),
+            "est_count": pa.array(est[keep], pa.int64()),
+        })
+
+    from ray.data.aggregate import Count
+
+    distinct = docs.map_batches(batch_distinct, batch_format="pyarrow") \
+        .groupby("term").aggregate(Count(alias_name="_n")) \
+        .drop_columns(["_n"])
+    return distinct.map_batches(probe_batch, batch_format="pyarrow")
