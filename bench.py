@@ -150,6 +150,10 @@ HEADLINE = [
     "minhash_lsh", "simhash_dedup", "knn_cosine", "knn_ivf",
     "events_window", "sessionize", "doc_quality", "approx_users_daily",
     "users_daily",
+    # round-2 operators
+    "dedup_clusters", "heavy_hitters", "events_analytic",
+    "event_value_quantiles", "events_range_join", "decontaminate",
+    "top_docs_per_lang", "sample_stratified", "lineitem_pricing",
 ]
 
 

@@ -9,25 +9,29 @@ round-2 scale addition in the spirit of SURVEY §2.11.
 
 Scale shape
 -----------
-``connected_components`` is min-label propagation:
+``connected_components`` is tree-reduction star contraction:
 
-* one round = two ``groupby`` exchanges, **no joins**: a tagged union of the
-  current label table and the static symmetric edge list is grouped by node
-  (each group sees the node's 1 label row + its adjacency rows and emits
-  ``(neighbor, my_label)`` messages), then messages+labels are grouped by
-  node again and reduced with ``min``;
-* rounds until the global ``sum(label)`` stops decreasing (labels only ever
-  decrease, so the sum is a monotone convergence witness that costs one tiny
-  aggregate per round) — O(component diameter) rounds;
-* the label table holds only nodes that appear in some candidate pair —
-  at corpus scale that is the (small) dup subgraph, not the corpus.  The
-  edge list is materialized once so rounds do not re-execute the upstream
-  pair pipeline.
+* **contract** (``map_batches``, vectorized): each block runs a min-label
+  fixpoint over its own edges (``np.minimum.at`` + pointer jumping — no
+  Python per-edge loop) and replaces the block's edge set with a *star
+  forest* ``(node, local_min_root)``.  A connected subgraph and its star
+  have the same components, so this is a lossless contraction that shrinks
+  a block to at most one row per distinct node it mentions.
+* **reduce**: coalesce the contracted blocks ``fan_in``-to-1 with a plain
+  ``repartition`` (no sort, no key exchange) and contract again — stars
+  from different blocks that share a node merge.  After ``O(log_fan_in B)``
+  rounds one block remains and its fixpoint is exact; roots are the global
+  component minima, deterministically, for any input order or parallelism.
 
-For graphs with giant diameters the classic fix is large-star/small-star
-(O(log n) rounds, same primitives); near-dup components are dense and
-shallow, so plain propagation is the right default and the round cap guards
-pathological inputs.
+Contrast with per-round min-label propagation over a ``groupby`` (the
+classic alternative): that costs two sort-based all-to-all exchanges per
+round and O(component diameter) rounds; this costs O(log #blocks) cheap
+coalescing repartitions, each over data already contracted to ≤ one row
+per node.  The final round's single block holds one row per distinct node
+of the *pair graph* (the dup subgraph, not the corpus) — the same bound as
+any labelling output.  If even that exceeds one worker's heap, the known
+escape is large-star/small-star over a keyed groupby (O(log n) rounds);
+not needed for near-dup workloads, which are sparse relative to the corpus.
 """
 
 from __future__ import annotations
@@ -36,13 +40,45 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data as rd
-from ray.data.aggregate import Min
 
 __all__ = ["connected_components"]
 
 
+def _local_cc(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected components over one batch's edge list.
+
+    Returns ``(nodes, roots)`` — the distinct node ids and, for each, the
+    minimum node id of its component *within this batch*.  Min-label
+    fixpoint with pointer jumping: labels only decrease and jumping squares
+    path lengths, so iterations are O(log V) for paths (and 1-2 for the
+    dense shallow components near-dup pipelines produce).
+    """
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    ai = inv[: a.size]
+    bi = inv[a.size:]
+    lbl = np.arange(nodes.size, dtype=np.int64)
+    while True:
+        nxt = lbl.copy()
+        np.minimum.at(nxt, ai, lbl[bi])
+        np.minimum.at(nxt, bi, lbl[ai])
+        nxt = nxt[nxt]  # pointer jump (label-of-label, halves tree depth)
+        nxt = nxt[nxt]
+        if np.array_equal(nxt, lbl):
+            break
+        lbl = nxt
+    return nodes, nodes[lbl]
+
+
+def _star(batch: pa.Table) -> pa.Table:
+    a = batch["node"].to_numpy()
+    b = batch["other"].to_numpy()
+    nodes, roots = _local_cc(a, b)
+    return pa.table({"node": pa.array(nodes, pa.int64()),
+                     "other": pa.array(roots, pa.int64())})
+
+
 def connected_components(pairs: rd.Dataset, *, a_col: str = "doc_a",
-                         b_col: str = "doc_b",
+                         b_col: str = "doc_b", fan_in: int = 8,
                          max_rounds: int = 50) -> rd.Dataset:
     """Connected components of an undirected pair graph.
 
@@ -52,68 +88,28 @@ def connected_components(pairs: rd.Dataset, *, a_col: str = "doc_a",
     pipeline keeps).  Deterministic for any input order and parallelism.
     """
 
-    def symmetrize(batch: pa.Table) -> pa.Table:
-        a = batch[a_col].to_numpy()
-        b = batch[b_col].to_numpy()
-        return pa.table({
-            "node": pa.array(np.concatenate([a, b]), pa.int64()),
-            "other": pa.array(np.concatenate([b, a]), pa.int64()),
-        })
+    def rename(t: pa.Table) -> pa.Table:
+        return pa.table({"node": t[a_col].cast(pa.int64()),
+                         "other": t[b_col].cast(pa.int64())})
 
-    edges = pairs.map_batches(symmetrize, batch_format="pyarrow").materialize()
-
-    # initial labels: label(node) = node (one row per distinct node)
-    labels = edges.groupby("node").aggregate(
-        Min("other", alias_name="_drop")).drop_columns(["_drop"])
-    labels = labels.map_batches(
-        lambda t: t.append_column("label", t["node"]),
-        batch_format="pyarrow").materialize()
-
-    def propagate(group: pa.Table) -> pa.Table:
-        """Group = one node's label row (other == null) + adjacency rows.
-        Emit (neighbor, label) for every neighbor plus (node, label)."""
-        other = group["other"]
-        lab_col = group["label"]
-        labs = lab_col.to_numpy(zero_copy_only=False)
-        lab = np.nanmin(labs)
-        nbrs = other.drop_null().to_numpy()
-        node = group["node"][0].as_py()
-        out_nodes = np.concatenate([nbrs, [node]])
-        return pa.table({
-            "node": pa.array(out_nodes, pa.int64()),
-            "label": pa.array(np.full(out_nodes.size, int(lab), np.int64)),
-        })
-
-    prev_sum = None
+    cur = pairs.map_batches(rename, batch_format="pyarrow") \
+        .map_batches(_star, batch_format="pyarrow", batch_size=None) \
+        .materialize()
     for _ in range(max_rounds):
-        tagged_labels = labels.map_batches(
-            lambda t: pa.table({
-                "node": t["node"],
-                "other": pa.nulls(t.num_rows, pa.int64()),
-                "label": t["label"].cast(pa.float64()),
-            }), batch_format="pyarrow")
-        tagged_edges = edges.map_batches(
-            lambda t: pa.table({
-                "node": t["node"],
-                "other": t["other"],
-                "label": pa.nulls(t.num_rows, pa.float64()),
-            }), batch_format="pyarrow")
-        msgs = tagged_labels.union(tagged_edges) \
-            .groupby("node").map_groups(propagate, batch_format="pyarrow")
-        labels = msgs.groupby("node").aggregate(
-            Min("label", alias_name="label")).materialize()
-        cur_sum = labels.sum("label")
-        if prev_sum is not None and cur_sum == prev_sum:
+        nb = cur.num_blocks()
+        if nb <= 1:
             break
-        prev_sum = cur_sum
+        cur = cur.repartition(max(1, nb // fan_in)) \
+            .map_batches(_star, batch_format="pyarrow", batch_size=None) \
+            .materialize()
 
     def finalize(batch: pa.Table) -> pa.Table:
         node = batch["node"].to_numpy()
-        lab = batch["label"].to_numpy()
+        lab = batch["other"].to_numpy()
         return pa.table({
             "doc_id": pa.array(node, pa.int64()),
             "cluster": pa.array(lab, pa.int64()),
             "is_canonical": pa.array(node == lab),
         })
 
-    return labels.map_batches(finalize, batch_format="pyarrow")
+    return cur.map_batches(finalize, batch_format="pyarrow")
