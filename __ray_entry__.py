@@ -431,6 +431,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _merge(counts, users)
 
+    def pii_scrub(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.cleaning import scrub_pii
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return scrub_pii(ds)
+
+    def line_dedup(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.cleaning import line_dedup as _ld
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return _ld(ds, max_docs=1)
+
+    def doc_repetition(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.cleaning import repetition_stats
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return repetition_stats(ds)
+
     def exact_dedup(sf_dir):
         import ray.data as rd
 
@@ -685,6 +712,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": top_docs_per_lang,
         "event_value_quantiles": event_value_quantiles,
         "events_range_join": events_range_join,
+        "pii_scrub": pii_scrub,
+        "line_dedup": line_dedup,
+        "doc_repetition": doc_repetition,
         "exact_dedup": exact_dedup,
         "ngram_jaccard": ngram_jaccard,
         "dedup_clusters": dedup_clusters,
@@ -902,6 +932,57 @@ SELECT l_returnflag, l_linestatus,
        SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_base_cents,
        SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS sum_disc_cents
 FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+    # PII scrub: identical RE2 pattern strings on both engines (pyarrow and
+    # DuckDB regexp_* are RE2-backed); replacement order email -> ip ->
+    # phone, counts measured on the original text per pattern independently
+    # (stages/cleaning.py scrub_pii).
+    sql["pii_scrub"] = r"""
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g'),
+    '\+?[0-9][0-9()\-\s]{7,}[0-9]', '<PHONE>', 'g') AS text,
+  len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+  len(regexp_extract_all(text, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b'))::BIGINT AS n_ips,
+  len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s]{7,}[0-9]'))::BIGINT AS n_phones
+FROM documents
+"""
+
+    # C4/CCNet boilerplate-line removal: a line occurring in >1 distinct
+    # documents is removed everywhere (stages/cleaning.py line_dedup).
+    sql["line_dedup"] = """
+WITH lines AS (
+  SELECT doc_id, unnest(ss) AS line,
+         unnest(generate_series(1, len(ss))) AS line_no
+  FROM (SELECT doc_id, string_split(text, chr(10)) AS ss FROM documents)),
+dup AS (SELECT line FROM lines GROUP BY line HAVING COUNT(DISTINCT doc_id) > 1)
+SELECT l.doc_id,
+  COALESCE(string_agg(CASE WHEN d.line IS NULL THEN l.line END,
+                      chr(10) ORDER BY l.line_no), '') AS clean_text,
+  COUNT(*)::BIGINT AS n_lines,
+  SUM(CASE WHEN d.line IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_removed
+FROM lines l LEFT JOIN dup d USING (line)
+GROUP BY l.doc_id
+"""
+
+    # Gopher within-doc repetition signals (stages/cleaning.py
+    # repetition_stats); divisions are over identical int64 operands on
+    # both sides, so the float64 results are bit-identical.
+    sql["doc_repetition"] = """
+WITH lines AS (
+  SELECT doc_id, unnest(string_split(text, chr(10))) AS line FROM documents),
+g AS (SELECT doc_id, line, COUNT(*) AS c FROM lines GROUP BY doc_id, line)
+SELECT doc_id,
+  SUM(c)::BIGINT AS n_lines,
+  (SUM(c) - COUNT(*))::BIGINT AS n_dup_lines,
+  ((SUM(c) - COUNT(*))::DOUBLE / SUM(c)::DOUBLE) AS dup_line_frac,
+  CASE WHEN SUM(c*length(line)) > 0
+       THEN SUM(CASE WHEN c > 1 THEN c*length(line) ELSE 0 END)::DOUBLE
+            / SUM(c*length(line))::DOUBLE
+       ELSE 0.0 END AS dup_line_char_frac
+FROM g GROUP BY doc_id
 """
 
     sql["exact_dedup"] = """

@@ -154,6 +154,7 @@ HEADLINE = [
     "dedup_clusters", "heavy_hitters", "events_analytic",
     "event_value_quantiles", "events_range_join", "decontaminate",
     "top_docs_per_lang", "sample_stratified", "lineitem_pricing",
+    "pii_scrub", "line_dedup", "doc_repetition",
 ]
 
 
