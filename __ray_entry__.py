@@ -431,6 +431,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _merge(counts, users)
 
+    def customer_orders(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import shuffle_hash_join
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"])
+        return shuffle_hash_join(
+            orders, cust, on=("o_custkey",), right_on=("c_custkey",),
+            how="inner", num_partitions=8).select_columns(
+            ["o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+             "o_totalprice"])
+
+    def customers_no_urgent(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import shuffle_hash_join
+
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal"])
+        urgent = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"]) \
+            .filter(expr="o_orderpriority == '1-URGENT'") \
+            .select_columns(["o_custkey"])
+        return shuffle_hash_join(
+            cust, urgent, on=("c_custkey",), right_on=("o_custkey",),
+            how="anti", num_partitions=8)
+
     def pii_scrub(sf_dir):
         import ray.data as rd
 
@@ -712,6 +746,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_lang": top_docs_per_lang,
         "event_value_quantiles": event_value_quantiles,
         "events_range_join": events_range_join,
+        "customer_orders": customer_orders,
+        "customers_no_urgent": customers_no_urgent,
         "pii_scrub": pii_scrub,
         "line_dedup": line_dedup,
         "doc_repetition": doc_repetition,
@@ -932,6 +968,20 @@ SELECT l_returnflag, l_linestatus,
        SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))::BIGINT AS sum_base_cents,
        SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT))::BIGINT AS sum_disc_cents
 FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+    # big-big shuffle hash join (stages/relational.py shuffle_hash_join)
+    sql["customer_orders"] = """
+SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+"""
+
+    sql["customers_no_urgent"] = """
+SELECT c.c_custkey, c.c_name, c.c_acctbal
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
 """
 
     # PII scrub: identical RE2 pattern strings on both engines (pyarrow and

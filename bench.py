@@ -154,7 +154,7 @@ HEADLINE = [
     "dedup_clusters", "heavy_hitters", "events_analytic",
     "event_value_quantiles", "events_range_join", "decontaminate",
     "top_docs_per_lang", "sample_stratified", "lineitem_pricing",
-    "pii_scrub", "line_dedup", "doc_repetition",
+    "pii_scrub", "line_dedup", "doc_repetition", "customer_orders",
 ]
 
 
@@ -304,6 +304,38 @@ def run_build_worker(input_dir: str, out_dir: str, num_cpus: int) -> None:
         ray.shutdown()
 
 
+def run_spin_worker(width: int) -> None:
+    """Fresh-process effective-core probe at one width (pure-register spin,
+    zero memory traffic).  Run immediately before a scaling leg, it measures
+    what the HOST is delivering in that window — the per-pair isolation
+    evidence for the N->4N criterion (hypervisor cycle stealing at width 32
+    is 14-30% and drifts on a minutes timescale; see BASELINE.md)."""
+    import ray
+
+    ray.init(address="local", num_cpus=width, include_dashboard=False)
+    try:
+        @ray.remote
+        def spin(n: int) -> float:
+            t0 = time.perf_counter()
+            x = 0
+            for _ in range(n):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            return time.perf_counter() - t0
+
+        N = 20_000_000
+        ray.get([spin.remote(N) for _ in range(width)])  # warm workers
+        base = min(ray.get(spin.remote(N)) for _ in range(3))
+        means = []
+        for _ in range(2):
+            ts = ray.get([spin.remote(N) for _ in range(width)])
+            means.append(sum(ts) / len(ts))
+        print(json.dumps({"width": width,
+                          "effective_cores": round(
+                              width * base / min(means), 2)}))
+    finally:
+        ray.shutdown()
+
+
 def run_scaling(sf_dir: str) -> dict:
     input_dir = _scaling_input(
         f"/tmp/serx_scaling_pages_{SCALING_DOCS // 1000}k", SCALING_DOCS)
@@ -316,12 +348,20 @@ def run_scaling(sf_dir: str) -> dict:
     # lo/hi runs see comparable conditions and per-round efficiencies are
     # meaningful alongside the best-wall headline.
     runs_by_level: dict[int, list] = {c: [] for c in SCALING_LEVELS}
+    spin_by_level: dict[int, list] = {c: [] for c in SCALING_LEVELS}
     for _ in range(max(1, SCALING_REPEATS)):
         for cpus in SCALING_LEVELS:
             # flush dirty pages (corpus gen / previous leg) so delayed
             # writeback doesn't steal I/O bandwidth from the measurement
             subprocess.run(["sync"], check=False)
             time.sleep(5)
+            # same-window host-ceiling probe (fresh process, same width)
+            spin = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--spin-worker", "--num-cpus", str(cpus)],
+                capture_output=True, text=True, check=True, cwd=REPO)
+            spin_by_level[cpus].append(json.loads(
+                spin.stdout.strip().splitlines()[-1])["effective_cores"])
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
                  "--build-worker", "--input", input_dir,
@@ -339,6 +379,14 @@ def run_scaling(sf_dir: str) -> dict:
         round((h["docs_per_s"] / l["docs_per_s"]) / (hi / lo), 3)
         for l, h in zip(runs_by_level[lo], runs_by_level[hi])
     ]
+    # Per-pair host ceiling from the same-window spin probes: the raw
+    # efficiency any software could have reached in that rep's windows.
+    pair_ceilings = [
+        round((ch / cl) / (hi / lo), 3)
+        for cl, ch in zip(spin_by_level[lo], spin_by_level[hi])
+    ]
+    pair_effs_normalized = [
+        round(e / c, 3) for e, c in zip(pair_effs, pair_ceilings)]
     eff = (legs[hi]["docs_per_s"] / legs[lo]["docs_per_s"]) / (hi / lo)
     identical = _indexes_identical(f"/tmp/serx_scaling_index_{lo}",
                                    f"/tmp/serx_scaling_index_{hi}")
@@ -358,6 +406,12 @@ def run_scaling(sf_dir: str) -> dict:
         "levels": list(SCALING_LEVELS),
         "all_wall_s": all_runs,
         "pair_efficiencies": pair_effs,
+        "spin_effective_cores": {str(c): v for c, v in spin_by_level.items()},
+        "pair_host_ceilings": pair_ceilings,
+        "pair_efficiencies_normalized": pair_effs_normalized,
+        "median_normalized_efficiency": round(
+            statistics.median(pair_effs_normalized), 3)
+        if pair_effs_normalized else None,
         # determinism across parallelism levels (SURVEY §5.5): both legs'
         # segment payloads must be byte-identical
         "indexes_identical": identical,
@@ -438,6 +492,8 @@ def main() -> None:
                     help="pure-spin effective-core measurement at the "
                          "scaling widths (host cycle-delivery ceiling)")
     ap.add_argument("--build-worker", action="store_true")
+    ap.add_argument("--spin-worker", action="store_true",
+                    help="internal: single-width effective-core probe")
     ap.add_argument("--input")
     ap.add_argument("--out")
     ap.add_argument("--num-cpus", type=int, default=DEFAULT_CPUS)
@@ -448,6 +504,9 @@ def main() -> None:
         if not (args.input and args.out):
             ap.error("--build-worker requires --input and --out")
         run_build_worker(args.input, args.out, args.num_cpus)
+        return
+    if args.spin_worker:
+        run_spin_worker(args.num_cpus)
         return
     if args.calibrate:
         result = run_calibration()

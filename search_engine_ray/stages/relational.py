@@ -11,8 +11,13 @@ no all-to-all shuffle of the big side, which never leaves its blocks.
 ``broadcast_hash_join`` is the reusable operator; ``pipelines/docqueries``
 and the TPC-H-style enrichment queries in ``__ray_entry__`` use it.  The
 100-TB contract: the SMALL side must fit a worker heap (dimension tables,
-id->label maps); the big side streams.  For big-big joins use the exchange
-in ``stages/segments`` (hash-partition both sides on the key) instead.
+id->label maps); the big side streams.
+
+``shuffle_hash_join`` is the big-big complement: both sides hash-partition
+on the key (one all-to-all exchange each, Ray Data's native ``Dataset.join``
+aggregator actors) and co-partitioned pairs join locally — use it when
+neither side fits a worker heap; prefer the broadcast form whenever one
+does, because it moves only the small side.
 """
 
 from __future__ import annotations
@@ -91,6 +96,39 @@ def broadcast_hash_join(
         return out
 
     return big.map_batches(join_batch, batch_format="pyarrow")
+
+
+_JOIN_TYPES = {
+    "inner": "inner", "left": "left_outer", "right": "right_outer",
+    "full": "full_outer", "semi": "left_semi", "anti": "left_anti",
+    # native names pass through
+    "left_outer": "left_outer", "right_outer": "right_outer",
+    "full_outer": "full_outer", "left_semi": "left_semi",
+    "right_semi": "right_semi", "left_anti": "left_anti",
+    "right_anti": "right_anti",
+}
+
+
+def shuffle_hash_join(left: rd.Dataset, right: rd.Dataset, *,
+                      on: tuple[str, ...], right_on: tuple[str, ...] | None = None,
+                      how: str = "inner",
+                      num_partitions: int | None = None) -> rd.Dataset:
+    """Hash-partitioned equi-join for two LARGE datasets.
+
+    Both sides are hash-partitioned on the join key (one all-to-all
+    exchange per side; key skew hurts — salt hot keys upstream) and each
+    co-partitioned pair joins locally in an aggregator actor.  ``how``:
+    inner / left / right / full / semi / anti (semi and anti return left
+    columns only).  ``num_partitions`` defaults to the cluster CPU count
+    so every core owns one partition; raise it when a partition of either
+    side would not fit an aggregator's heap.
+    """
+    if how not in _JOIN_TYPES:
+        raise ValueError(f"unsupported how={how!r}; one of {sorted(_JOIN_TYPES)}")
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+    return left.join(right, _JOIN_TYPES[how], num_partitions,
+                     on=tuple(on), right_on=tuple(right_on) if right_on else None)
 
 
 def grouped_quantiles(ds: rd.Dataset, *, group_col: str, value_col: str,

@@ -135,3 +135,41 @@ def test_bounded_interval_join_overlapping(ray_session):
     # inclusive both ends: iv1 covers [0,10], iv2 [5,15], iv3 [20,30]
     assert got == [(1, 0, 7), (1, 5, 7), (1, 10, 8),
                    (2, 5, 7), (2, 10, 8), (2, 15, 8), (3, 30, 9)]
+
+
+def test_shuffle_hash_join_types(ray_session):
+    from search_engine_ray.stages.relational import shuffle_hash_join
+
+    left = _big_ds({"k": pa.array([1, 2, 3, 3], pa.int64()),
+                    "a": pa.array(["x", "y", "z", "w"])})
+    right = _big_ds({"rk": pa.array([2, 3, 3, 4], pa.int64()),
+                     "b": pa.array([20, 30, 31, 40], pa.int64())})
+
+    inner = shuffle_hash_join(left, right, on=("k",), right_on=("rk",),
+                              how="inner", num_partitions=4).to_pandas()
+    assert sorted(zip(inner.k, inner.a, inner.b)) == [
+        (2, "y", 20), (3, "w", 30), (3, "w", 31),
+        (3, "z", 30), (3, "z", 31)]
+
+    lj = shuffle_hash_join(left, right, on=("k",), right_on=("rk",),
+                           how="left", num_partitions=4).to_pandas()
+    assert len(lj) == 6  # 5 matches + unmatched k=1
+    assert lj[lj.k == 1].b.isna().all()
+
+    semi = shuffle_hash_join(left, right, on=("k",), right_on=("rk",),
+                             how="semi", num_partitions=4).to_pandas()
+    assert sorted(semi.k.tolist()) == [2, 3, 3]
+    assert list(semi.columns) == ["k", "a"]
+
+    anti = shuffle_hash_join(left, right, on=("k",), right_on=("rk",),
+                             how="anti", num_partitions=4).to_pandas()
+    assert anti.k.tolist() == [1]
+
+
+def test_shuffle_hash_join_bad_how(ray_session):
+    from search_engine_ray.stages.relational import shuffle_hash_join
+
+    with pytest.raises(ValueError, match="unsupported how"):
+        shuffle_hash_join(_big_ds({"k": pa.array([1], pa.int64())}),
+                          _big_ds({"k": pa.array([1], pa.int64())}),
+                          on=("k",), how="cross")
