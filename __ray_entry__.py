@@ -692,6 +692,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow")
         return _decon(corpus, benchmark_shingles(bench, n=3), n=3)
 
+    def dup_ngrams(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.contamination import duplicate_ngram_stats
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return duplicate_ngram_stats(docs, n=5)
+
+    def doc_ppl(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.lm import unigram_logprob_stats
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        # ppl is a float exp() of the integer columns — derived, excluded
+        # from the oracle projection so the compare stays bit-exact
+        return unigram_logprob_stats(docs).select_columns(
+            ["doc_id", "n_tokens", "sum_logp_q"])
+
+    def bpe_tokenize(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.stages.lm import (
+            bpe_encode, train_bpe, word_frequencies)
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        merges = train_bpe(word_frequencies(docs), num_merges=200)
+        return bpe_encode(docs, merges)
+
     def heavy_hitters(sf_dir):
         import ray.data as rd
 
@@ -768,6 +800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
         "decontaminate": decontaminate,
+        "dup_ngrams": dup_ngrams,
+        "doc_ppl": doc_ppl,
+        "bpe_tokenize": bpe_tokenize,
         "heavy_hitters": heavy_hitters,
     }
 
@@ -1182,6 +1217,67 @@ SELECT d.doc_id, COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
 FROM documents d
 LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id >= 10
+"""
+
+    # corpus-internal duplicate word-5-gram positions (the word-n-gram
+    # relaxation of suffix-array substring dedup; stages/contamination.py
+    # duplicate_ngram_stats).  The oracle compares gram STRINGS while the
+    # engine compares 64-bit shingle hashes — parity also witnesses
+    # hash-collision freedom on the test corpus.
+    _G5 = " || ' ' || ".join(f"words[i+{j}]" for j in range(5))
+    sql["dup_ngrams"] = f"""
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+    FROM documents
+),
+grams AS (
+    SELECT doc_id, {_G5} AS gram
+    FROM toks, UNNEST(range(1, len(words) - 3)) AS r(i)
+    WHERE len(words) >= 5
+),
+dfq AS (SELECT gram, COUNT(DISTINCT doc_id) AS nd FROM grams GROUP BY gram),
+perdoc AS (
+    SELECT g.doc_id, COUNT(*)::BIGINT AS n_grams,
+           COALESCE(SUM(CASE WHEN d.nd >= 2 THEN 1 ELSE 0 END), 0)::BIGINT
+               AS n_dup_grams
+    FROM grams g JOIN dfq d ON d.gram = g.gram
+    GROUP BY g.doc_id
+)
+SELECT t.doc_id,
+       COALESCE(p.n_grams, 0)::BIGINT AS n_grams,
+       COALESCE(p.n_dup_grams, 0)::BIGINT AS n_dup_grams,
+       CASE WHEN COALESCE(p.n_grams, 0) > 0
+            THEN CAST(p.n_dup_grams AS DOUBLE) / p.n_grams
+            ELSE 0.0 END AS dup_gram_frac
+FROM toks t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+"""
+
+    # unigram-LM self-scoring (stages/lm.py unigram_logprob_stats):
+    # log-probs quantized to integer deci-milli-nats ONCE per vocab entry
+    # (floor(ln(c/T)*1e4 + 0.5) on both engines), so per-doc sums are exact
+    # integers regardless of summation order.  bpe_tokenize has no SQL
+    # oracle (iterative merge learning) — pytest golden + rows-only check.
+    sql["doc_ppl"] = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+),
+vocab AS (SELECT term, COUNT(*)::BIGINT AS c FROM toks GROUP BY term),
+tot AS (SELECT SUM(c)::BIGINT AS t FROM vocab),
+q AS (
+    SELECT term,
+           CAST(floor(ln(CAST(c AS DOUBLE) / t) * 10000 + 0.5) AS BIGINT)
+               AS ql
+    FROM vocab, tot
+),
+perdoc AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_tokens, SUM(ql)::BIGINT AS sum_logp_q
+    FROM toks JOIN q USING (term) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(p.sum_logp_q, 0)::BIGINT AS sum_logp_q
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
 """
 
     # Count-Min heavy hitters: est_count is an overestimate bounded by

@@ -155,6 +155,7 @@ HEADLINE = [
     "event_value_quantiles", "events_range_join", "decontaminate",
     "top_docs_per_lang", "sample_stratified", "lineitem_pricing",
     "pii_scrub", "line_dedup", "doc_repetition", "customer_orders",
+    "dup_ngrams", "doc_ppl", "bpe_tokenize",
 ]
 
 

@@ -74,18 +74,21 @@ def _key_runs(*keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return order, starts, ends
 
 
-def _batch_shingles(texts: list[str], n: int
+def _batch_shingles(texts: list[str], n: int, *, distinct: bool = True
                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Distinct word-n-gram shingle hashes for a whole batch, vectorized.
+    """Word-n-gram shingle hashes for a whole batch, vectorized.
 
-    Returns ``(doc_idx, shingle_hash, per_doc_distinct_counts)`` with rows
-    sorted by (doc_idx, shingle_hash).  One ``stable_hash_array`` call hashes
-    every token of the batch; each shingle hash is a polynomial combine of
-    its n consecutive token hashes (split-stable, collision quality like the
-    token hash itself); windows crossing document boundaries are masked out;
-    per-doc dedup is one lexsort.  Replaces the round-1 per-doc Python
-    string-join/set loop — the constant-factor bottleneck of the minhash and
-    jaccard pipelines."""
+    Returns ``(doc_idx, shingle_hash, per_doc_counts)``.  With
+    ``distinct=True`` (default) each (doc, shingle) pair appears once and
+    rows are sorted by (doc_idx, shingle_hash); with ``distinct=False``
+    every window position is kept in document order (the positional view
+    needed by :func:`..stages.contamination.duplicate_ngram_stats`).  One
+    ``stable_hash_array`` call hashes every token of the batch; each shingle
+    hash is a polynomial combine of its n consecutive token hashes
+    (split-stable, collision quality like the token hash itself); windows
+    crossing document boundaries are masked out; per-doc dedup is one
+    lexsort.  Replaces the round-1 per-doc Python string-join/set loop — the
+    constant-factor bottleneck of the minhash and jaccard pipelines."""
     toks_per_doc = [_WORD_RE.findall((t or "").lower()) for t in texts]
     lens = np.array([len(t) for t in toks_per_doc], np.int64)
     n_docs = len(texts)
@@ -107,6 +110,9 @@ def _batch_shingles(texts: list[str], n: int
     valid = pos_in[:head] <= (lens[doc_of[:head]] - n)
     docs = doc_of[:head][valid]
     sh = win[valid]
+    if not distinct:
+        counts = np.bincount(docs, minlength=n_docs).astype(np.int64)
+        return docs, sh, counts
     order = np.lexsort((sh, docs))
     docs, sh = docs[order], sh[order]
     keep = np.ones(docs.size, bool)

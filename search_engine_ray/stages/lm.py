@@ -1,0 +1,294 @@
+"""Language-model-flavored corpus operators: unigram-LM scoring and BPE
+tokenizer training.
+
+CCNet (Wenzek et al. 2020) filters Common-Crawl text by language-model
+perplexity; Gopher/MassiveText and most modern pretraining pipelines keep a
+close variant.  The reference engine has no analog (its quality signal is
+the rank/relevance pipeline, ``dto/indexing/PageAnalyzer.java``); these are
+round-2 scale additions per SURVEY §2.11.
+
+:func:`unigram_logprob_stats` scores every document under the corpus's own
+unigram language model — the self-scoring variant keeps the operator closed
+(no external model file) while exercising the exact distributed shape of
+CCNet scoring: global token-count aggregate, broadcast model, vectorized
+per-batch scoring.  Log-probabilities are quantized to integer
+deci-milli-nats (``floor(ln(p) * 1e4 + 0.5)``) *per vocabulary entry* so
+per-document sums are exact integers — bit-identical between the engine and
+the DuckDB oracle regardless of summation order (same trick as the
+cent-quantized money columns; see MEMORY: floor(x+0.5) on both sides).
+
+:func:`train_bpe` / :class:`BpeEncoder` implement byte-pair-encoding
+tokenizer training the way production trainers do it at scale: the corpus
+reduces to an aggregated (word, count) dictionary — the ONLY distributed
+step, one groupby whose output is vocabulary-sized, not corpus-sized — and
+the merge loop runs on that compressed dictionary (each merge touches only
+words containing the pair; cost is O(vocab), independent of corpus size).
+Encoding streams through an actor pool whose state (merge ranks) is built
+once per actor in ``__init__``; each batch dictionary-encodes to unique
+words, encodes each unique word once, and maps back.
+
+Scale shape
+-----------
+* unigram pass 1 pre-aggregates token counts inside each batch (``np.unique``)
+  before the single ``groupby`` — shuffle rows are per-batch-distinct, not
+  per-token.  The (hash, count) model is broadcast once (``ray.put``); a
+  guard caps it (default 50M entries = 800 MB) and fails loudly with the
+  documented fallback (hash-partition the positional token table and join
+  the count table there) rather than silently OOMing.
+* BPE's distributed step is the same word-count groupby; the driver-side
+  merge loop sees only the aggregated dictionary (capped by ``max_words``).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data as rd
+from ray.data.aggregate import Sum
+
+from .dedup import _WORD_RE
+from ..functions.hashing import stable_hash_array
+
+__all__ = ["unigram_logprob_stats", "train_bpe", "BpeEncoder", "bpe_encode"]
+
+#: quantization scale for integer log-probs (1e4 = deci-milli-nats)
+LOGPROB_QUANT = 1e4
+
+
+def _token_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_idx, token_hash) for every token position of the batch, in
+    document order.  Tokenization is the frozen ``[a-z]+`` on lowercased
+    text — identical to the SQL oracle's ``regexp_extract_all``."""
+    toks_per_doc = [_WORD_RE.findall((t or "").lower()) for t in texts]
+    lens = np.array([len(t) for t in toks_per_doc], np.int64)
+    flat = [t for toks in toks_per_doc for t in toks]
+    doc_of = np.repeat(np.arange(len(texts), dtype=np.int64), lens)
+    if not flat:
+        return doc_of, np.empty(0, np.uint64)
+    return doc_of, stable_hash_array(flat)
+
+
+def unigram_logprob_stats(docs: rd.Dataset, *, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          max_broadcast: int = 50_000_000) -> rd.Dataset:
+    """Score every document under the corpus's own unigram LM.
+
+    Output per input document: ``(doc_id, n_tokens, sum_logp_q, ppl)``.
+    ``sum_logp_q`` is the int64 sum over token positions of
+    ``floor(ln(count(w)/T) * 1e4 + 0.5)`` (quantized once per vocabulary
+    entry, so the sum is exact); ``ppl = exp(-sum_logp_q / 1e4 / n_tokens)``
+    (0.0 for empty documents).  Every corpus token has count >= 1 — the
+    self-scoring model has no OOV path.
+    """
+    narrow = docs.select_columns([id_col, text_col])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        _, h = _token_hashes(batch[text_col].to_pylist())
+        uniq, cnt = np.unique(h, return_counts=True)
+        return pa.table({"tok": pa.array(uniq.view(np.int64), pa.int64()),
+                         "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    vocab = narrow.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("tok").aggregate(Sum("c", alias_name="c"))
+    rows = vocab.take_all()
+    if len(rows) > max_broadcast:
+        raise ValueError(
+            f"unigram vocabulary has {len(rows)} entries > max_broadcast="
+            f"{max_broadcast}; broadcast would not fit worker heaps. Fall "
+            "back to hash-partitioning the positional token table by token "
+            "hash and joining the count table there, or raise max_broadcast.")
+    hashes = np.array([r["tok"] for r in rows], np.int64).view(np.uint64)
+    counts = np.array([r["c"] for r in rows], np.int64)
+    order = np.argsort(hashes)
+    hashes, counts = hashes[order], counts[order]
+    total = int(counts.sum())
+    # quantize ONCE per vocab entry: per-doc sums of these ints are exact
+    q = np.floor(np.log(counts / total) * LOGPROB_QUANT + 0.5).astype(np.int64)
+    model = ray.put((hashes, q))
+
+    def score(batch: pa.Table) -> pa.Table:
+        hs, qs = ray.get(model)
+        ids = batch[id_col].to_numpy()
+        doc_of, h = _token_hashes(batch[text_col].to_pylist())
+        pos = np.searchsorted(hs, h)  # every token is in-vocab
+        n_tokens = np.bincount(doc_of, minlength=len(ids)).astype(np.int64)
+        sum_q = np.zeros(len(ids), np.int64)
+        np.add.at(sum_q, doc_of, qs[pos])
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppl = np.where(
+                n_tokens > 0,
+                np.exp(-(sum_q / LOGPROB_QUANT) / np.maximum(n_tokens, 1)),
+                0.0)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "sum_logp_q": pa.array(sum_q, pa.int64()),
+            "ppl": pa.array(ppl, pa.float64()),
+        })
+
+    return narrow.map_batches(score, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# BPE tokenizer training
+# --------------------------------------------------------------------------
+
+def word_frequencies(docs: rd.Dataset, *, text_col: str = "text",
+                     max_words: int = 10_000_000) -> dict[str, int]:
+    """Aggregated (word, count) dictionary of the corpus — BPE training's
+    only distributed step.  Per-batch partial counts (dictionary-encode)
+    stream into one vocabulary-sized groupby; the collected dict is capped
+    by ``max_words`` (fail loudly; production trainers cap vocab the same
+    way — rare tail words do not influence early merges)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        toks: dict[str, int] = {}
+        for t in batch[text_col].to_pylist():
+            for w in _WORD_RE.findall((t or "").lower()):
+                toks[w] = toks.get(w, 0) + 1
+        return pa.table({"word": pa.array(list(toks.keys()), pa.string()),
+                         "c": pa.array(list(toks.values()), pa.int64())})
+
+    agg = docs.select_columns([text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("word").aggregate(Sum("c", alias_name="c"))
+    rows = agg.take_all()
+    if len(rows) > max_words:
+        raise ValueError(
+            f"word dictionary has {len(rows)} entries > max_words="
+            f"{max_words}; cap the vocabulary (drop count-1 tail words "
+            "inside partial_counts) before collecting.")
+    return {r["word"]: int(r["c"]) for r in rows}
+
+
+def train_bpe(word_freq: dict[str, int], *, num_merges: int
+              ) -> list[tuple[str, str]]:
+    """Classic BPE merge learning (Sennrich et al. 2016) on an aggregated
+    word-frequency dictionary.  Deterministic: the best pair maximizes
+    (count, then lexicographically smallest (a, b)) — ties cannot reorder
+    between runs or cluster sizes.  Returns the ordered merge list.
+
+    Cost: O(num_merges * words-containing-pair); the dictionary is
+    vocabulary-sized, so this is independent of corpus size — the standard
+    industrial shape (distributed count, local merge loop).
+    """
+    # word -> symbol tuple, weighted by count
+    words: list[tuple[list[str], int]] = [
+        (list(w) + ["</w>"], c) for w, c in sorted(word_freq.items()) if w]
+    merges: list[tuple[str, str]] = []
+    # pair -> total count; pair -> set of word indices containing it
+    pair_count: dict[tuple[str, str], int] = {}
+    pair_words: dict[tuple[str, str], set[int]] = {}
+
+    def add_word(idx: int, sign: int) -> None:
+        syms, c = words[idx]
+        for a, b in zip(syms, syms[1:]):
+            pair_count[(a, b)] = pair_count.get((a, b), 0) + sign * c
+            if sign > 0:
+                pair_words.setdefault((a, b), set()).add(idx)
+
+    for i in range(len(words)):
+        add_word(i, +1)
+
+    for _ in range(num_merges):
+        best = None
+        for p, c in pair_count.items():
+            if c <= 0:
+                continue
+            if best is None or c > best[1] or (c == best[1] and p < best[0]):
+                best = (p, c)
+        if best is None:
+            break
+        (a, b), _c = best
+        merges.append((a, b))
+        ab = a + b
+        for idx in list(pair_words.get((a, b), ())):
+            syms, c = words[idx]
+            add_word(idx, -1)
+            out: list[str] = []
+            j = 0
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                    out.append(ab)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            words[idx] = (out, c)
+            add_word(idx, +1)
+    return merges
+
+
+class BpeEncoder:
+    """Actor-pool encode stage: merge ranks built once per actor, batches
+    dictionary-encode to unique words, each unique word encodes once.
+
+    Output per input row: ``(doc_id, n_words, n_bpe_tokens)`` plus the
+    encoded token strings when ``emit_tokens`` (list<string> column —
+    useful at test scale, heavy at corpus scale)."""
+
+    def __init__(self, merges: list[tuple[str, str]], *,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 emit_tokens: bool = False) -> None:
+        self.rank = {tuple(m): i for i, m in enumerate(merges)}
+        self.text_col, self.id_col = text_col, id_col
+        self.emit_tokens = emit_tokens
+        self.cache: dict[str, list[str]] = {}
+
+    def _encode_word(self, w: str) -> list[str]:
+        got = self.cache.get(w)
+        if got is not None:
+            return got
+        syms = list(w) + ["</w>"]
+        while len(syms) > 1:
+            ranked = [(self.rank.get((a, b)), i) for i, (a, b)
+                      in enumerate(zip(syms, syms[1:]))
+                      if (a, b) in self.rank]
+            if not ranked:
+                break
+            _, i = min(ranked)
+            syms[i:i + 2] = [syms[i] + syms[i + 1]]
+        self.cache[w] = syms
+        return syms
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids = batch[self.id_col]
+        texts = batch[self.text_col].to_pylist()
+        n_words = np.zeros(len(texts), np.int64)
+        n_tok = np.zeros(len(texts), np.int64)
+        toks_out: list[list[str]] = []
+        for i, t in enumerate(texts):
+            ws = _WORD_RE.findall((t or "").lower())
+            n_words[i] = len(ws)
+            row: list[str] = []
+            for w in ws:
+                e = self._encode_word(w)
+                n_tok[i] += len(e)
+                if self.emit_tokens:
+                    row.extend(e)
+            toks_out.append(row)
+        cols = {
+            "doc_id": ids,
+            "n_words": pa.array(n_words, pa.int64()),
+            "n_bpe_tokens": pa.array(n_tok, pa.int64()),
+        }
+        if self.emit_tokens:
+            cols["tokens"] = pa.array(toks_out, pa.list_(pa.string()))
+        return pa.table(cols)
+
+
+def bpe_encode(docs: rd.Dataset, merges: list[tuple[str, str]], *,
+               text_col: str = "text", id_col: str = "doc_id",
+               concurrency: int | None = None) -> rd.Dataset:
+    """Encode the corpus with a trained merge list (actor pool; ranks and
+    the per-actor word cache live in ``__init__``)."""
+    if concurrency is None:
+        cpus = int(ray.cluster_resources().get("CPU", 4)) \
+            if ray.is_initialized() else 4
+        concurrency = max(2, cpus // 2)
+    return docs.select_columns([id_col, text_col]).map_batches(
+        BpeEncoder, fn_constructor_kwargs={
+            "merges": merges, "text_col": text_col, "id_col": id_col},
+        batch_format="pyarrow", concurrency=concurrency)

@@ -1,0 +1,138 @@
+"""LM-flavored corpus operators (stages/lm.py) and corpus-internal
+duplicate-n-gram stats (stages/contamination.py)."""
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import ray.data as rd
+
+from search_engine_ray.stages.contamination import duplicate_ngram_stats
+from search_engine_ray.stages.lm import (BpeEncoder, bpe_encode, train_bpe,
+                                         unigram_logprob_stats,
+                                         word_frequencies)
+
+
+def _docs():
+    return pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array([
+            "the quick brown fox jumps over the lazy dog",
+            "the quick brown fox jumps over a sleeping cat",
+            "completely different text here",
+            "",
+        ])})
+
+
+# --------------------------------------------------------------------------
+# duplicate n-grams
+# --------------------------------------------------------------------------
+
+def test_duplicate_ngram_stats(ray_session):
+    out = duplicate_ngram_stats(rd.from_arrow(_docs()), n=5).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    # docs 1/2 share the 5-grams starting at 'the','quick' ("the quick brown
+    # fox jumps", "quick brown fox jumps over"); the rest diverge
+    assert out.n_grams.tolist() == [5, 5, 0, 0]
+    assert out.n_dup_grams.tolist() == [2, 2, 0, 0]
+    assert out.dup_gram_frac.tolist() == [0.4, 0.4, 0.0, 0.0]
+
+
+def test_duplicate_ngram_within_doc_repeat_not_dup(ray_session):
+    # a gram repeated only WITHIN one doc has document-frequency 1
+    docs = pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "text": pa.array(["a b c a b c a b c"])})
+    out = duplicate_ngram_stats(rd.from_arrow(docs), n=3).to_pandas()
+    assert out.n_grams.tolist() == [7]
+    assert out.n_dup_grams.tolist() == [0]
+
+
+# --------------------------------------------------------------------------
+# unigram LM scoring
+# --------------------------------------------------------------------------
+
+def test_unigram_logprob_matches_reference(ray_session):
+    docs = _docs()
+    out = unigram_logprob_stats(rd.from_arrow(docs)).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+
+    # brute-force reference
+    texts = docs["text"].to_pylist()
+    toks = [t.lower().split() for t in texts]
+    from collections import Counter
+    counts = Counter(w for ts in toks for w in ts)
+    total = sum(counts.values())
+    q = {w: math.floor(math.log(c / total) * 1e4 + 0.5)
+         for w, c in counts.items()}
+    exp_sum = [sum(q[w] for w in ts) for ts in toks]
+    exp_n = [len(ts) for ts in toks]
+    assert out.n_tokens.tolist() == exp_n
+    assert out.sum_logp_q.tolist() == exp_sum
+    # ppl of the empty doc is 0.0 by contract; others positive
+    assert out.ppl.tolist()[3] == 0.0
+    assert all(p > 1.0 for p in out.ppl.tolist()[:3])
+    # repeated tokens ('the' twice in doc 1) make doc 1 lower-ppl than doc 3
+    assert out.ppl[0] < out.ppl[2]
+
+
+# --------------------------------------------------------------------------
+# BPE
+# --------------------------------------------------------------------------
+
+def _ref_encode(word: str, merges: list[tuple[str, str]]) -> list[str]:
+    """Reference encoder: apply merges strictly in learned order."""
+    syms = list(word) + ["</w>"]
+    for a, b in merges:
+        out = []
+        j = 0
+        while j < len(syms):
+            if j + 1 < len(syms) and syms[j] == a and syms[j + 1] == b:
+                out.append(a + b)
+                j += 2
+            else:
+                out.append(syms[j])
+                j += 1
+        syms = out
+    return syms
+
+
+def test_train_bpe_classic_example():
+    # Sennrich et al. example shape: 'low' family
+    freq = {"low": 5, "lower": 2, "newest": 6, "widest": 3}
+    merges = train_bpe(freq, num_merges=4)
+    assert merges[0] == ("e", "s")       # 9 occurrences
+    assert merges[1] == ("es", "t")      # 9
+    assert merges[2] == ("est", "</w>")  # 9
+    assert merges[3] == ("l", "o")       # 7
+    # deterministic: same input -> same merges
+    assert train_bpe(freq, num_merges=4) == merges
+
+
+def test_bpe_encoder_matches_reference_order():
+    freq = {"hello": 4, "help": 3, "hell": 2, "yellow": 2}
+    merges = train_bpe(freq, num_merges=6)
+    enc = BpeEncoder(merges)
+    for w in freq:
+        assert enc._encode_word(w) == _ref_encode(w, merges), w
+    # unseen word still encodes (falls back to chars + learned merges)
+    assert enc._encode_word("hero") == _ref_encode("hero", merges)
+
+
+def test_bpe_encode_pipeline(ray_session):
+    docs = _docs()
+    wf = word_frequencies(rd.from_arrow(docs))
+    assert wf["the"] == 3 and wf["quick"] == 2
+    merges = train_bpe(wf, num_merges=20)
+    out = bpe_encode(rd.from_arrow(docs), merges, concurrency=2) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.n_words.tolist() == [9, 9, 4, 0]
+    # every word encodes to >= 1 token; empty doc encodes to 0
+    assert out.n_bpe_tokens.tolist()[3] == 0
+    assert (out.n_bpe_tokens[:3] >= out.n_words[:3]).all()
+    # token totals match per-word reference encoding
+    enc = BpeEncoder(merges)
+    import re
+    for i, t in enumerate(docs["text"].to_pylist()):
+        ws = re.findall(r"[a-z]+", t.lower())
+        assert out.n_bpe_tokens[i] == sum(len(enc._encode_word(w)) for w in ws)
