@@ -590,6 +590,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["cosine"] = np.round(out["cosine"].to_numpy(np.float64), 4)
         return out
 
+    def embedding_dup_blocked(sf_dir):
+        import numpy as np
+        import pandas as pd
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import embedding_dup_pairs_blocked
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        # small blocks on purpose: the test corpus must exercise the
+        # multi-block-pair path, not collapse into one task
+        out = embedding_dup_pairs_blocked(
+            ds, threshold=0.4, target_block_rows=64).to_pandas()
+        if out.empty:
+            out = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
+                                "vec_b": pd.Series(dtype="int64"),
+                                "cosine": pd.Series(dtype="float64")})
+        out["cosine"] = np.round(out["cosine"].to_numpy(np.float64), 4)
+        return out
+
     def events_window(sf_dir):
         import ray.data as rd
 
@@ -701,6 +720,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return duplicate_ngram_stats(docs, n=5)
 
+    def pagerank_suppliers(sf_dir):
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Count
+
+        from search_engine_ray.stages.graph import pagerank
+        from search_engine_ray.stages.relational import shuffle_hash_join
+
+        li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_orderkey", "l_suppkey"])
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+        j = shuffle_hash_join(li, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",), how="inner",
+                              num_partitions=8)
+
+        def pairs(t: pa.Table) -> pa.Table:
+            s = t["l_suppkey"].to_numpy().astype(np.int64)
+            c = t["o_custkey"].to_numpy().astype(np.int64)
+            return pa.table({"s": pa.array(s, pa.int64()),
+                             "c": pa.array(c, pa.int64())})
+
+        distinct = j.map_batches(pairs, batch_format="pyarrow") \
+            .groupby(["s", "c"]).aggregate(Count()) \
+            .select_columns(["s", "c"])
+
+        def both_dirs(t: pa.Table) -> pa.Table:
+            s = t["s"].to_numpy() * 2          # supplier nodes: even ids
+            c = t["c"].to_numpy() * 2 + 1      # customer nodes: odd ids
+            return pa.table({
+                "src": pa.array(np.concatenate([s, c]), pa.int64()),
+                "dst": pa.array(np.concatenate([c, s]), pa.int64()),
+            })
+
+        edges = distinct.map_batches(both_dirs, batch_format="pyarrow")
+        return pagerank(edges, num_iters=10)
+
     def doc_ppl(sf_dir):
         import ray.data as rd
 
@@ -792,6 +849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": knn_ivf,
         "knn_lsh": knn_lsh,
         "embedding_dup": embedding_dup,
+        "embedding_dup_blocked": embedding_dup_blocked,
         "events_window": events_window,
         "events_hopping": events_hopping,
         "events_asof": events_asof,
@@ -801,6 +859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": sample_stratified,
         "decontaminate": decontaminate,
         "dup_ngrams": dup_ngrams,
+        "pagerank_suppliers": pagerank_suppliers,
         "doc_ppl": doc_ppl,
         "bpe_tokenize": bpe_tokenize,
         "heavy_hitters": heavy_hitters,
@@ -1128,6 +1187,11 @@ FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
 WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
 """
 
+    # same exact-pair contract, produced by the blocked object-store path
+    # (stages/dedup.py embedding_dup_pairs_blocked — no driver or
+    # whole-matrix materialization)
+    sql["embedding_dup_blocked"] = sql["embedding_dup"]
+
     sql["events_window"] = """
 SELECT user_id,
        (FLOOR(epoch(ts) / 300) * 300)::BIGINT AS window_start,
@@ -1250,6 +1314,46 @@ SELECT t.doc_id,
             THEN CAST(p.n_dup_grams AS DOUBLE) / p.n_grams
             ELSE 0.0 END AS dup_gram_frac
 FROM toks t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+"""
+
+    # integer fixed-point PageRank (stages/graph.py pagerank): bipartite
+    # supplier<->customer random-walk graph; every per-edge contribution is
+    # one int64 floor-division, so sums are order-independent and the
+    # result is bit-identical for any parallelism or join order.  The 10
+    # iterations unroll as CTE pairs (frozen spec in the pagerank docstring).
+    _PR_MASS0 = 10**12
+    _PR_BASE = (_PR_MASS0 * 15) // 100
+    _pr_iters = []
+    _prev = "p0"
+    for _t in range(1, 11):
+        _pr_iters.append(f"""c{_t} AS (
+    SELECT e.dst AS node, SUM((p.pr * 85) // (100 * o.deg))::BIGINT AS c
+    FROM edges e
+    JOIN {_prev} p ON p.node = e.src
+    JOIN outdeg o ON o.node = e.src
+    GROUP BY e.dst
+), p{_t} AS (
+    SELECT n.node, ({_PR_BASE} + COALESCE(c.c, 0))::BIGINT AS pr
+    FROM nodes n LEFT JOIN c{_t} c ON c.node = n.node
+)""")
+        _prev = f"p{_t}"
+    sql["pagerank_suppliers"] = f"""
+WITH eraw AS (
+    SELECT DISTINCT l.l_suppkey AS s, o.o_custkey AS c
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+),
+edges AS (
+    SELECT s * 2 AS src, c * 2 + 1 AS dst FROM eraw
+    UNION ALL
+    SELECT c * 2 + 1 AS src, s * 2 AS dst FROM eraw
+),
+nodes AS (SELECT DISTINCT src AS node FROM edges
+          UNION SELECT DISTINCT dst FROM edges),
+outdeg AS (SELECT src AS node, COUNT(*)::BIGINT AS deg
+           FROM edges GROUP BY src),
+p0 AS (SELECT node, {_PR_MASS0}::BIGINT AS pr FROM nodes),
+{", ".join(_pr_iters)}
+SELECT node, pr FROM {_prev}
 """
 
     # unigram-LM self-scoring (stages/lm.py unigram_logprob_stats):

@@ -155,7 +155,8 @@ HEADLINE = [
     "event_value_quantiles", "events_range_join", "decontaminate",
     "top_docs_per_lang", "sample_stratified", "lineitem_pricing",
     "pii_scrub", "line_dedup", "doc_repetition", "customer_orders",
-    "dup_ngrams", "doc_ppl", "bpe_tokenize",
+    "dup_ngrams", "doc_ppl", "bpe_tokenize", "pagerank_suppliers",
+    "embedding_dup_blocked",
 ]
 
 

@@ -591,3 +591,90 @@ def embedding_dup_pairs(emb_ds: rd.Dataset, *, threshold: float = 0.95,
                          "cosine": pa.array(s_out, pa.float64())})
 
     return emb_ds.select_columns([id_col, vec_col]).map_batches(block, batch_format="pyarrow")
+
+
+def _table_matrix(t: pa.Table, id_col: str, vec_col: str
+                  ) -> tuple[np.ndarray, np.ndarray]:
+    """(ids, float64 matrix) from a (id, list<float>) table, zero-copy on
+    the flattened values (one reshape, no per-row Python)."""
+    ids = t[id_col].to_numpy()
+    col = t[vec_col]
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    flat = np.asarray(col.flatten(), np.float64)
+    return ids, flat.reshape(len(t), -1) if len(t) else flat.reshape(0, 0)
+
+
+def embedding_dup_pairs_blocked(emb_ds: rd.Dataset, *,
+                                threshold: float = 0.95,
+                                id_col: str = "vec_id",
+                                vec_col: str = "embedding",
+                                target_block_rows: int = 4096,
+                                max_blocks: int = 256) -> rd.Dataset:
+    """Exact cosine-similar pairs (>= threshold) without ANY driver-side
+    or whole-matrix materialization: the normalized table is materialized
+    into the OBJECT STORE once, and every block pair (i <= j) becomes one
+    Ray task that matmuls two ~``target_block_rows`` blocks (zero-copy
+    plasma reads) and emits its thresholded pairs.  Per-task memory is two
+    blocks + one block-pair sim matrix; results stream back as Arrow refs
+    (``ray.data.from_arrow_refs``), never through the driver.
+
+    Scale contract: block-pair count is B(B+1)/2, so exact all-pairs stays
+    quadratic in N — the operator auto-grows blocks to keep B <= ``max_blocks``
+    (bounding the task count, at the price of per-task memory) and is the
+    exact mid-scale path (~10M rows); beyond that the sub-quadratic LSH
+    route (``similarity.knn_lsh_buckets``) is the 100-TB family, with this
+    operator as its verification oracle on sampled buckets.
+
+    This is the raw-Ray-tasks escape hatch the Dataset API genuinely cannot
+    express (an all-block-pairs cross product); everything upstream
+    (normalize, column prune) and downstream (the returned Dataset) stays
+    in Dataset land.
+    """
+    import math
+
+    import ray
+
+    def normalize(batch: pa.Table) -> pa.Table:
+        ids, mat = _table_matrix(batch, id_col, vec_col)
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        d = mat.shape[1] if mat.size else 0
+        offsets = pa.array(
+            np.arange(0, (len(ids) + 1) * d, max(d, 1), dtype=np.int32)
+            if d else np.zeros(len(ids) + 1, np.int32))
+        lst = pa.ListArray.from_arrays(offsets, pa.array(mat.ravel()))
+        return pa.table({id_col: pa.array(ids, pa.int64()), vec_col: lst})
+
+    normed = emb_ds.select_columns([id_col, vec_col]) \
+        .map_batches(normalize, batch_format="pyarrow").materialize()
+    n = normed.count()
+    if n == 0:
+        return rd.from_arrow(pa.table({
+            "vec_a": pa.array([], pa.int64()),
+            "vec_b": pa.array([], pa.int64()),
+            "cosine": pa.array([], pa.float64())}))
+    nblocks = min(max_blocks, max(1, math.ceil(n / target_block_rows)))
+    refs = normed.repartition(nblocks).materialize().to_arrow_refs()
+
+    @ray.remote
+    def pair_task(ta: pa.Table, tb: pa.Table, same: bool) -> pa.Table:
+        ids_a, a = _table_matrix(ta, id_col, vec_col)
+        ids_b, b = _table_matrix(tb, id_col, vec_col)
+        if not a.size or not b.size:
+            sims = np.zeros((len(ids_a), len(ids_b)))
+        else:
+            sims = a @ b.T
+        r, c = np.nonzero(sims >= threshold)
+        ia, ib = ids_a[r].astype(np.int64), ids_b[c].astype(np.int64)
+        s = sims[r, c]
+        keep = ia < ib if same else ia != ib
+        ia, ib, s = ia[keep], ib[keep], s[keep]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pa.table({"vec_a": pa.array(lo, pa.int64()),
+                         "vec_b": pa.array(hi, pa.int64()),
+                         "cosine": pa.array(s, pa.float64())})
+
+    futs = [pair_task.remote(refs[i], refs[j], i == j)
+            for i in range(len(refs)) for j in range(i, len(refs))]
+    return rd.from_arrow_refs(futs)

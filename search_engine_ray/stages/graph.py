@@ -39,9 +39,10 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+import ray
 import ray.data as rd
 
-__all__ = ["connected_components"]
+__all__ = ["connected_components", "pagerank"]
 
 
 def _local_cc(a: np.ndarray, b: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -113,3 +114,102 @@ def connected_components(pairs: rd.Dataset, *, a_col: str = "doc_a",
         })
 
     return cur.map_batches(finalize, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+
+def pagerank(edges: rd.Dataset, *, src_col: str = "src",
+             dst_col: str = "dst", num_iters: int = 10,
+             damping_num: int = 85, damping_den: int = 100,
+             mass0: int = 10**12,
+             max_broadcast_nodes: int = 100_000_000) -> rd.Dataset:
+    """PageRank over a directed edge list, in pure int64 fixed-point.
+
+    Frozen spec (identical in the SQL oracle, ``__ray_entry__`` query
+    ``pagerank_suppliers``):
+
+    * every node starts at ``pr0 = mass0``;
+    * per iteration, each edge ``u -> v`` carries
+      ``(pr[u] * damping_num) // (damping_den * outdeg(u))`` (one integer
+      floor-division — no float anywhere), and
+      ``pr'[v] = base + sum(incoming)`` with
+      ``base = (mass0 * (damping_den - damping_num)) // damping_den``;
+    * sink nodes (outdeg 0) send nothing (their damped mass is dropped —
+      the classic simplified formulation, frozen on both engines).
+
+    Integer sums are order-independent, so the result is bit-identical for
+    any parallelism, block order, or SQL join order — the property the
+    float formulation cannot give under a value-hash oracle.
+
+    Scale shape: the VERTEX table (node, outdeg, pr) is the broadcast side
+    — ``ray.put`` once per iteration, read per task; the EDGE table streams
+    through a stateless vectorized ``map_batches`` per iteration and never
+    leaves its blocks (it is materialized once up front so iterations re-read
+    object-store blocks, not parquet).  Per-batch contributions pre-aggregate
+    by destination before the nodes-sized ``groupby`` — the shuffle carries
+    at most (distinct dst per block) rows, never the raw edge count.  The
+    guard caps the vertex broadcast (default 100M nodes = 2.4 GB) and fails
+    loudly; at web-graph scale (nodes >> heap) the documented fallback is a
+    vertex-partitioned exchange: hash-partition pr and edges by src, join
+    there, re-partition contributions by dst (two shuffles per iteration).
+    """
+    from ray.data.aggregate import Sum
+
+    narrow_cols = [src_col, dst_col]
+    emat = edges.select_columns(narrow_cols).materialize()
+
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        s = batch[src_col].to_numpy()
+        d = batch[dst_col].to_numpy()
+        nodes = np.concatenate([s, d])
+        w = np.concatenate([np.ones(s.size, np.int64),
+                            np.zeros(d.size, np.int64)])
+        uniq, inv = np.unique(nodes, return_inverse=True)
+        deg = np.zeros(uniq.size, np.int64)
+        np.add.at(deg, inv, w)
+        return pa.table({"node": pa.array(uniq.astype(np.int64), pa.int64()),
+                         "deg": pa.array(deg, pa.int64())})
+
+    rows = emat.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("deg", alias_name="deg")).take_all()
+    if len(rows) > max_broadcast_nodes:
+        raise ValueError(
+            f"graph has {len(rows)} nodes > max_broadcast_nodes="
+            f"{max_broadcast_nodes}; the vertex broadcast would not fit "
+            "worker heaps. Fall back to the vertex-partitioned exchange "
+            "(hash-partition pr and edges by src, join there, re-partition "
+            "contributions by dst), or raise max_broadcast_nodes.")
+    nodes_sorted = np.array([r["node"] for r in rows], np.int64)
+    outdeg = np.array([r["deg"] for r in rows], np.int64)
+    order = np.argsort(nodes_sorted)
+    nodes_sorted, outdeg = nodes_sorted[order], outdeg[order]
+
+    base = (mass0 * (damping_den - damping_num)) // damping_den
+    pr = np.full(nodes_sorted.size, mass0, np.int64)
+
+    for _ in range(num_iters):
+        ref = ray.put((nodes_sorted, pr, outdeg))
+
+        def contribs(batch: pa.Table, _ref=ref) -> pa.Table:
+            ns, cur, od = ray.get(_ref)
+            si = np.searchsorted(ns, batch[src_col].to_numpy())
+            di = np.searchsorted(ns, batch[dst_col].to_numpy())
+            c = (cur[si] * damping_num) // (damping_den * od[si])
+            uniq, inv = np.unique(di, return_inverse=True)
+            s = np.zeros(uniq.size, np.int64)
+            np.add.at(s, inv, c)
+            return pa.table({"idx": pa.array(uniq.astype(np.int64), pa.int64()),
+                             "c": pa.array(s, pa.int64())})
+
+        sums = emat.map_batches(contribs, batch_format="pyarrow") \
+            .groupby("idx").aggregate(Sum("c", alias_name="c")).take_all()
+        pr = np.full(nodes_sorted.size, base, np.int64)
+        for r in sums:
+            pr[r["idx"]] += r["c"]
+
+    return rd.from_arrow(pa.table({
+        "node": pa.array(nodes_sorted, pa.int64()),
+        "pr": pa.array(pr, pa.int64()),
+    }))

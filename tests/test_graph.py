@@ -50,3 +50,55 @@ def test_parallelism_invariant(ray_session):
         rd.from_arrow(pairs).repartition(13)).to_pandas() \
         .sort_values("doc_id").reset_index(drop=True)
     assert one.equals(many)
+
+
+# --------------------------------------------------------------------------
+# PageRank
+# --------------------------------------------------------------------------
+
+def _ref_pagerank(edges, num_iters=10, mass0=10**12, num=85, den=100):
+    """Python reference of the frozen integer fixed-point spec."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    outdeg = {n: 0 for n in nodes}
+    for u, _ in edges:
+        outdeg[u] += 1
+    pr = {n: mass0 for n in nodes}
+    base = (mass0 * (den - num)) // den
+    for _ in range(num_iters):
+        nxt = {n: base for n in nodes}
+        for u, v in edges:
+            nxt[v] += (pr[u] * num) // (den * outdeg[u])
+        pr = nxt
+    return pr
+
+
+def test_pagerank_matches_reference(ray_session):
+    from search_engine_ray.stages.graph import pagerank
+
+    # star + chain + sink: 1->2,1->3,2->3,3->1,4->1 ; 5 is a pure sink via 3->5
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (4, 1), (3, 5)]
+    tbl = pa.table({"src": pa.array([e[0] for e in edges], pa.int64()),
+                    "dst": pa.array([e[1] for e in edges], pa.int64())})
+    out = pagerank(rd.from_arrow(tbl), num_iters=10).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    ref = _ref_pagerank(edges)
+    assert out.node.tolist() == sorted(ref)
+    assert out.pr.tolist() == [ref[n] for n in sorted(ref)]
+    # deterministic across parallelism
+    out13 = pagerank(rd.from_arrow(tbl).repartition(13),
+                     num_iters=10).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    assert out.equals(out13)
+
+
+def test_pagerank_sink_and_isolated_direction(ray_session):
+    from search_engine_ray.stages.graph import pagerank
+
+    # 2 is a sink: damped mass sent to it each round, none leaves
+    tbl = pa.table({"src": pa.array([1], pa.int64()),
+                    "dst": pa.array([2], pa.int64())})
+    out = pagerank(rd.from_arrow(tbl), num_iters=3).to_pandas() \
+        .sort_values("node").reset_index(drop=True)
+    ref = _ref_pagerank([(1, 2)], num_iters=3)
+    assert out.pr.tolist() == [ref[1], ref[2]]
+    assert out.pr[1] > out.pr[0]

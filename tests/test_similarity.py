@@ -52,3 +52,42 @@ def test_lsh_subset_of_exact_candidates(ray_session):
     assert (out.vec_id != out.neighbor_id).all()
     assert out["rank"].min() == 1
     assert out.cosine.between(-1.000001, 1.000001).all()
+
+
+def test_blocked_equals_broadcast_pairs(ray_session):
+    from search_engine_ray.stages.dedup import (embedding_dup_pairs,
+                                                embedding_dup_pairs_blocked)
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8))
+    # plant near-dup clusters so pairs exist
+    base[10] = base[3] + 0.01
+    base[20] = base[3] - 0.01
+    base[31] = base[17] * 1.5
+    tbl = pa.table({
+        "vec_id": pa.array(np.arange(40, dtype=np.int64), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in base],
+                              pa.list_(pa.float64())),
+    })
+    ds = rd.from_arrow(tbl).repartition(5)
+
+    def canon(df):
+        return df.sort_values(["vec_a", "vec_b"]).reset_index(drop=True)
+
+    exact = canon(embedding_dup_pairs(ds, threshold=0.9).to_pandas())
+    blocked = canon(embedding_dup_pairs_blocked(
+        ds, threshold=0.9, target_block_rows=7).to_pandas())
+    assert len(exact) > 0
+    assert blocked.vec_a.tolist() == exact.vec_a.tolist()
+    assert blocked.vec_b.tolist() == exact.vec_b.tolist()
+    assert np.allclose(blocked.cosine.to_numpy(), exact.cosine.to_numpy(),
+                       rtol=0, atol=1e-12)
+
+
+def test_blocked_pairs_empty_input(ray_session):
+    from search_engine_ray.stages.dedup import embedding_dup_pairs_blocked
+
+    tbl = pa.table({"vec_id": pa.array([], pa.int64()),
+                    "embedding": pa.array([], pa.list_(pa.float64()))})
+    out = embedding_dup_pairs_blocked(rd.from_arrow(tbl)).to_pandas()
+    assert len(out) == 0
