@@ -144,16 +144,20 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "src",
     float formulation cannot give under a value-hash oracle.
 
     Scale shape: the VERTEX table (node, outdeg, pr) is the broadcast side
-    — ``ray.put`` once per iteration, read per task; the EDGE table streams
-    through a stateless vectorized ``map_batches`` per iteration and never
-    leaves its blocks (it is materialized once up front so iterations re-read
-    object-store blocks, not parquet).  Per-batch contributions pre-aggregate
-    by destination before the nodes-sized ``groupby`` — the shuffle carries
-    at most (distinct dst per block) rows, never the raw edge count.  The
-    guard caps the vertex broadcast (default 100M nodes = 2.4 GB) and fails
-    loudly; at web-graph scale (nodes >> heap) the documented fallback is a
-    vertex-partitioned exchange: hash-partition pr and edges by src, join
-    there, re-partition contributions by dst (two shuffles per iteration).
+    — ``ray.put`` once per iteration, read per task.  Each EDGE block is
+    pre-indexed ONCE into a CSR-ish object-store ref (src index, integer
+    denominator, grouped-dst scatter structure) by a wave of raw Ray tasks;
+    after that, every iteration is a wave of tiny gather-multiply-scatter
+    tasks over those refs — no per-iteration Ray Data job, no re-parsing
+    of the edge list, and the per-block partial carried back to the driver
+    is (distinct dst per block) rows, never the raw edge count.  (This is
+    the legitimate raw-task escape: a fixed-point iteration over immutable
+    per-block state, which the streaming Dataset API would re-execute from
+    scratch each round.)  The guard caps the vertex broadcast (default
+    100M nodes = 2.4 GB) and fails loudly; at web-graph scale (nodes >>
+    heap) the documented fallback is a vertex-partitioned exchange:
+    hash-partition pr and edges by src, join there, re-partition
+    contributions by dst (two shuffles per iteration).
     """
     from ray.data.aggregate import Sum
 
@@ -189,25 +193,41 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "src",
     base = (mass0 * (damping_den - damping_num)) // damping_den
     pr = np.full(nodes_sorted.size, mass0, np.int64)
 
+    nodes_ref = ray.put(nodes_sorted)
+    outdeg_ref = ray.put(outdeg)
+
+    @ray.remote
+    def prep_block(tbl: pa.Table, ns: np.ndarray, od: np.ndarray):
+        # one-time CSR-ish index per edge block: src position, integer
+        # denominator, and the grouped-dst scatter structure.
+        # materialize() may pad with empty zero-schema blocks — skip them
+        if tbl.num_rows == 0 or src_col not in tbl.column_names:
+            z = np.zeros(0, np.int64)
+            return z, z, z, z
+        si = np.searchsorted(ns, tbl[src_col].to_numpy())
+        di = np.searchsorted(ns, tbl[dst_col].to_numpy())
+        denom = damping_den * od[si]
+        uniq, inv = np.unique(di, return_inverse=True)
+        return (si.astype(np.int64), denom.astype(np.int64),
+                uniq.astype(np.int64), inv.astype(np.int64))
+
+    @ray.remote
+    def iter_block(prepped, cur: np.ndarray):
+        si, denom, uniq, inv = prepped
+        c = (cur[si] * damping_num) // denom
+        s = np.zeros(uniq.size, np.int64)
+        np.add.at(s, inv, c)
+        return uniq, s
+
+    block_refs = emat.to_arrow_refs()
+    preps = [prep_block.remote(b, nodes_ref, outdeg_ref) for b in block_refs]
+
     for _ in range(num_iters):
-        ref = ray.put((nodes_sorted, pr, outdeg))
-
-        def contribs(batch: pa.Table, _ref=ref) -> pa.Table:
-            ns, cur, od = ray.get(_ref)
-            si = np.searchsorted(ns, batch[src_col].to_numpy())
-            di = np.searchsorted(ns, batch[dst_col].to_numpy())
-            c = (cur[si] * damping_num) // (damping_den * od[si])
-            uniq, inv = np.unique(di, return_inverse=True)
-            s = np.zeros(uniq.size, np.int64)
-            np.add.at(s, inv, c)
-            return pa.table({"idx": pa.array(uniq.astype(np.int64), pa.int64()),
-                             "c": pa.array(s, pa.int64())})
-
-        sums = emat.map_batches(contribs, batch_format="pyarrow") \
-            .groupby("idx").aggregate(Sum("c", alias_name="c")).take_all()
+        pr_ref = ray.put(pr)
+        parts = ray.get([iter_block.remote(p, pr_ref) for p in preps])
         pr = np.full(nodes_sorted.size, base, np.int64)
-        for r in sums:
-            pr[r["idx"]] += r["c"]
+        for uniq, s in parts:
+            pr[uniq] += s  # uniq is distinct within a block; += is exact
 
     return rd.from_arrow(pa.table({
         "node": pa.array(nodes_sorted, pa.int64()),
