@@ -204,6 +204,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def image_meta(sf_dir):
         return dq.q_image_meta(sf_dir)
 
+    def image_meta_png(sf_dir):
+        return dq.q_image_meta_png(sf_dir)
+
     def lang_distribution(sf_dir):
         import ray.data as rd
         from ray.data.aggregate import Count
@@ -384,6 +387,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_quantiles(ds, group_col="event_type",
                                  value_col="value", qs=(0.5, 0.95, 0.99),
                                  count_alias="n_events")
+
+    def event_value_hist(sf_dir):
+        """Histogram-based approximate per-type quantiles (the scale
+        sibling of event_value_quantiles: only (group, bin, count)
+        partials shuffle; frozen binned-quantile_disc spec is bit-identical
+        to the SQL mirror)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import grouped_quantiles_hist
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+        return grouped_quantiles_hist(ds, group_col="event_type",
+                                      value_col="value", qs=(0.5, 0.95, 0.99),
+                                      bin_width=5.0, count_alias="n_events")
+
+    def lineitem_rollup(sf_dir):
+        """GROUP BY GROUPING SETS rollup over lineitem: one all-to-all of
+        per-set per-block pyarrow-combined partials (stages/relational
+        grouping_sets); grouping_id is DuckDB's GROUPING() bitmask."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import grouping_sets
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        return grouping_sets(
+            ds, keys=("l_returnflag", "l_linestatus"),
+            sets=(("l_returnflag", "l_linestatus"), ("l_returnflag",), ()),
+            sum_cols={"sum_qty": "l_quantity"})
+
+    def urgent_lineitems_bloom(sf_dir):
+        """Bloom-pruned exact semi join (stages/relational bloom_prefilter):
+        the urgent-order key side collapses to one fixed-size bitmap
+        (OR-merged through a task tree), the lineitem side streams through
+        a stateless probe, and ONLY the survivors enter the exact shuffle
+        semi join — the classic way to shrink a big-big join exchange."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import (bloom_prefilter,
+                                                         shuffle_hash_join)
+
+        li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_orderkey", "l_suppkey"])
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_orderpriority"])
+
+        def urgent(batch: pa.Table) -> pa.Table:
+            mask = pc.equal(batch["o_orderpriority"], "1-URGENT")
+            return batch.filter(mask).select(["o_orderkey"])
+
+        keys = orders.map_batches(urgent, batch_format="pyarrow")
+        pruned = bloom_prefilter(li, keys, big_key="l_orderkey",
+                                 keys_key="o_orderkey", num_bits=1 << 20)
+        return shuffle_hash_join(pruned, keys, on=("l_orderkey",),
+                                 right_on=("o_orderkey",), how="semi",
+                                 num_partitions=8)
+
+    def custkeys_negative_balance(sf_dir):
+        """Distributed EXCEPT DISTINCT (stages/relational set_op):
+        customers who placed orders minus those with non-negative balance
+        — one all-to-all of per-block distincts with presence bits, no
+        driver materialization."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import set_op
+
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey"])
+
+        def rename(batch: pa.Table) -> pa.Table:
+            return pa.table({"custkey": batch["o_custkey"]})
+
+        def nonneg(batch: pa.Table) -> pa.Table:
+            mask = pc.greater_equal(batch["c_acctbal"], 0.0)
+            return pa.table({"custkey": batch.filter(mask)["c_custkey"]})
+
+        left = orders.map_batches(rename, batch_format="pyarrow")
+        right = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                                columns=["c_custkey", "c_acctbal"]) \
+            .map_batches(nonneg, batch_format="pyarrow")
+        return set_op(left, right, op="except", columns=("custkey",))
 
     def events_range_join(sf_dir):
         """Bounded-length range join (pipelines/joins.bounded_interval_join):
@@ -758,6 +848,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = distinct.map_batches(both_dirs, batch_format="pyarrow")
         return pagerank(edges, num_iters=10)
 
+    def user_event_pivot(sf_dir):
+        """Long->wide pivot (stages/relational pivot_counts): per-user
+        counts of each event type as columns; one all-to-all of widened
+        per-block partials."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import pivot_counts
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+        return pivot_counts(ev, group_col="user_id", pivot_col="event_type",
+                            values=("click", "view", "purchase", "signup"),
+                            other_alias="other")
+
+    def sample_weighted(sf_dir):
+        """Deterministic weighted sampling without replacement (stages/
+        sampling weighted_sample_n): Efraimidis-Spirakis exponential
+        priorities from the SQL-mirrorable key hash, weight = n_chars
+        (quality-weighted corpus resampling)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.sampling import weighted_sample_n
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang", "n_chars"])
+        out = weighted_sample_n(docs, key_col="doc_id",
+                                weight_col="n_chars", n=200)
+        return out.select_columns(["doc_id", "lang"])
+
+    def tfidf_topk(sf_dir):
+        """Top-5 TF-IDF terms per document (stages/lm tfidf_topk_terms):
+        quantized-int idf broadcast once, tf computed inside the batch,
+        grouped_topk merge — bit-identical to the SQL window mirror."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.lm import tfidf_topk_terms
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return tfidf_topk_terms(docs, k=5)
+
     def doc_ppl(sf_dir):
         import ray.data as rd
 
@@ -822,6 +953,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_batch": search_batch,
         "search_scatter": search_scatter,
         "image_meta": image_meta,
+        "image_meta_png": image_meta_png,
         "site_stats": site_stats,
         "lang_distribution": lang_distribution,
         "langid_simple": langid_simple,
@@ -834,6 +966,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": lineitem_pricing,
         "top_docs_per_lang": top_docs_per_lang,
         "event_value_quantiles": event_value_quantiles,
+        "event_value_hist": event_value_hist,
+        "lineitem_rollup": lineitem_rollup,
+        "custkeys_negative_balance": custkeys_negative_balance,
+        "urgent_lineitems_bloom": urgent_lineitems_bloom,
         "events_range_join": events_range_join,
         "customer_orders": customer_orders,
         "customers_no_urgent": customers_no_urgent,
@@ -861,6 +997,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_ngrams": dup_ngrams,
         "pagerank_suppliers": pagerank_suppliers,
         "doc_ppl": doc_ppl,
+        "tfidf_topk": tfidf_topk,
+        "sample_weighted": sample_weighted,
+        "user_event_pivot": user_event_pivot,
         "bpe_tokenize": bpe_tokenize,
         "heavy_hitters": heavy_hitters,
     }
@@ -920,6 +1059,18 @@ SELECT doc_id,
        (16 + doc_id % 48)::BIGINT AS width,
        (16 + (7 * doc_id) % 48)::BIGINT AS height,
        (1 + doc_id % 3)::BIGINT AS channels
+FROM documents
+"""
+
+    # real PNG decode path (functions/png): constant-fill pixels make the
+    # decoded mean_luma SQL-predictable — the oracle checks pixel CONTENT
+    sql["image_meta_png"] = """
+SELECT doc_id,
+       (8 + doc_id % 24)::BIGINT AS width,
+       (8 + (5 * doc_id) % 24)::BIGINT AS height,
+       (CASE doc_id % 3 WHEN 0 THEN 1 WHEN 1 THEN 3 ELSE 4 END)::BIGINT
+           AS channels,
+       (doc_id % 256)::DOUBLE AS mean_luma
 FROM documents
 """
 
@@ -1038,6 +1189,43 @@ SELECT event_type,
        quantile_disc(value, 0.95) AS p95,
        quantile_disc(value, 0.99) AS p99
 FROM events GROUP BY event_type
+"""
+
+    # binned quantile_disc — the frozen spec of stages/relational
+    # grouped_quantiles_hist (bin lower edge of the ceil(q*n)-th element)
+    sql["event_value_hist"] = """
+SELECT event_type,
+       COUNT(*)::BIGINT AS n_events,
+       quantile_disc(FLOOR(value / 5.0) * 5.0, 0.5) AS p50,
+       quantile_disc(FLOOR(value / 5.0) * 5.0, 0.95) AS p95,
+       quantile_disc(FLOOR(value / 5.0) * 5.0, 0.99) AS p99
+FROM events GROUP BY event_type
+"""
+
+    # GROUPING() bitmask disambiguates rolled-up NULLs from data NULLs
+    # (stages/relational grouping_sets)
+    sql["lineitem_rollup"] = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS grouping_id,
+       SUM(l_quantity) AS sum_qty,
+       COUNT(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+"""
+
+    # Bloom prefilter has zero false negatives, so prefilter + exact semi
+    # composes to a plain IN-subquery (stages/relational bloom_prefilter)
+    sql["urgent_lineitems_bloom"] = """
+SELECT l_orderkey, l_suppkey FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT')
+"""
+
+    # EXCEPT has DISTINCT semantics in ANSI SQL — matches set_op's contract
+    sql["custkeys_negative_balance"] = """
+SELECT o_custkey AS custkey FROM orders
+EXCEPT
+SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 0
 """
 
     sql["events_range_join"] = """
@@ -1361,6 +1549,72 @@ SELECT node, pr FROM {_prev}
     # (floor(ln(c/T)*1e4 + 0.5) on both engines), so per-doc sums are exact
     # integers regardless of summation order.  bpe_tokenize has no SQL
     # oracle (iterative merge learning) — pytest golden + rows-only check.
+    # integer counts keep the pivot exact under any combine order
+    # (stages/relational pivot_counts)
+    sql["user_event_pivot"] = """
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'click'    THEN 1 ELSE 0 END)::BIGINT
+           AS click,
+       SUM(CASE WHEN event_type = 'view'     THEN 1 ELSE 0 END)::BIGINT
+           AS view,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS purchase,
+       SUM(CASE WHEN event_type = 'signup'   THEN 1 ELSE 0 END)::BIGINT
+           AS signup,
+       SUM(CASE WHEN event_type NOT IN ('click', 'view', 'purchase',
+                                        'signup') THEN 1 ELSE 0 END)::BIGINT
+           AS other
+FROM events GROUP BY user_id
+"""
+
+    # Efraimidis-Spirakis priorities from the same integer hash as
+    # sample_bernoulli; ln-ulp divergence between engines is only possible
+    # when two priorities straddle the cut within 1 ulp (same precedent as
+    # doc_ppl's quantization boundary)
+    sql["sample_weighted"] = """
+WITH h AS (
+    SELECT doc_id, lang,
+           -ln((((doc_id * 2654435761) % 4294967296) + 1) / 4294967297.0)
+               / n_chars AS pri
+    FROM documents WHERE n_chars > 0
+),
+r AS (
+    SELECT doc_id, lang,
+           ROW_NUMBER() OVER (ORDER BY pri, doc_id) AS rk
+    FROM h
+)
+SELECT doc_id, lang FROM r WHERE rk <= 200
+"""
+
+    # TF-IDF with the same quantized-log trick as doc_ppl: idf quantized
+    # to int deci-milli-nats once per vocab entry, integer tf*idf products,
+    # deterministic (score desc, term asc) tie-break (stages/lm
+    # tfidf_topk_terms)
+    sql["tfidf_topk"] = """
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+),
+tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+       FROM toks GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
+       FROM toks GROUP BY term),
+n AS (SELECT COUNT(*)::BIGINT AS n FROM documents),
+s AS (
+    SELECT t.doc_id, t.term,
+           t.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / df.df) * 10000 + 0.5)
+                       AS BIGINT) AS score_q
+    FROM tf t JOIN df USING (term), n
+),
+r AS (
+    SELECT doc_id, term, score_q,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score_q DESC, term) AS rank
+    FROM s
+)
+SELECT doc_id, term, score_q, rank::BIGINT AS rank FROM r WHERE rank <= 5
+"""
+
     sql["doc_ppl"] = """
 WITH toks AS (
     SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term

@@ -156,7 +156,9 @@ HEADLINE = [
     "top_docs_per_lang", "sample_stratified", "lineitem_pricing",
     "pii_scrub", "line_dedup", "doc_repetition", "customer_orders",
     "dup_ngrams", "doc_ppl", "bpe_tokenize", "pagerank_suppliers",
-    "embedding_dup_blocked",
+    "embedding_dup_blocked", "lineitem_rollup", "event_value_hist",
+    "custkeys_negative_balance", "urgent_lineitems_bloom", "image_meta_png",
+    "tfidf_topk", "sample_weighted", "user_event_pivot",
 ]
 
 

@@ -361,3 +361,42 @@ def q_image_meta(sf_dir: str) -> rd.Dataset:
         })
 
     return meta.map_batches(shape, batch_format="pyarrow")
+
+
+def q_image_meta_png(sf_dir: str) -> rd.Dataset:
+    """Real-codec multimodal entry: deterministic PNG payloads (stdlib
+    codec, functions/png) decoded back by the DecodeImage actor pool with
+    ``decoder="png"``.  Payload dims AND pixel content are pure doc_id
+    arithmetic (constant fill = doc_id % 256), so DuckDB verifies the
+    DECODED PIXELS via mean_luma, not just the header round-trip."""
+    import numpy as np
+
+    from ..functions.png import encode_png
+    from ..stages.multimodal import DecodeImage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def attach_payload(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for did in batch["doc_id"].to_pylist():
+            w, h, c = 8 + did % 24, 8 + (5 * did) % 24, (1, 3, 4)[did % 3]
+            arr = np.full((h, w, c), did % 256, np.uint8)
+            payloads.append(encode_png(arr))
+        return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+    meta = ds.map_batches(attach_payload, batch_format="pyarrow",
+                          batch_size=256) \
+        .map_batches(DecodeImage, fn_constructor_kwargs={"decoder": "png"},
+                     batch_format="pyarrow", batch_size=256,
+                     concurrency=(1, 4), num_cpus=1)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": batch["width"].cast(pa.int64()),
+            "height": batch["height"].cast(pa.int64()),
+            "channels": batch["channels"].cast(pa.int64()),
+            "mean_luma": batch["mean_luma"],
+        })
+
+    return meta.map_batches(shape, batch_format="pyarrow")

@@ -292,3 +292,81 @@ def bpe_encode(docs: rd.Dataset, merges: list[tuple[str, str]], *,
         BpeEncoder, fn_constructor_kwargs={
             "merges": merges, "text_col": text_col, "id_col": id_col},
         batch_format="pyarrow", concurrency=concurrency)
+
+
+def tfidf_topk_terms(docs: rd.Dataset, *, text_col: str = "text",
+                     id_col: str = "doc_id", k: int = 5,
+                     num_docs: int | None = None,
+                     max_broadcast: int = 50_000_000) -> rd.Dataset:
+    """Top-``k`` TF-IDF terms per document, exact and oracle-checkable.
+
+    Frozen integer spec (mirrored in the ``tfidf_topk`` SQL oracle): the
+    score is ``tf * idf_q`` with ``idf_q = floor(ln(N / df) * 1e4 + 0.5)``
+    quantized ONCE per vocabulary entry — integer products and the
+    (score desc, term asc) tie-break make the result bit-identical at any
+    parallelism.  Tokenization is the frozen ``[a-z]+`` on lowercased text.
+
+    Scale shape: tf per (doc, term) is computed entirely inside the batch
+    (a document lives in one row — no shuffle); df is one vocabulary-sized
+    groupby of per-batch distinct-term partials; the (term, idf_q) table is
+    broadcast once (guarded); scoring is a stateless searchsorted pass; the
+    only row-scale exchange is ``grouped_topk``'s ≤k-rows-per-(doc, block)
+    merge.
+    """
+    from .relational import grouped_topk
+
+    narrow = docs.select_columns([id_col, text_col])
+    if num_docs is None:
+        num_docs = docs.count()
+
+    def _doc_term_tf(batch: pa.Table):
+        ids = batch[id_col].to_numpy()
+        toks_per_doc = [_WORD_RE.findall((t or "").lower())
+                        for t in batch[text_col].to_pylist()]
+        lens = np.array([len(t) for t in toks_per_doc], np.int64)
+        flat = [t for toks in toks_per_doc for t in toks]
+        if not flat:
+            return ids, np.empty(0, np.int64), np.empty(0, object), \
+                np.empty(0, np.int64)
+        doc_of = np.repeat(np.arange(len(ids), dtype=np.int64), lens)
+        uniq, inv = np.unique(np.asarray(flat, object), return_inverse=True)
+        key = doc_of * uniq.size + inv
+        uk, cnt = np.unique(key, return_counts=True)
+        return ids, uk // uniq.size, uniq[uk % uniq.size], \
+            cnt.astype(np.int64)
+
+    def df_partial(batch: pa.Table) -> pa.Table:
+        _, _, terms, _ = _doc_term_tf(batch)
+        ut, c = np.unique(terms, return_counts=True)
+        return pa.table({"term": pa.array(ut.tolist(), pa.string()),
+                         "df": pa.array(c.astype(np.int64), pa.int64())})
+
+    rows = narrow.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df", alias_name="df")).take_all()
+    if len(rows) > max_broadcast:
+        raise ValueError(
+            f"vocabulary has {len(rows)} entries > max_broadcast="
+            f"{max_broadcast}; hash-partition the (doc, term, tf) table by "
+            "term and join the df table there instead, or raise "
+            "max_broadcast.")
+    terms_sorted = np.array([r["term"] for r in rows], object)
+    dfs = np.array([r["df"] for r in rows], np.int64)
+    order = np.argsort(terms_sorted)
+    terms_sorted, dfs = terms_sorted[order], dfs[order]
+    idf_q = np.floor(np.log(float(num_docs) / dfs) * LOGPROB_QUANT
+                     + 0.5).astype(np.int64)
+    model = ray.put((terms_sorted, idf_q))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ts, qs = ray.get(model)
+        ids, doc_idx, terms, tf = _doc_term_tf(batch)
+        pos = np.searchsorted(ts, terms)
+        return pa.table({
+            id_col: pa.array(ids[doc_idx], pa.int64()),
+            "term": pa.array(terms.tolist(), pa.string()),
+            "score_q": pa.array(tf * qs[pos], pa.int64()),
+        })
+
+    scored = narrow.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(scored, group_col=id_col, order_col="score_q",
+                        tie_col="term", k=k, descending=True)

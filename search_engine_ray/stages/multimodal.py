@@ -4,14 +4,18 @@ Image/audio/video payloads are opaque ``binary`` columns with sidecar
 metadata columns; decode / feature-extract / resize / frame-sample are
 actor-pool ``map_batches`` stages (decoder state loaded once per actor).
 
-The decode libraries (PIL/ffmpeg/soundfile) are NOT available in this
-container, so the codec seam is explicit:
+Three decoder modes:
 
-- ``DecodeImage(decoder="real")`` raises ``NotImplementedError`` at actor
-  construction (clearly marked stub), and
-- ``DecodeImage(decoder="fake")`` is a deterministic stand-in that parses the
-  payload's 16-byte FakeImage header — the Ray-side plumbing (schema, batch
-  sizing for fat rows, actor signature, output layout) is real and tested.
+- ``decoder="png"`` is a REAL decode path: a pure-stdlib PNG codec
+  (``functions/png``: zlib + numpy unfiltering, all five scanline filters,
+  8-bit gray/RGB/GA/RGBA) — no external library needed.
+- ``decoder="real"`` (JPEG/ffmpeg/soundfile formats) raises
+  ``NotImplementedError`` at actor construction — those libraries are NOT
+  in this container, so that seam stays an explicit stub.
+- ``decoder="fake"`` is a deterministic stand-in that parses the payload's
+  16-byte FakeImage header — the cheapest way to exercise the Ray-side
+  plumbing (schema, batch sizing for fat rows, actor signature, output
+  layout) in tests.
 
 Fake payload layout: ``b"FIMG" | uint32 width | uint32 height | uint32
 channels | pixel bytes``.
@@ -48,19 +52,30 @@ class DecodeImage:
         self.payload_col = payload_col
         if decoder == "real":
             raise NotImplementedError(
-                "real image decoding requires PIL/turbojpeg, not present in "
-                "this environment — use decoder='fake' (deterministic header "
-                "parser) to exercise the pipeline plumbing")
-        if decoder != "fake":
+                "JPEG/WebP decoding requires PIL/turbojpeg, not present in "
+                "this environment — use decoder='png' (built-in stdlib "
+                "codec, functions/png) or decoder='fake' (deterministic "
+                "header parser)")
+        if decoder not in ("fake", "png"):
             raise ValueError(f"unknown decoder {decoder!r}")
+        if decoder == "png":
+            from ..functions.png import decode_png
+            self._decode = decode_png
+        else:
+            self._decode = None
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         widths, heights, channels, lumas = [], [], [], []
         for payload in batch[self.payload_col].to_pylist():
-            magic, w, h, c = _HEADER.unpack_from(payload, 0)
-            if magic != _MAGIC:
-                raise ValueError("bad FakeImage payload")
-            px = np.frombuffer(payload, np.uint8, offset=_HEADER.size)
+            if self._decode is not None:
+                arr = self._decode(payload)
+                h, w, c = arr.shape
+                px = arr.reshape(-1)
+            else:
+                magic, w, h, c = _HEADER.unpack_from(payload, 0)
+                if magic != _MAGIC:
+                    raise ValueError("bad FakeImage payload")
+                px = np.frombuffer(payload, np.uint8, offset=_HEADER.size)
             widths.append(w)
             heights.append(h)
             channels.append(c)
@@ -122,27 +137,44 @@ class SampleFrames:
 
 
 class ResizeImage:
-    """Actor-pool stage stub for resize: fake path subsamples the pixel
-    buffer deterministically; real path is the same NotImplementedError seam."""
+    """Actor-pool resize stage: nearest-neighbor subsample to ``target``.
+
+    ``decoder="png"`` decodes/re-encodes real PNG payloads with the
+    built-in stdlib codec (``functions/png``); ``decoder="fake"`` operates
+    on FakeImage headers; JPEG stays the explicit NotImplementedError seam."""
 
     def __init__(self, target: tuple[int, int] = (64, 64), decoder: str = "real",
                  payload_col: str = "payload"):
         self.target = target
         self.payload_col = payload_col
         if decoder == "real":
-            raise NotImplementedError("real resize needs an image library; "
-                                      "use decoder='fake'")
+            raise NotImplementedError(
+                "JPEG resize needs an image library; use decoder='png' "
+                "(built-in codec) or decoder='fake'")
+        if decoder not in ("fake", "png"):
+            raise ValueError(f"unknown decoder {decoder!r}")
+        self._png = decoder == "png"
+        if self._png:
+            from ..functions.png import decode_png, encode_png
+            self._decode, self._encode = decode_png, encode_png
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tw, th = self.target
         out_payloads = []
         for payload in batch[self.payload_col].to_pylist():
-            _, w, h, c = _HEADER.unpack_from(payload, 0)
-            px = np.frombuffer(payload, np.uint8, offset=_HEADER.size).reshape(h, w, c)
+            if self._png:
+                px = self._decode(payload)
+                h, w, c = px.shape
+            else:
+                _, w, h, c = _HEADER.unpack_from(payload, 0)
+                px = np.frombuffer(payload, np.uint8,
+                                   offset=_HEADER.size).reshape(h, w, c)
             ys = (np.arange(th) * h) // th
             xs = (np.arange(tw) * w) // tw
             resized = px[ys][:, xs]
-            out_payloads.append(_HEADER.pack(_MAGIC, tw, th, c) + resized.tobytes())
+            out_payloads.append(
+                self._encode(resized) if self._png
+                else _HEADER.pack(_MAGIC, tw, th, c) + resized.tobytes())
         return batch.set_column(batch.column_names.index(self.payload_col),
                                 self.payload_col,
                                 pa.array(out_payloads, pa.binary()))

@@ -209,3 +209,327 @@ def grouped_topk(ds: rd.Dataset, *, group_col: str, order_col: str,
 
     return ds.map_batches(partial, batch_format="pyarrow") \
         .groupby(group_col).map_groups(merge, batch_format="pyarrow")
+
+
+def grouping_sets(ds: rd.Dataset, *, keys: tuple[str, ...],
+                  sets: tuple[tuple[str, ...], ...],
+                  sum_cols: dict[str, str],
+                  count_alias: str = "n_rows",
+                  grouping_id_col: str = "grouping_id") -> rd.Dataset:
+    """Multi-level aggregate over ``GROUP BY GROUPING SETS`` semantics
+    (rollup/cube are special cases of ``sets``).
+
+    Contract (mirrors DuckDB exactly): each grouping set aggregates the
+    whole input over its subset of ``keys``; key columns absent from a set
+    come back NULL; ``grouping_id`` is DuckDB's ``GROUPING(*keys)`` bitmask
+    (first key = most significant bit), which disambiguates a rolled-up
+    NULL from a NULL that exists in the data.  Key columns must be strings
+    (the only key shape this engine's tables use); sums must be over exact
+    types (ints, or integer-valued floats below 2**53) so results are
+    order-independent under the value-hash oracle.
+
+    Scale shape: ONE all-to-all.  The map side replicates each batch once
+    per grouping set but collapses it to per-set distinct key combos with a
+    vectorized ``pyarrow`` group_by before anything shuffles — the exchange
+    carries |sets| x (distinct combos per block) partial rows, never
+    |sets| x |rows|.  Rolled-up keys travel as a sentinel string (Ray's
+    sort-based groupby needs orderable keys) and are restored to NULL in a
+    final stateless pass.
+    """
+    _SENT = "\x00\x00rollup"
+    bit = {k: 1 << (len(keys) - 1 - i) for i, k in enumerate(keys)}
+    gids = [sum(bit[k] for k in keys if k not in s) for s in sets]
+    value_cols = sorted(set(sum_cols.values()))
+    sum_names = list(sum_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        outs = []
+        for s, gid in zip(sets, gids):
+            cols: dict = {}
+            n = batch.num_rows
+            for k in keys:
+                cols[k] = (batch[k] if k in s
+                           else pa.array(np.full(n, _SENT, object), pa.string()))
+            cols[grouping_id_col] = pa.array(
+                np.full(n, gid, np.int64), pa.int64())
+            for name, src in sum_cols.items():
+                cols[f"__s_{name}"] = batch[src]
+            cols["__cnt"] = pa.array(np.ones(n, np.int64), pa.int64())
+            t = pa.table(cols)
+            aggs = [(f"__s_{name}", "sum") for name in sum_names]
+            aggs.append(("__cnt", "sum"))
+            g = t.group_by(list(keys) + [grouping_id_col]).aggregate(aggs)
+            g = g.rename_columns(
+                list(keys) + [grouping_id_col]
+                + [f"__s_{name}" for name in sum_names] + ["__cnt"])
+            outs.append(g)
+        return pa.concat_tables(outs)
+
+    from ray.data.aggregate import Sum
+
+    aggs = [Sum(f"__s_{name}", alias_name=f"__s_{name}")
+            for name in sum_names]
+    aggs.append(Sum("__cnt", alias_name="__cnt"))
+    merged = ds.select_columns(
+        sorted(set(keys) | set(value_cols))) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(list(keys) + [grouping_id_col]).aggregate(*aggs)
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        cols: dict = {}
+        for k in keys:
+            arr = batch[k]
+            mask = pc.equal(arr, _SENT)
+            cols[k] = pc.if_else(mask, pa.scalar(None, pa.string()), arr)
+        cols[grouping_id_col] = batch[grouping_id_col]
+        for name in sum_names:
+            cols[name] = batch[f"__s_{name}"]
+        cols[count_alias] = batch["__cnt"]
+        return pa.table(cols)
+
+    return merged.map_batches(finalize, batch_format="pyarrow")
+
+
+def grouped_quantiles_hist(ds: rd.Dataset, *, group_col: str,
+                           value_col: str,
+                           qs: tuple[float, ...] = (0.5, 0.95, 0.99),
+                           bin_width: float = 1.0,
+                           count_alias: str = "n") -> rd.Dataset:
+    """Approximate per-group quantiles from a fixed-width histogram — the
+    scale sibling of ``grouped_quantiles``: the exchange carries per-block
+    (group, bin, count) partials (bounded by the value RANGE / bin_width,
+    not the row count), so groups of any size fit any worker.
+
+    Deterministic frozen spec (SQL-mirrorable, unlike a t-digest): the
+    answer for quantile ``q`` is ``quantile_disc`` over the BINNED values
+    ``floor(v / bin_width) * bin_width`` — i.e. the lower edge of the bin
+    holding the ceil(q*n)-th element.  Both engines compute the same IEEE
+    double divide+floor+multiply, so results are bit-identical; error is
+    bounded by ``bin_width`` by construction.
+
+    Scale shape: one stateless vectorized binning pass with a per-batch
+    ``pyarrow`` group_by combiner, then ONE groupby(group) over tiny
+    histogram partials merged per group with numpy — no (group, value)
+    shuffle, no per-group sort of raw values.
+    """
+    import math
+
+    cols = {f"p{int(round(q * 100))}": q for q in qs}
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.floor(v / bin_width)
+        t = pa.table({group_col: batch[group_col],
+                      "__bin": pa.array(b, pa.float64()),
+                      "__cnt": pa.array(np.ones(v.size, np.int64), pa.int64())})
+        g = t.group_by([group_col, "__bin"]).aggregate([("__cnt", "sum")])
+        return g.rename_columns([group_col, "__bin", "__cnt"])
+
+    def per_group(g: pa.Table) -> pa.Table:
+        key = g[group_col][0]
+        b = g["__bin"].to_numpy(zero_copy_only=False)
+        c = g["__cnt"].to_numpy(zero_copy_only=False)
+        order = np.argsort(b, kind="stable")
+        b, c = b[order], c[order]
+        # merge duplicate bins arriving from different blocks
+        uniq, start = np.unique(b, return_index=True)
+        csum = np.add.reduceat(c, start)
+        cum = np.cumsum(csum)
+        n = int(cum[-1])
+        out: dict = {group_col: pa.array([key.as_py()]),
+                     count_alias: pa.array([n], pa.int64())}
+        for name, q in cols.items():
+            rank = min(n, max(1, math.ceil(q * n)))
+            i = int(np.searchsorted(cum, rank))
+            out[name] = pa.array([float(uniq[i] * bin_width)], pa.float64())
+        return pa.table(out)
+
+    return ds.select_columns([group_col, value_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+
+
+def set_op(left: rd.Dataset, right: rd.Dataset, *, op: str,
+           columns: tuple[str, ...]) -> rd.Dataset:
+    """SQL set operations with DISTINCT semantics — ``INTERSECT``,
+    ``EXCEPT`` (left minus right), ``UNION`` — over the named columns.
+
+    Scale shape: ONE all-to-all.  Each side collapses every block to its
+    distinct key combos with a vectorized ``pyarrow`` group_by and tags
+    them with a presence bit per side; a single groupby then ORs the bits
+    (integer ``Max``) and a stateless filter applies the set rule.  The
+    exchange carries per-block distincts, never raw rows, and neither side
+    is ever materialized on the driver.
+    """
+    from ray.data.aggregate import Max
+
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(f"unsupported op: {op!r}")
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0:
+                return pa.table(
+                    {c: batch[c] for c in columns}
+                    | {"__l": pa.array([], pa.int64()),
+                       "__r": pa.array([], pa.int64())})
+            t = pa.table({c: batch[c] for c in columns})
+            d = t.group_by(list(columns)).aggregate([])
+            n = d.num_rows
+            return d.append_column(
+                "__l", pa.array(np.full(n, 1 - side, np.int64), pa.int64())
+            ).append_column(
+                "__r", pa.array(np.full(n, side, np.int64), pa.int64()))
+        return fn
+
+    both = left.select_columns(list(columns)) \
+        .map_batches(tag(0), batch_format="pyarrow") \
+        .union(right.select_columns(list(columns))
+               .map_batches(tag(1), batch_format="pyarrow"))
+    merged = both.groupby(list(columns)).aggregate(
+        Max("__l", alias_name="__l"), Max("__r", alias_name="__r"))
+
+    def keep(batch: pa.Table) -> pa.Table:
+        l = batch["__l"].to_numpy()
+        r = batch["__r"].to_numpy()
+        if op == "intersect":
+            mask = (l == 1) & (r == 1)
+        elif op == "except":
+            mask = (l == 1) & (r == 0)
+        else:
+            mask = np.ones(l.size, bool)
+        return pa.table({c: batch[c].filter(pa.array(mask))
+                         for c in columns})
+
+    return merged.map_batches(keep, batch_format="pyarrow")
+
+
+def _bloom_positions(keys: np.ndarray, num_bits: int, num_hashes: int,
+                     seed: int) -> "list[np.ndarray]":
+    """Double-hashed bit positions (splitmix64) for int64/uint64 keys."""
+    from ..functions.hashing import _splitmix64
+
+    k = keys.astype(np.int64).view(np.uint64)
+    h1 = _splitmix64(k + np.uint64(0x9E3779B97F4A7C15 * (seed + 1) & (2**64 - 1)))
+    h2 = _splitmix64(k ^ np.uint64(0xBF58476D1CE4E5B9)) | np.uint64(1)
+    mask = np.uint64(num_bits - 1)
+    return [(h1 + np.uint64(i) * h2) & mask for i in range(num_hashes)]
+
+
+def bloom_prefilter(big: rd.Dataset, keys: rd.Dataset, *, big_key: str,
+                    keys_key: str, num_bits: int = 1 << 23,
+                    num_hashes: int = 4, seed: int = 0,
+                    fanin: int = 8) -> rd.Dataset:
+    """Filter ``big`` to (a superset of) the rows whose ``big_key`` appears
+    in ``keys`` — the classic shuffle-pruning pattern for big-big joins: a
+    Bloom filter of the key side is tiny (``num_bits/8`` bytes regardless
+    of key count) where an exact broadcast set would not fit, and the rows
+    it removes never enter the downstream exchange.  Follow with an exact
+    ``shuffle_hash_join(how="semi")`` over the survivors when exact
+    semantics are required (false-positive rate ~(1-e^(-kn/m))^k; zero
+    false NEGATIVES by construction, so the composition is exact).
+
+    Scale shape: the key side collapses to ONE fixed-size bitmap — each
+    block builds a partial (vectorized splitmix64 double hashing), partials
+    OR-merge through a ``fanin``-way Ray task tree (O(log blocks) rounds,
+    driver never sees more than the final bitmap), the result is
+    ``ray.put`` once, and the big side streams through a stateless probe.
+    ``num_bits`` must be a power of two.  int64 keys only (the engine's
+    join keys); hash strings to int64 first (`functions/hashing`).
+    """
+    if num_bits & (num_bits - 1):
+        raise ValueError("num_bits must be a power of two")
+    words = num_bits // 64
+
+    def partial(batch: pa.Table) -> pa.Table:
+        bits = np.zeros(words, np.uint64)
+        if batch.num_rows and keys_key in batch.column_names:
+            k = batch[keys_key].to_numpy(zero_copy_only=False)
+            for pos in _bloom_positions(k, num_bits, num_hashes, seed):
+                np.bitwise_or.at(bits, pos >> np.uint64(6),
+                                 np.uint64(1) << (pos & np.uint64(63)))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    part_refs = keys.select_columns([keys_key]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .materialize().to_arrow_refs()
+
+    @ray.remote
+    def or_merge(*tables: pa.Table) -> pa.Table:
+        acc = np.zeros(words, np.uint64)
+        for t in tables:
+            if t.num_rows:
+                acc |= np.frombuffer(t["bits"][0].as_py(), np.uint64)
+        return pa.table({"bits": pa.array([acc.tobytes()], pa.binary())})
+
+    refs = list(part_refs)
+    while len(refs) > 1:
+        refs = [or_merge.remote(*refs[i:i + fanin])
+                for i in range(0, len(refs), fanin)]
+    bits_tbl = ray.get(refs[0]) if refs else None
+    final = (np.frombuffer(bits_tbl["bits"][0].as_py(), np.uint64)
+             if bits_tbl is not None and bits_tbl.num_rows
+             else np.zeros(words, np.uint64))
+    bits_ref = ray.put(final)
+
+    def probe(batch: pa.Table, _ref=bits_ref) -> pa.Table:
+        if batch.num_rows == 0:
+            return batch
+        bits = ray.get(_ref)
+        k = batch[big_key].to_numpy(zero_copy_only=False)
+        keep = np.ones(k.size, bool)
+        for pos in _bloom_positions(k, num_bits, num_hashes, seed):
+            keep &= ((bits[pos >> np.uint64(6)]
+                      >> (pos & np.uint64(63))) & np.uint64(1)).astype(bool)
+        return batch.filter(pa.array(keep))
+
+    return big.map_batches(probe, batch_format="pyarrow")
+
+
+def pivot_counts(ds: rd.Dataset, *, group_col: str, pivot_col: str,
+                 values: tuple[str, ...],
+                 other_alias: str | None = "other") -> rd.Dataset:
+    """Pivot a categorical column into per-value count columns (the
+    long->wide reshape: one output row per group, one int64 column per
+    pivot value, optionally an ``other`` bucket for unlisted values).
+    Counts (not float sums) keep the result exact under the value-hash
+    oracle regardless of combine order.
+
+    Scale shape: ONE all-to-all — each block collapses to per-(group,
+    value) partial counts widened locally (vectorized searchsorted), so
+    the exchange carries |values|+2 int64 columns per distinct group per
+    block, never raw rows.
+    """
+    from ray.data.aggregate import Sum
+
+    vals = np.array(sorted(values), object)
+    names = list(vals) + ([other_alias] if other_alias else [])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col]
+        if isinstance(g, pa.ChunkedArray):
+            g = g.combine_chunks()
+        enc = g.dictionary_encode()
+        gidx = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                          np.int64)
+        keys = enc.dictionary.to_pylist()
+        p = np.asarray(batch[pivot_col].to_numpy(zero_copy_only=False),
+                       object)
+        pos = np.searchsorted(vals, p)
+        pos = np.clip(pos, 0, max(vals.size - 1, 0))
+        hit = (vals[pos] == p) if vals.size else np.zeros(p.size, bool)
+        col_of = np.where(hit, pos, vals.size)  # last column = other
+        ncols = vals.size + 1
+        counts = np.zeros((len(keys), ncols), np.int64)
+        np.add.at(counts, (gidx, col_of), 1)
+        out = {group_col: pa.array(keys)}
+        for j, name in enumerate(list(vals)):
+            out[name] = pa.array(counts[:, j], pa.int64())
+        if other_alias:
+            out[other_alias] = pa.array(counts[:, vals.size], pa.int64())
+        return pa.table(out)
+
+    aggs = [Sum(n, alias_name=n) for n in names]
+    return ds.select_columns([group_col, pivot_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col).aggregate(*aggs)

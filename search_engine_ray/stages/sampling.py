@@ -20,7 +20,8 @@ import ray.data as rd
 
 from search_engine_ray.stages.relational import grouped_topk
 
-__all__ = ["hash_of_key", "bernoulli_sample", "stratified_sample"]
+__all__ = ["hash_of_key", "bernoulli_sample", "stratified_sample",
+           "weighted_sample_n"]
 
 # Knuth's multiplicative hash constant (2^32 / phi); public domain folklore.
 _KNUTH = 2654435761
@@ -72,3 +73,46 @@ def stratified_sample(ds: rd.Dataset, *, strata_col: str, key_col: str,
     return grouped_topk(ds.map_batches(add_hash, batch_format="pyarrow"),
                         group_col=strata_col, order_col="h", tie_col=key_col,
                         k=n_per_stratum, descending=False)
+
+
+def weighted_sample_n(ds: rd.Dataset, *, key_col: str, weight_col: str,
+                      n: int, seed: int = 0) -> rd.Dataset:
+    """Exactly ``n`` rows drawn WITHOUT replacement with probability
+    proportional to ``weight_col`` — Efraimidis–Spirakis priorities made
+    deterministic: ``u = (hash(key) + 1) / 2^32+1`` in (0, 1), priority
+    ``-ln(u) / w`` (an Exp(w) draw), keep the n smallest.  The use case is
+    quality-weighted corpus resampling (weight = quality score / length):
+    reproducible across reruns, resumes, and any parallelism, and exactly
+    mirrorable in SQL.
+
+    Rows with weight <= 0 are excluded (zero mass).  Scale shape: one
+    stateless vectorized priority pass; the partial-top-k trick bounds the
+    exchange to ≤n rows per block before a single tiny merge.
+    """
+
+    def with_priority(batch: pa.Table) -> pa.Table:
+        w = batch[weight_col].to_numpy(zero_copy_only=False) \
+            .astype(np.float64)
+        keep = w > 0
+        batch = batch.filter(pa.array(keep))
+        if batch.num_rows == 0:
+            return batch.append_column("__pri", pa.array([], pa.float64()))
+        h = hash_of_key(batch[key_col].to_numpy(), seed).astype(np.float64)
+        u = (h + 1.0) / 4294967297.0
+        pri = -np.log(u) / w[keep]
+        return batch.append_column("__pri", pa.array(pri, pa.float64()))
+
+    prid = ds.map_batches(with_priority, batch_format="pyarrow")
+
+    def tag(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "__g", pa.array(np.zeros(batch.num_rows, np.int64), pa.int64()))
+
+    top = grouped_topk(prid.map_batches(tag, batch_format="pyarrow"),
+                       group_col="__g", order_col="__pri", tie_col=key_col,
+                       k=n, descending=False)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["__g", "__pri", "rank"])
+
+    return top.map_batches(strip, batch_format="pyarrow")

@@ -136,3 +136,50 @@ def test_bpe_encode_pipeline(ray_session):
     for i, t in enumerate(docs["text"].to_pylist()):
         ws = re.findall(r"[a-z]+", t.lower())
         assert out.n_bpe_tokens[i] == sum(len(enc._encode_word(w)) for w in ws)
+
+
+def test_tfidf_topk_matches_duckdb(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from search_engine_ray.stages.lm import tfidf_topk_terms
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["the cat sat on the mat",
+                 "the dog ate the cat food",
+                 "quantum flux capacitors hum quietly",
+                 ""],
+    })
+    tbl = pa.Table.from_pandas(docs, preserve_index=False)
+    out = tfidf_topk_terms(rd.from_arrow(tbl).repartition(3), k=3) \
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    exp = duckdb.sql("""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+            FROM docs),
+        tf AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf
+               FROM toks GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(DISTINCT doc_id)::BIGINT AS df
+               FROM toks GROUP BY term),
+        n AS (SELECT COUNT(*)::BIGINT AS n FROM docs),
+        s AS (SELECT t.doc_id, t.term,
+                     t.tf * CAST(floor(ln(CAST(n.n AS DOUBLE) / df.df)
+                                       * 10000 + 0.5) AS BIGINT) AS score_q
+              FROM tf t JOIN df USING (term), n),
+        r AS (SELECT doc_id, term, score_q,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY score_q DESC, term) AS rank
+              FROM s)
+        SELECT doc_id, term, score_q, rank::BIGINT AS rank
+        FROM r WHERE rank <= 3 ORDER BY doc_id, rank
+    """).df()
+    assert out.doc_id.tolist() == exp.doc_id.tolist()
+    assert out.term.tolist() == exp.term.tolist()
+    assert out.score_q.tolist() == exp.score_q.tolist()
+    assert out["rank"].tolist() == exp["rank"].tolist()
+    # parallelism invariance
+    out1 = tfidf_topk_terms(rd.from_arrow(tbl).repartition(1), k=3) \
+        .to_pandas().sort_values(["doc_id", "rank"]).reset_index(drop=True)
+    assert out.equals(out1)

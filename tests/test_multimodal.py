@@ -101,3 +101,119 @@ def test_sample_frames_flat_map_shape(ray_session):
 def test_deterministic_payloads():
     assert encode_fake_image(8, 8, 3, seed=7) == encode_fake_image(8, 8, 3, seed=7)
     assert encode_fake_video(4, 8, 8, 1, seed=7) == encode_fake_video(4, 8, 8, 1, seed=7)
+
+
+# --------------------------------------------------------------------------
+# Real PNG codec path (functions/png)
+# --------------------------------------------------------------------------
+
+def test_png_roundtrip_shapes():
+    from search_engine_ray.functions.png import decode_png, encode_png
+
+    rng = np.random.RandomState(0)
+    for shape in [(5, 7, 1), (8, 3, 3), (4, 4, 2), (16, 16, 4), (1, 1, 1)]:
+        a = rng.randint(0, 256, shape).astype(np.uint8)
+        assert np.array_equal(decode_png(encode_png(a)), a)
+    # 2D input becomes (h, w, 1)
+    a = rng.randint(0, 256, (6, 9)).astype(np.uint8)
+    assert decode_png(encode_png(a)).shape == (6, 9, 1)
+
+
+def test_png_decoder_all_filters():
+    """Decode scanlines produced by an independent forward-filterer for
+    every filter type of the spec (None/Sub/Up/Average/Paeth)."""
+    import struct
+    import zlib
+
+    from search_engine_ray.functions.png import (_SIG, _chunk, decode_png)
+
+    def fwd_filter(a, ftype):
+        h, w, c = a.shape
+        stride, bpp = w * c, c
+        flat = a.reshape(h, stride).astype(np.int64)
+        rows, prev = [], np.zeros(stride, np.int64)
+        for y in range(h):
+            cur = flat[y]
+            left = np.concatenate([np.zeros(bpp, np.int64), cur[:-bpp]])
+            if ftype == 0:
+                enc = cur
+            elif ftype == 1:
+                enc = cur - left
+            elif ftype == 2:
+                enc = cur - prev
+            elif ftype == 3:
+                enc = cur - ((left + prev) >> 1)
+            else:
+                enc = np.empty(stride, np.int64)
+                for x in range(stride):
+                    aa = cur[x - bpp] if x >= bpp else 0
+                    bb = prev[x]
+                    cc = prev[x - bpp] if x >= bpp else 0
+                    p = aa + bb - cc
+                    d = (abs(p - aa), abs(p - bb), abs(p - cc))
+                    pred = aa if (d[0] <= d[1] and d[0] <= d[2]) else \
+                        (bb if d[1] <= d[2] else cc)
+                    enc[x] = cur[x] - pred
+            rows.append(np.concatenate([[ftype], enc & 0xFF]).astype(np.uint8))
+            prev = cur
+        return np.concatenate(rows).tobytes()
+
+    rng = np.random.RandomState(3)
+    ct = {1: 0, 3: 2, 2: 4, 4: 6}
+    for ftype in range(5):
+        for shape in [(6, 5, 3), (7, 4, 1), (3, 8, 4)]:
+            a = rng.randint(0, 256, shape).astype(np.uint8)
+            h, w, c = shape
+            ihdr = struct.pack(">IIBBBBB", w, h, 8, ct[c], 0, 0, 0)
+            png = (_SIG + _chunk(b"IHDR", ihdr)
+                   + _chunk(b"IDAT", zlib.compress(fwd_filter(a, ftype)))
+                   + _chunk(b"IEND", b""))
+            assert np.array_equal(decode_png(png), a), (ftype, shape)
+
+
+def test_png_rejects_bad_input():
+    import pytest
+
+    from search_engine_ray.functions.png import decode_png, encode_png
+
+    with pytest.raises(ValueError, match="signature"):
+        decode_png(b"not a png at all....")
+    with pytest.raises(ValueError, match="channel"):
+        encode_png(np.zeros((2, 2, 5), np.uint8))
+
+
+def test_decode_image_png_actor_pool(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.functions.png import encode_png
+    from search_engine_ray.stages.multimodal import DecodeImage
+
+    rng = np.random.RandomState(5)
+    imgs = [rng.randint(0, 256, (4 + i, 6, 3)).astype(np.uint8)
+            for i in range(6)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "payload": pa.array([encode_png(a) for a in imgs], pa.binary()),
+    })
+    out = rd.from_arrow(tbl).map_batches(
+        DecodeImage, fn_constructor_kwargs={"decoder": "png"},
+        batch_format="pyarrow", batch_size=2, concurrency=2, num_cpus=1) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.height.tolist() == [4 + i for i in range(6)]
+    assert (out.width == 6).all() and (out.channels == 3).all()
+    for i, a in enumerate(imgs):
+        assert out.mean_luma[i] == float(a.mean())
+
+
+def test_resize_png_roundtrip(ray_session):
+    from search_engine_ray.functions.png import decode_png, encode_png
+    from search_engine_ray.stages.multimodal import ResizeImage
+
+    rng = np.random.RandomState(9)
+    a = rng.randint(0, 256, (10, 8, 3)).astype(np.uint8)
+    t = pa.table({"payload": pa.array([encode_png(a)], pa.binary())})
+    out = ResizeImage(target=(4, 5), decoder="png")(t)
+    r = decode_png(out["payload"][0].as_py())
+    assert r.shape == (5, 4, 3)
+    ys, xs = (np.arange(5) * 10) // 5, (np.arange(4) * 8) // 4
+    assert np.array_equal(r, a[ys][:, xs])

@@ -1,8 +1,10 @@
 """Broadcast hash join + grouped top-k (stages/relational)."""
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 import pytest
+import ray.data as rd
 
 
 def _big_ds(rows):
@@ -173,3 +175,196 @@ def test_shuffle_hash_join_bad_how(ray_session):
         shuffle_hash_join(_big_ds({"k": pa.array([1], pa.int64())}),
                           _big_ds({"k": pa.array([1], pa.int64())}),
                           on=("k",), how="cross")
+
+
+def test_grouping_sets_matches_pandas(ray_session):
+    import duckdb
+    from search_engine_ray.stages.relational import grouping_sets
+
+    rng = np.random.default_rng(3)
+    rf = rng.choice(list("ANR"), 200)
+    ls = rng.choice(list("OF"), 200)
+    qty = rng.integers(1, 50, 200).astype(np.float64)
+    tbl = pa.table({"rf": pa.array(rf.tolist(), pa.string()),
+                    "ls": pa.array(ls.tolist(), pa.string()),
+                    "qty": pa.array(qty, pa.float64())})
+    out = grouping_sets(
+        rd.from_arrow(tbl).repartition(7),
+        keys=("rf", "ls"),
+        sets=(("rf", "ls"), ("rf",), ()),
+        sum_cols={"sum_qty": "qty"}).to_pandas()
+    exp = duckdb.sql("""
+        SELECT rf, ls, GROUPING(rf, ls)::BIGINT AS grouping_id,
+               SUM(qty) AS sum_qty, COUNT(*)::BIGINT AS n_rows
+        FROM tbl GROUP BY GROUPING SETS ((rf, ls), (rf), ())
+    """).df()
+
+    def canon(df):
+        return df.reindex(sorted(df.columns), axis=1) \
+            .sort_values(["grouping_id", "rf", "ls"], na_position="last") \
+            .reset_index(drop=True)
+
+    got, want = canon(out), canon(exp)
+    assert got.shape == want.shape
+    for c in got.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f":
+            assert np.array_equal(a, b.astype(np.float64))
+        else:
+            assert (pd.isna(a) == pd.isna(b)).all()
+            m = ~pd.isna(a)
+            assert (a[m] == b[m]).all()
+
+
+def test_grouping_sets_parallelism_invariant(ray_session):
+    from search_engine_ray.stages.relational import grouping_sets
+
+    tbl = pa.table({"k": pa.array(["x", "y", "x", "x"], pa.string()),
+                    "v": pa.array([1.0, 2.0, 3.0, 4.0], pa.float64())})
+
+    def run(parts):
+        return grouping_sets(
+            rd.from_arrow(tbl).repartition(parts), keys=("k",),
+            sets=(("k",), ()), sum_cols={"s": "v"}).to_pandas() \
+            .sort_values(["grouping_id", "k"], na_position="last") \
+            .reset_index(drop=True)
+
+    one, many = run(1), run(4)
+    assert one.equals(many)
+    total = one[one.grouping_id == 1]
+    assert total.s.iloc[0] == 10.0 and total.n_rows.iloc[0] == 4
+    assert total.k.isna().all()
+
+
+def test_grouped_quantiles_hist_binned_rule(ray_session):
+    import duckdb
+    from search_engine_ray.stages.relational import grouped_quantiles_hist
+
+    rng = np.random.default_rng(11)
+    k = rng.choice(list("abc"), 500)
+    v = rng.normal(50, 20, 500)
+    tbl = pa.table({"k": pa.array(k.tolist(), pa.string()),
+                    "v": pa.array(v, pa.float64())})
+    out = grouped_quantiles_hist(
+        rd.from_arrow(tbl).repartition(9), group_col="k", value_col="v",
+        qs=(0.5, 0.95), bin_width=5.0).to_pandas() \
+        .sort_values("k").reset_index(drop=True)
+    exp = duckdb.sql("""
+        SELECT k, COUNT(*)::BIGINT AS n,
+               quantile_disc(FLOOR(v / 5.0) * 5.0, 0.5) AS p50,
+               quantile_disc(FLOOR(v / 5.0) * 5.0, 0.95) AS p95
+        FROM tbl GROUP BY k ORDER BY k
+    """).df()
+    assert out.k.tolist() == exp.k.tolist()
+    assert out.n.tolist() == exp.n.tolist()
+    assert np.array_equal(out.p50.to_numpy(), exp.p50.to_numpy())
+    assert np.array_equal(out.p95.to_numpy(), exp.p95.to_numpy())
+    # binned answer is within one bin of the exact quantile
+    exact = duckdb.sql("SELECT k, quantile_disc(v, 0.5) AS p50 FROM tbl "
+                       "GROUP BY k ORDER BY k").df()
+    assert (np.abs(out.p50.to_numpy() - exact.p50.to_numpy()) <= 5.0).all()
+
+
+def test_set_op_all_three(ray_session):
+    from search_engine_ray.stages.relational import set_op
+
+    l = rd.from_arrow(pa.table({"k": pa.array([1, 2, 2, 3], pa.int64())})) \
+        .repartition(3)
+    r = rd.from_arrow(pa.table({"k": pa.array([2, 4, 4], pa.int64())})) \
+        .repartition(2)
+
+    def run(op):
+        return sorted(set_op(l, r, op=op, columns=("k",))
+                      .to_pandas().k.tolist())
+
+    assert run("intersect") == [2]
+    assert run("except") == [1, 3]
+    assert run("union") == [1, 2, 3, 4]
+    with pytest.raises(ValueError, match="unsupported op"):
+        set_op(l, r, op="minus", columns=("k",))
+
+
+def test_bloom_prefilter_superset_and_composition(ray_session):
+    import duckdb
+    from search_engine_ray.stages.relational import (bloom_prefilter,
+                                                     shuffle_hash_join)
+
+    rng = np.random.default_rng(17)
+    big_keys = rng.integers(0, 10_000, 5000)
+    key_set = rng.choice(10_000, 300, replace=False)
+    big = rd.from_arrow(pa.table({
+        "k": pa.array(big_keys, pa.int64()),
+        "v": pa.array(np.arange(5000), pa.int64())})).repartition(6)
+    keys = rd.from_arrow(pa.table({
+        "kk": pa.array(key_set, pa.int64())})).repartition(3)
+
+    pruned = bloom_prefilter(big, keys, big_key="k", keys_key="kk",
+                             num_bits=1 << 14).to_pandas()
+    exact_mask = np.isin(big_keys, key_set)
+    # zero false negatives: every true match survives
+    assert set(big_keys[exact_mask]) <= set(pruned.k)
+    # the filter actually prunes (false positives are bounded, not total)
+    assert len(pruned) < 5000
+
+    # composition with the exact semi join reproduces SQL IN semantics
+    out = shuffle_hash_join(
+        bloom_prefilter(big, keys, big_key="k", keys_key="kk",
+                        num_bits=1 << 14),
+        keys, on=("k",), right_on=("kk",), how="semi",
+        num_partitions=4).to_pandas().sort_values(["k", "v"]) \
+        .reset_index(drop=True)
+    bd = pd.DataFrame({"k": big_keys, "v": np.arange(5000)})
+    kd = pd.DataFrame({"kk": key_set})
+    exp = duckdb.sql("SELECT k, v FROM bd WHERE k IN (SELECT kk FROM kd) "
+                     "ORDER BY k, v").df()
+    assert out.k.tolist() == exp.k.tolist()
+    assert out.v.tolist() == exp.v.tolist()
+
+
+def test_bloom_prefilter_rejects_bad_bits(ray_session):
+    from search_engine_ray.stages.relational import bloom_prefilter
+
+    with pytest.raises(ValueError, match="power of two"):
+        bloom_prefilter(rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())})),
+                        rd.from_arrow(pa.table({"k": pa.array([1], pa.int64())})),
+                        big_key="k", keys_key="k", num_bits=1000)
+
+
+def test_pivot_counts_matches_duckdb(ray_session):
+    import duckdb
+    from search_engine_ray.stages.relational import pivot_counts
+
+    rng = np.random.default_rng(29)
+    df = pd.DataFrame({
+        "u": rng.integers(0, 20, 400),
+        "t": rng.choice(["a", "b", "c", "zz"], 400),
+    })
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    out = pivot_counts(rd.from_arrow(tbl).repartition(5), group_col="u",
+                       pivot_col="t", values=("a", "b", "c"),
+                       other_alias="other").to_pandas() \
+        .sort_values("u").reset_index(drop=True)
+    exp = duckdb.sql("""
+        SELECT u,
+               SUM(CASE WHEN t = 'a' THEN 1 ELSE 0 END)::BIGINT AS a,
+               SUM(CASE WHEN t = 'b' THEN 1 ELSE 0 END)::BIGINT AS b,
+               SUM(CASE WHEN t = 'c' THEN 1 ELSE 0 END)::BIGINT AS c,
+               SUM(CASE WHEN t NOT IN ('a','b','c') THEN 1 ELSE 0
+                   END)::BIGINT AS other
+        FROM df GROUP BY u ORDER BY u
+    """).df()
+    assert out.u.tolist() == exp.u.tolist()
+    for c in ("a", "b", "c", "other"):
+        assert out[c].tolist() == exp[c].tolist()
+
+
+def test_pivot_counts_no_other(ray_session):
+    from search_engine_ray.stages.relational import pivot_counts
+
+    tbl = pa.table({"g": pa.array(["x", "x", "y"], pa.string()),
+                    "t": pa.array(["a", "q", "a"], pa.string())})
+    out = pivot_counts(rd.from_arrow(tbl), group_col="g", pivot_col="t",
+                       values=("a",), other_alias=None).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert list(out.columns) == ["g", "a"]
+    assert out.a.tolist() == [1, 1]  # the 'q' row is dropped from counts

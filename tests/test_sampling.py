@@ -57,3 +57,41 @@ def test_small_stratum_returns_all(ray_session):
 def test_overflow_guard():
     with pytest.raises(ValueError):
         hash_of_key(np.array([2**62], np.int64))
+
+
+def test_weighted_sample_matches_sql_rule(ray_session):
+    import duckdb
+    import pandas as pd
+
+    from search_engine_ray.stages.sampling import weighted_sample_n
+
+    rng = np.random.default_rng(23)
+    df = pd.DataFrame({
+        "k": np.arange(1, 501, dtype=np.int64),
+        "w": rng.integers(0, 100, 500).astype(np.float64),  # some zeros
+        "tag": rng.choice(list("uv"), 500),
+    })
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    out = weighted_sample_n(rd.from_arrow(tbl).repartition(7),
+                            key_col="k", weight_col="w", n=50) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    exp = duckdb.sql("""
+        WITH h AS (
+            SELECT k, w, tag,
+                   -ln((((k * 2654435761) % 4294967296) + 1)
+                       / 4294967297.0) / w AS pri
+            FROM df WHERE w > 0),
+        r AS (SELECT k, w, tag, ROW_NUMBER() OVER (ORDER BY pri, k) AS rk
+              FROM h)
+        SELECT k, w, tag FROM r WHERE rk <= 50 ORDER BY k
+    """).df()
+    assert out.k.tolist() == exp.k.tolist()
+    assert out.tag.tolist() == exp.tag.tolist()
+    # parallelism invariance
+    out1 = weighted_sample_n(rd.from_arrow(tbl).repartition(1),
+                             key_col="k", weight_col="w", n=50) \
+        .to_pandas().sort_values("k").reset_index(drop=True)
+    assert out.equals(out1)
+    # heavier rows are sampled more often: mean weight of the sample
+    # exceeds the population mean
+    assert out.w.mean() > df[df.w > 0].w.mean()
