@@ -340,6 +340,47 @@ def run_spin_worker(width: int) -> None:
         ray.shutdown()
 
 
+def run_membw_worker(width: int) -> None:
+    """Fresh-process aggregate DRAM-bandwidth probe at one width (numpy
+    triad, ~192 MB working set per worker — far beyond LLC).  The spin
+    probe normalizes CPU-cycle stealing but is blind to MEMORY-bandwidth
+    interference (zero memory traffic); a bandwidth-bound build leg sees
+    both.  Run in the same window as a scaling leg, the hi/lo bandwidth
+    ratio is the DRAM-side ceiling any bandwidth-bound job could reach."""
+    import numpy as np
+    import ray
+
+    ray.init(address="local", num_cpus=width, include_dashboard=False)
+    try:
+        N = 8_000_000  # 64 MB per array; 3 arrays per worker
+        PASSES = 6
+
+        @ray.remote
+        def triad(seed: int) -> float:
+            rng = np.random.RandomState(seed)
+            b = rng.rand(N)
+            c = rng.rand(N)
+            a = np.empty_like(b)
+            t0 = time.perf_counter()
+            for _ in range(PASSES):
+                np.multiply(c, 0.5, out=a)
+                a += b
+            return time.perf_counter() - t0
+
+        ray.get([triad.remote(i) for i in range(width)])  # warm + page in
+        best = None
+        for rep in range(2):
+            t0 = time.perf_counter()
+            ray.get([triad.remote(1000 + rep * width + i)
+                     for i in range(width)])
+            wall = time.perf_counter() - t0
+            gbps = width * PASSES * 3 * N * 8 / wall / 1e9
+            best = max(best or 0.0, gbps)
+        print(json.dumps({"width": width, "membw_gbps": round(best, 2)}))
+    finally:
+        ray.shutdown()
+
+
 def run_scaling(sf_dir: str) -> dict:
     input_dir = _scaling_input(
         f"/tmp/serx_scaling_pages_{SCALING_DOCS // 1000}k", SCALING_DOCS)
@@ -353,19 +394,27 @@ def run_scaling(sf_dir: str) -> dict:
     # meaningful alongside the best-wall headline.
     runs_by_level: dict[int, list] = {c: [] for c in SCALING_LEVELS}
     spin_by_level: dict[int, list] = {c: [] for c in SCALING_LEVELS}
+    membw_by_level: dict[int, list] = {c: [] for c in SCALING_LEVELS}
     for _ in range(max(1, SCALING_REPEATS)):
         for cpus in SCALING_LEVELS:
             # flush dirty pages (corpus gen / previous leg) so delayed
             # writeback doesn't steal I/O bandwidth from the measurement
             subprocess.run(["sync"], check=False)
             time.sleep(5)
-            # same-window host-ceiling probe (fresh process, same width)
+            # same-window host-ceiling probes (fresh process, same width):
+            # spin = CPU-cycle delivery; membw = aggregate DRAM bandwidth
             spin = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
                  "--spin-worker", "--num-cpus", str(cpus)],
                 capture_output=True, text=True, check=True, cwd=REPO)
             spin_by_level[cpus].append(json.loads(
                 spin.stdout.strip().splitlines()[-1])["effective_cores"])
+            mbw = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py"),
+                 "--membw-worker", "--num-cpus", str(cpus)],
+                capture_output=True, text=True, check=True, cwd=REPO)
+            membw_by_level[cpus].append(json.loads(
+                mbw.stdout.strip().splitlines()[-1])["membw_gbps"])
             out = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py"),
                  "--build-worker", "--input", input_dir,
@@ -391,6 +440,14 @@ def run_scaling(sf_dir: str) -> dict:
     ]
     pair_effs_normalized = [
         round(e / c, 3) for e, c in zip(pair_effs, pair_ceilings)]
+    # DRAM-side ceiling: how much MORE aggregate bandwidth the hi width
+    # actually gets in that window.  A fully bandwidth-bound job cannot
+    # exceed this no matter how it is written; the build's raw efficiency
+    # sitting ABOVE it is direct evidence of partial compute-boundedness.
+    pair_bw_ceilings = [
+        round((bh / bl) / (hi / lo), 3)
+        for bl, bh in zip(membw_by_level[lo], membw_by_level[hi])
+    ]
     eff = (legs[hi]["docs_per_s"] / legs[lo]["docs_per_s"]) / (hi / lo)
     identical = _indexes_identical(f"/tmp/serx_scaling_index_{lo}",
                                    f"/tmp/serx_scaling_index_{hi}")
@@ -411,7 +468,9 @@ def run_scaling(sf_dir: str) -> dict:
         "all_wall_s": all_runs,
         "pair_efficiencies": pair_effs,
         "spin_effective_cores": {str(c): v for c, v in spin_by_level.items()},
+        "membw_gbps": {str(c): v for c, v in membw_by_level.items()},
         "pair_host_ceilings": pair_ceilings,
+        "pair_membw_ceilings": pair_bw_ceilings,
         "pair_efficiencies_normalized": pair_effs_normalized,
         "median_normalized_efficiency": round(
             statistics.median(pair_effs_normalized), 3)
@@ -496,6 +555,8 @@ def main() -> None:
                     help="pure-spin effective-core measurement at the "
                          "scaling widths (host cycle-delivery ceiling)")
     ap.add_argument("--build-worker", action="store_true")
+    ap.add_argument("--membw-worker", action="store_true",
+                    help="aggregate DRAM-bandwidth probe at --num-cpus")
     ap.add_argument("--spin-worker", action="store_true",
                     help="internal: single-width effective-core probe")
     ap.add_argument("--input")
@@ -511,6 +572,9 @@ def main() -> None:
         return
     if args.spin_worker:
         run_spin_worker(args.num_cpus)
+        return
+    if args.membw_worker:
+        run_membw_worker(args.num_cpus)
         return
     if args.calibrate:
         result = run_calibration()
