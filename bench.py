@@ -255,7 +255,13 @@ def _scaling_input(path: str, num_docs: int) -> str:
 
 def run_build_worker(input_dir: str, out_dir: str, num_cpus: int) -> None:
     """Fresh-process leg of the scaling experiment (one parallelism level)."""
+    import logging
     import ray
+
+    # phase walls (build.py logs at INFO) go to the leg's stderr so the
+    # Amdahl serial term stays diagnosable per run
+    logging.getLogger("search_engine_ray").setLevel(logging.INFO)
+    logging.basicConfig(level=logging.WARNING)
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False)
     try:

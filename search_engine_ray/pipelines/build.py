@@ -226,10 +226,16 @@ def build_index(
                   _timemod.perf_counter() - _t_phase)
         _t_phase = _timemod.perf_counter()
 
-        # The write execution is done; its lemmatizer actors are shutting
-        # down but still HOLD their CPU reservations for a moment.  Starting
-        # the build tasks before those free would leave them only the
-        # reserve CPUs (measured 12x slowdown), so wait for the release.
+        # The write execution is done, but Ray Data keeps the finished
+        # execution's actor pools (and their CPU reservations) alive as
+        # long as the Dataset object is referenced — measured: 9/32 CPUs
+        # free 15 s after the execution finished, with phase B then running
+        # under-parallelized (the "12x slowdown" of round 1).  Dropping the
+        # references lets the pools tear down in ~1-2 s.
+        del acks, ds
+        import gc as _gc
+
+        _gc.collect()
         _wait_for_cpus(cpus)
         _log.info("build barrier (actor CPU release) %.2fs",
                   _timemod.perf_counter() - _t_phase)
