@@ -865,6 +865,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             values=("click", "view", "purchase", "signup"),
                             other_alias="other")
 
+    def user_top_event(sf_dir):
+        """Deterministic grouped mode (stages/relational grouped_mode):
+        each user's most frequent event type, ties to the smallest value —
+        raw rows never shuffle, only per-block (group, value) counts."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import grouped_mode
+
+        ev = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "event_type"])
+        return grouped_mode(ev, group_col="user_id",
+                            value_col="event_type")
+
     def sample_weighted(sf_dir):
         """Deterministic weighted sampling without replacement (stages/
         sampling weighted_sample_n): Efraimidis-Spirakis exponential
@@ -1003,6 +1016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": tfidf_topk,
         "sample_weighted": sample_weighted,
         "user_event_pivot": user_event_pivot,
+        "user_top_event": user_top_event,
         "bpe_tokenize": bpe_tokenize,
         "heavy_hitters": heavy_hitters,
     }
@@ -1568,6 +1582,23 @@ SELECT user_id,
                                         'signup') THEN 1 ELSE 0 END)::BIGINT
            AS other
 FROM events GROUP BY user_id
+"""
+
+    # deterministic mode: ROW_NUMBER over (count desc, value asc) mirrors
+    # grouped_mode's tie rule exactly (DuckDB's mode() tie order is
+    # unspecified, so the window form is the oracle)
+    sql["user_top_event"] = """
+WITH c AS (
+    SELECT user_id, event_type, COUNT(*)::BIGINT AS n
+    FROM events GROUP BY user_id, event_type
+),
+r AS (
+    SELECT user_id, event_type, n,
+           ROW_NUMBER() OVER (PARTITION BY user_id
+                              ORDER BY n DESC, event_type) AS rk
+    FROM c
+)
+SELECT user_id, event_type, n FROM r WHERE rk = 1
 """
 
     # Efraimidis-Spirakis priorities from the same integer hash as

@@ -533,3 +533,34 @@ def pivot_counts(ds: rd.Dataset, *, group_col: str, pivot_col: str,
     return ds.select_columns([group_col, pivot_col]) \
         .map_batches(partial, batch_format="pyarrow") \
         .groupby(group_col).aggregate(*aggs)
+
+
+def grouped_mode(ds: rd.Dataset, *, group_col: str, value_col: str,
+                 count_alias: str = "n") -> rd.Dataset:
+    """Most frequent value per group, deterministic (ties: smallest value).
+
+    Scale shape: per-batch (group, value) partial counts via a vectorized
+    ``pyarrow`` group_by, ONE groupby over the (group, value) partials,
+    then the ≤1-row-per-(group, block) ``grouped_topk`` merge — raw rows
+    never shuffle, and no group's distinct-value set needs to fit anywhere
+    special.
+    """
+    from ray.data.aggregate import Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        t = pa.table({group_col: batch[group_col],
+                      value_col: batch[value_col]})
+        g = t.group_by([group_col, value_col]).aggregate([([], "count_all")])
+        return g.rename_columns([group_col, value_col, "__c"])
+
+    counts = ds.select_columns([group_col, value_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby([group_col, value_col]) \
+        .aggregate(Sum("__c", alias_name=count_alias))
+    top = grouped_topk(counts, group_col=group_col, order_col=count_alias,
+                       tie_col=value_col, k=1, descending=True)
+
+    def strip(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["rank"])
+
+    return top.map_batches(strip, batch_format="pyarrow")

@@ -368,3 +368,26 @@ def test_pivot_counts_no_other(ray_session):
         .sort_values("g").reset_index(drop=True)
     assert list(out.columns) == ["g", "a"]
     assert out.a.tolist() == [1, 1]  # the 'q' row is dropped from counts
+
+
+def test_grouped_mode_deterministic_ties(ray_session):
+    import duckdb
+    from search_engine_ray.stages.relational import grouped_mode
+
+    rng = np.random.default_rng(31)
+    df = pd.DataFrame({"g": rng.integers(0, 15, 300),
+                       "v": rng.choice(list("pqrs"), 300)})
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    out = grouped_mode(rd.from_arrow(tbl).repartition(6), group_col="g",
+                       value_col="v").to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    exp = duckdb.sql("""
+        WITH c AS (SELECT g, v, COUNT(*)::BIGINT AS n
+                   FROM df GROUP BY g, v),
+        r AS (SELECT g, v, n, ROW_NUMBER() OVER (PARTITION BY g
+                  ORDER BY n DESC, v) AS rk FROM c)
+        SELECT g, v, n FROM r WHERE rk = 1 ORDER BY g
+    """).df()
+    assert out.g.tolist() == exp.g.tolist()
+    assert out.v.tolist() == exp.v.tolist()
+    assert out.n.tolist() == exp.n.tolist()
