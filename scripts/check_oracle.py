@@ -14,19 +14,35 @@ import numpy as np
 import pandas as pd
 
 
-def to_pandas(obj) -> pd.DataFrame:
+def fetch(obj):
+    """Return ``(pandas_df, arrow_table_or_None)``.
+
+    The Arrow side preserves validity bitmaps, so per-column null counts can
+    be compared against the oracle's Arrow result — pandas folds NULL into
+    NaN and would hide exactly the null-vs-NaN encoding bugs the driver's
+    value hash catches (round-2 ``events_analytic``).
+    """
     import pyarrow as pa
 
     try:
+        import ray
         import ray.data as rd
 
         if isinstance(obj, rd.Dataset):
-            return obj.to_pandas()
+            tbls = [t for t in ray.get(obj.to_arrow_refs())
+                    if t.num_rows and t.num_columns]
+            tbl = pa.concat_tables(tbls, promote_options="permissive") if tbls else None
+            return (tbl.to_pandas() if tbl is not None else obj.to_pandas()), tbl
     except ImportError:
         pass
     if isinstance(obj, pa.Table):
-        return obj.to_pandas()
-    return obj
+        return obj.to_pandas(), obj
+    # pandas input: NaN->null on conversion, same as the driver's ingest
+    return obj, pa.Table.from_pandas(obj, preserve_index=False)
+
+
+def null_counts(tbl) -> dict[str, int]:
+    return {name: tbl.column(name).null_count for name in sorted(tbl.column_names)}
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -92,7 +108,8 @@ def main() -> int:
 
         t0 = time.monotonic()
         try:
-            got = canon(to_pandas(fn(sf_dir)))
+            got_df, got_tbl = fetch(fn(sf_dir))
+            got = canon(got_df)
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: query raised {type(e).__name__}: {e}")
             failures += 1
@@ -103,13 +120,21 @@ def main() -> int:
             continue
         t0 = time.monotonic()
         try:
-            exp = canon(con.execute(oracles[name]).fetchdf())
+            exp_tbl = con.execute(oracles[name]).arrow()
+            exp = canon(exp_tbl.to_pandas())
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: oracle raised {type(e).__name__}: {e}")
             failures += 1
             continue
         sql_t = time.monotonic() - t0
         problems = compare(name, got, exp)
+        if not problems and got_tbl is not None:
+            nc_got, nc_exp = null_counts(got_tbl), null_counts(exp_tbl)
+            if nc_got != nc_exp:
+                diffs = {c: (nc_got.get(c), nc_exp.get(c))
+                         for c in set(nc_got) | set(nc_exp)
+                         if nc_got.get(c) != nc_exp.get(c)}
+                problems = [f"null-count mismatch (ray vs oracle): {diffs}"]
         if problems:
             print(f"FAIL {name}: rows={len(got)}/{len(exp)} " + "; ".join(problems))
             failures += 1

@@ -99,17 +99,16 @@ def sessionize(events: rd.Dataset, gap_sec: int = 1800,
             new_session[0] = False
         session = np.cumsum(new_session).astype(np.int64)
         n_sessions = int(session[-1]) + 1 if len(ts) else 0
-        starts = np.zeros(n_sessions, np.int64)
-        ends = np.zeros(n_sessions, np.int64)
-        counts = np.zeros(n_sessions, np.int64)
-        sums = np.zeros(n_sessions, np.float64)
-        for sid in range(n_sessions):
-            mask = session == sid
-            idx = np.flatnonzero(mask)
-            starts[sid] = ts[idx[0]]
-            ends[sid] = ts[idx[-1]]
-            counts[sid] = idx.size
-            sums[sid] = vals[idx].sum()
+        if n_sessions:
+            # one pass: session boundaries -> reduceat (no per-session scan)
+            bounds = np.concatenate([[0], np.flatnonzero(new_session)])
+            starts = ts[bounds]
+            ends = ts[np.concatenate([bounds[1:] - 1, [len(ts) - 1]])]
+            counts = np.diff(np.concatenate([bounds, [len(ts)]]))
+            sums = np.add.reduceat(vals, bounds)
+        else:
+            starts = ends = counts = np.zeros(0, np.int64)
+            sums = np.zeros(0, np.float64)
         key = group[key_col][0].as_py()
         return pa.table({
             key_col: pa.array([key] * n_sessions, pa.int64()),
@@ -148,19 +147,25 @@ def analytic_per_key(events: rd.Dataset, key_col: str = "user_id",
         v = g[value_col].to_numpy(zero_copy_only=False)
         ts = g[ts_col].cast(pa.int64()).to_numpy() // 1_000_000
         cents = np.floor(v * 100.0).astype(np.int64)
-        nan1 = np.array([np.nan])
-        prev = np.concatenate([nan1, v[:-1]]) if n else v
-        nxt = np.concatenate([v[1:], nan1]) if n else v
+        zero1 = np.array([0.0])
+        prev = np.concatenate([zero1, v[:-1]]) if n else v
+        nxt = np.concatenate([v[1:], zero1]) if n else v
         gap = np.concatenate([[0], np.diff(ts)]) if n else ts
         gap_mask = np.zeros(n, bool)
+        first_mask = np.zeros(n, bool)
+        last_mask = np.zeros(n, bool)
         if n:
             gap_mask[0] = True  # first event of a key has no predecessor
+            first_mask[0] = True
+            last_mask[-1] = True
+        # LAG/LEAD boundary cells must be NULL (not NaN) to hash-match the
+        # DuckDB oracle — masked exactly like gap_sec below.
         return pa.table({
             order_col: g[order_col],
             key_col: g[key_col],
             "rn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
-            "prev_value": pa.array(prev, pa.float64()),
-            "next_value": pa.array(nxt, pa.float64()),
+            "prev_value": pa.array(prev, pa.float64(), mask=first_mask),
+            "next_value": pa.array(nxt, pa.float64(), mask=last_mask),
             "gap_sec": pa.array(gap, pa.int64(), mask=gap_mask),
             "cum_cents": pa.array(np.cumsum(cents), pa.int64()),
         })
