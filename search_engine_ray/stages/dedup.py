@@ -74,6 +74,17 @@ def _key_runs(*keys: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return order, starts, ends
 
 
+def _fixed_binary_view(col: pa.ChunkedArray | pa.Array,
+                       dtype: np.dtype) -> np.ndarray:
+    """Zero-copy-ish (rows, width/itemsize) view of a fixed_size_binary
+    column: one buffer reinterpret instead of a per-row ``as_py`` unpack."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    per_row = arr.type.byte_width // np.dtype(dtype).itemsize
+    flat = np.frombuffer(arr.buffers()[1], dtype)
+    start = arr.offset * per_row
+    return flat[start: start + len(arr) * per_row].reshape(len(arr), per_row)
+
+
 def _batch_shingles(texts: list[str], n: int, *, distinct: bool = True
                     ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Word-n-gram shingle hashes for a whole batch, vectorized.
@@ -185,6 +196,7 @@ class _MinHashStage:
         self.id_col = id_col
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        sig_type = pa.binary(8 * self.num_perm)  # fixed_size_binary
         ids = np.asarray(batch[self.id_col].to_pylist(), np.int64)
         docs, sh, counts = _batch_shingles(batch[self.text_col].to_pylist(),
                                            self.n)
@@ -194,7 +206,7 @@ class _MinHashStage:
                 "doc_id": pa.array([], pa.int64()),
                 "band": pa.array([], pa.int32()),
                 "band_hash": pa.array([], pa.uint64()),
-                "sig": pa.array([], pa.binary()),
+                "sig": pa.array([], sig_type),
             })
         # Batched MinHash: one (rows x num_perm) multiply-shift per chunk,
         # per-doc signature via segmented minimum.reduceat — identical values
@@ -222,16 +234,20 @@ class _MinHashStage:
         for r in range(self.rows_per_band):
             acc = acc * _POLY_P + bands_view[:, :, r]
         band_hash = _splitmix64(acc)
-        sig_bytes = [s.tobytes() for s in sigs]
         m = with_sh.size
         out_id = np.repeat(ids[with_sh], self.bands)
         out_band = np.tile(np.arange(self.bands, dtype=np.int32), m)
+        # signatures as fixed_size_binary, built zero-copy from one repeated
+        # uint64 matrix — the bucket verifier reinterprets the column's raw
+        # buffer back into a (rows, num_perm) view with no per-row Python
+        rep = np.repeat(sigs, self.bands, axis=0)
+        sig_arr = pa.Array.from_buffers(
+            sig_type, m * self.bands, [None, pa.py_buffer(rep.tobytes())])
         return pa.table({
             "doc_id": pa.array(out_id, pa.int64()),
             "band": pa.array(out_band, pa.int32()),
             "band_hash": pa.array(band_hash.reshape(-1), pa.uint64()),
-            "sig": pa.array([sig_bytes[i] for i in range(m)
-                             for _ in range(self.bands)], pa.binary()),
+            "sig": sig_arr,
         })
 
 
@@ -262,13 +278,15 @@ def minhash_lsh_pairs(ds: rd.Dataset, *, n: int = 3, num_perm: int = 64,
 
     def part_bucket_pairs(group: pa.Table) -> pa.Table:
         """All buckets routed to this part: walk (band, band_hash) runs;
-        per multi-member bucket, one vectorized signature-agreement matrix."""
+        per multi-member bucket, one vectorized signature-agreement matrix.
+        The sig column's fixed_size_binary buffer is reinterpreted ONCE as a
+        (rows, num_perm) uint64 view — no per-row unpack in the wide stage."""
         bandc = group["band"].to_numpy()
         bhc = group["band_hash"].to_numpy()
         idsc = group["doc_id"].to_numpy()
         order, starts, ends = _key_runs(bandc.astype(np.uint64), bhc)
         a_out, b_out, j_out = [], [], []
-        sig_col = group["sig"]
+        sig_mat = _fixed_binary_view(group["sig"], np.uint64)
         dropped_buckets = dropped_rows = 0
         for s, e in zip(starts, ends):
             m = e - s
@@ -283,8 +301,7 @@ def minhash_lsh_pairs(ds: rd.Dataset, *, n: int = 3, num_perm: int = 64,
             iord = np.argsort(ids, kind="stable")
             sel = sel[iord]
             ids = ids[iord]
-            sigs = np.stack([np.frombuffer(sig_col[int(i)].as_py(), np.uint64)
-                             for i in sel])
+            sigs = sig_mat[sel]
             est = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
             ai, bi = np.triu_indices(int(m), k=1)
             ok = (est[ai, bi] >= threshold) & (ids[ai] != ids[bi])
@@ -561,50 +578,23 @@ def embedding_dup_pairs(emb_ds: rd.Dataset, *, threshold: float = 0.95,
     broadcast normalized matrix (``ray.put`` once, read per task — no
     per-batch reshipping).  O(N^2/blocks) compute.
 
-    This is the EXACT oracle for the approximate families, and it broadcasts
-    the whole (ids, matrix) pair — valid only while that fits a worker heap.
-    ``max_rows`` makes the boundary explicit: beyond it the call refuses and
+    This is the EXACT oracle for the approximate families.  ``max_rows``
+    makes the quadratic boundary explicit: beyond it the call refuses and
     points at the scale path (``similarity.knn_lsh_buckets``) instead of
-    silently OOMing a 100-TB job.
+    quietly running an N^2 job at 100 TB.  The actual work delegates to
+    :func:`embedding_dup_pairs_blocked` — one implementation, no driver-side
+    matrix, no per-row Python hit loop.
     """
-    import ray
-
     n = emb_ds.count()
     if n > max_rows:
         raise ValueError(
             f"embedding_dup_pairs is the exact O(N^2) fixture oracle; input "
             f"has {n} rows > max_rows={max_rows}. Use "
             "similarity.knn_lsh_buckets (LSH-bucketed cosine) at scale, or "
-            "raise max_rows explicitly if the broadcast fits worker memory.")
-    all_rows = emb_ds.select_columns([id_col, vec_col]).take_all()
-    ids = np.array([r[id_col] for r in all_rows], np.int64)
-    order = np.argsort(ids, kind="stable")
-    ids = ids[order]
-    mat = np.stack([np.asarray(all_rows[i][vec_col], np.float64) for i in order])
-    mat /= np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((ids, mat))
-
-    def block(batch: pa.Table) -> pa.Table:
-        import ray as _ray
-
-        g_ids, g_mat = _ray.get(ref)
-        b_ids = batch[id_col].to_numpy()
-        pos = np.searchsorted(g_ids, b_ids)
-        sims = g_mat[pos] @ g_mat.T
-        a_out, b_out, s_out = [], [], []
-        for r, did in enumerate(b_ids):
-            hits = np.flatnonzero(sims[r] >= threshold)
-            for c in hits:
-                other = int(g_ids[c])
-                if other > int(did):
-                    a_out.append(int(did))
-                    b_out.append(other)
-                    s_out.append(float(sims[r, c]))
-        return pa.table({"vec_a": pa.array(a_out, pa.int64()),
-                         "vec_b": pa.array(b_out, pa.int64()),
-                         "cosine": pa.array(s_out, pa.float64())})
-
-    return emb_ds.select_columns([id_col, vec_col]).map_batches(block, batch_format="pyarrow")
+            "raise max_rows explicitly / call embedding_dup_pairs_blocked "
+            "directly if the quadratic cost is intended.")
+    return embedding_dup_pairs_blocked(emb_ds, threshold=threshold,
+                                       id_col=id_col, vec_col=vec_col)
 
 
 def _table_matrix(t: pa.Table, id_col: str, vec_col: str
