@@ -124,7 +124,9 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "src",
              dst_col: str = "dst", num_iters: int = 10,
              damping_num: int = 85, damping_den: int = 100,
              mass0: int = 10**12,
-             max_broadcast_nodes: int = 100_000_000) -> rd.Dataset:
+             max_broadcast_nodes: int = 100_000_000,
+             mode: str = "auto", num_parts: int | None = None,
+             fan_in: int = 8) -> rd.Dataset:
     """PageRank over a directed edge list, in pure int64 fixed-point.
 
     Frozen spec (identical in the SQL oracle, ``__ray_entry__`` query
@@ -143,23 +145,42 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "src",
     any parallelism, block order, or SQL join order — the property the
     float formulation cannot give under a value-hash oracle.
 
-    Scale shape: the VERTEX table (node, outdeg, pr) is the broadcast side
-    — ``ray.put`` once per iteration, read per task.  Each EDGE block is
-    pre-indexed ONCE into a CSR-ish object-store ref (src index, integer
-    denominator, grouped-dst scatter structure) by a wave of raw Ray tasks;
-    after that, every iteration is a wave of tiny gather-multiply-scatter
-    tasks over those refs — no per-iteration Ray Data job, no re-parsing
-    of the edge list, and the per-block partial carried back to the driver
-    is (distinct dst per block) rows, never the raw edge count.  (This is
-    the legitimate raw-task escape: a fixed-point iteration over immutable
-    per-block state, which the streaming Dataset API would re-execute from
-    scratch each round.)  The guard caps the vertex broadcast (default
-    100M nodes = 2.4 GB) and fails loudly; at web-graph scale (nodes >>
-    heap) the documented fallback is a vertex-partitioned exchange:
-    hash-partition pr and edges by src, join there, re-partition
-    contributions by dst (two shuffles per iteration).
+    Two execution modes (``mode="auto"`` picks by vertex count against
+    ``max_broadcast_nodes``; integer arithmetic makes their outputs
+    bit-identical, which the parity pytest asserts):
+
+    * **broadcast** (vertex table fits a worker heap, default 100M nodes =
+      2.4 GB): the VERTEX table (node, outdeg, pr) is the broadcast side —
+      one object-store ref per iteration, read per task.  Each EDGE block is
+      pre-indexed ONCE into a CSR-ish object-store ref (src index, integer
+      denominator, grouped-dst scatter structure) by a wave of raw Ray
+      tasks; after that, every iteration is a wave of tiny
+      gather-multiply-scatter tasks over those refs — no per-iteration Ray
+      Data job, no re-parsing of the edge list.  The per-block (dst, sum)
+      partials merge through a ``fan_in``-ary TREE of combine tasks whose
+      final task emits the next dense pr vector — the driver only chains
+      object refs, it never touches per-iteration data (the round-2
+      driver-side merge loop is gone).
+    * **exchange** (web-graph scale, nodes >> heap): vertices are
+      hash-partitioned into ``num_parts`` shards; edges are partitioned by
+      src shard and pre-indexed once per (src shard, dst shard) cell —
+      src position, integer denominator, per-cell distinct-dst scatter
+      structure, and the dst's position in ITS OWN shard resolved once up
+      front.  Per iteration each src shard runs one gather-multiply task
+      emitting ``num_parts`` per-cell partial-sum arrays (hash-partitioned
+      contribution exchange), and each dst shard reduces its incoming
+      column of cells into its next pr shard — two raw-task "shuffles" per
+      iteration over pre-resolved integer indices, never a sort, and no
+      structure anywhere that is proportional to the whole graph.
+
+    (Raw tasks are the legitimate escape here: a fixed-point iteration over
+    immutable per-block state, which the streaming Dataset API would
+    re-execute from scratch each round.)
     """
     from ray.data.aggregate import Sum
+
+    if mode not in ("auto", "broadcast", "exchange"):
+        raise ValueError(f"unknown pagerank mode: {mode!r}")
 
     narrow_cols = [src_col, dst_col]
     emat = edges.select_columns(narrow_cols).materialize()
@@ -176,22 +197,29 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "src",
         return pa.table({"node": pa.array(uniq.astype(np.int64), pa.int64()),
                          "deg": pa.array(deg, pa.int64())})
 
-    rows = emat.map_batches(deg_partial, batch_format="pyarrow") \
-        .groupby("node").aggregate(Sum("deg", alias_name="deg")).take_all()
-    if len(rows) > max_broadcast_nodes:
+    deg_ds = emat.map_batches(deg_partial, batch_format="pyarrow") \
+        .groupby("node").aggregate(Sum("deg", alias_name="deg")).materialize()
+    n_nodes = deg_ds.count()
+    if mode == "broadcast" and n_nodes > max_broadcast_nodes:
         raise ValueError(
-            f"graph has {len(rows)} nodes > max_broadcast_nodes="
+            f"graph has {n_nodes} nodes > max_broadcast_nodes="
             f"{max_broadcast_nodes}; the vertex broadcast would not fit "
-            "worker heaps. Fall back to the vertex-partitioned exchange "
-            "(hash-partition pr and edges by src, join there, re-partition "
-            "contributions by dst), or raise max_broadcast_nodes.")
+            "worker heaps. Use mode='exchange' (or 'auto'), or raise "
+            "max_broadcast_nodes.")
+    if mode == "exchange" or n_nodes > max_broadcast_nodes:
+        return _pagerank_exchange(
+            emat, deg_ds, src_col=src_col, dst_col=dst_col,
+            num_iters=num_iters, damping_num=damping_num,
+            damping_den=damping_den, mass0=mass0, num_parts=num_parts)
+
+    rows = deg_ds.take_all()
     nodes_sorted = np.array([r["node"] for r in rows], np.int64)
     outdeg = np.array([r["deg"] for r in rows], np.int64)
     order = np.argsort(nodes_sorted)
     nodes_sorted, outdeg = nodes_sorted[order], outdeg[order]
 
     base = (mass0 * (damping_den - damping_num)) // damping_den
-    pr = np.full(nodes_sorted.size, mass0, np.int64)
+    n = nodes_sorted.size
 
     nodes_ref = ray.put(nodes_sorted)
     outdeg_ref = ray.put(outdeg)
@@ -219,17 +247,190 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "src",
         np.add.at(s, inv, c)
         return uniq, s
 
+    @ray.remote
+    def combine_partials(*parts):
+        # merge sparse (uniq, sum) partials; uniq stays distinct per partial
+        uniq = np.concatenate([p[0] for p in parts])
+        s = np.concatenate([p[1] for p in parts])
+        u, inv = np.unique(uniq, return_inverse=True)
+        acc = np.zeros(u.size, np.int64)
+        np.add.at(acc, inv, s)
+        return u, acc
+
+    @ray.remote
+    def next_pr(*parts):
+        pr = np.full(n, base, np.int64)
+        for uniq, s in parts:
+            pr[uniq] += s  # uniq is distinct within a partial; += is exact
+        return pr
+
     block_refs = emat.to_arrow_refs()
     preps = [prep_block.remote(b, nodes_ref, outdeg_ref) for b in block_refs]
 
+    pr_ref = ray.put(np.full(n, mass0, np.int64))
     for _ in range(num_iters):
-        pr_ref = ray.put(pr)
-        parts = ray.get([iter_block.remote(p, pr_ref) for p in preps])
-        pr = np.full(nodes_sorted.size, base, np.int64)
-        for uniq, s in parts:
-            pr[uniq] += s  # uniq is distinct within a block; += is exact
+        parts = [iter_block.remote(p, pr_ref) for p in preps]
+        while len(parts) > fan_in:
+            parts = [combine_partials.remote(*parts[i:i + fan_in])
+                     for i in range(0, len(parts), fan_in)]
+        pr_ref = next_pr.remote(*parts)
 
     return rd.from_arrow(pa.table({
         "node": pa.array(nodes_sorted, pa.int64()),
-        "pr": pa.array(pr, pa.int64()),
+        "pr": pa.array(ray.get(pr_ref), pa.int64()),
     }))
+
+
+def _vertex_part(nodes: np.ndarray, num_parts: int) -> np.ndarray:
+    """Deterministic vertex shard id (splitmix64 of the node id)."""
+    from ..functions.hashing import _splitmix64
+
+    return (_splitmix64(nodes.astype(np.uint64))
+            % np.uint64(num_parts)).astype(np.int64)
+
+
+def _pagerank_exchange(emat: rd.Dataset, deg_ds: rd.Dataset, *,
+                       src_col: str, dst_col: str, num_iters: int,
+                       damping_num: int, damping_den: int,
+                       mass0: int, num_parts: int | None) -> rd.Dataset:
+    """Vertex-partitioned PageRank (see :func:`pagerank` mode='exchange').
+
+    All per-iteration state is sharded: shard p holds ``(nodes_p, outdeg_p,
+    pr_p)`` and the pre-indexed edge cells ``(p -> q)``.  The driver only
+    wires object refs; nothing proportional to the graph ever lives in one
+    process.  Determinism: shard assignment is a pure hash of the node id,
+    within-cell scatter indices are fixed at prep time, and all arithmetic
+    is int64 — output is bit-identical to broadcast mode at any
+    ``num_parts`` or block layout.
+    """
+    base = (mass0 * (damping_den - damping_num)) // damping_den
+    if num_parts is None:
+        cpus = (int(ray.cluster_resources().get("CPU", 4))
+                if ray.is_initialized() else 4)
+        num_parts = max(2, min(32, cpus))
+    P = num_parts
+
+    # ---- vertex shards: (nodes_sorted_p, outdeg_p) ----------------------
+    @ray.remote
+    def split_vertices(tbl: pa.Table):
+        if tbl.num_rows == 0 or "node" not in tbl.column_names:
+            z = np.zeros(0, np.int64)
+            out = tuple((z, z) for _ in range(P))
+        else:
+            node = tbl["node"].to_numpy()
+            deg = tbl["deg"].to_numpy()
+            part = _vertex_part(node, P)
+            out = tuple((node[part == p], deg[part == p]) for p in range(P))
+        # num_returns=1 does not unpack a 1-tuple — return the item itself
+        return out if P > 1 else out[0]
+
+    @ray.remote
+    def merge_vertices(*chunks):
+        # deg_ds rows are globally distinct per node — merge is just a sort
+        nodes = np.concatenate([c[0] for c in chunks])
+        deg = np.concatenate([c[1] for c in chunks])
+        order = np.argsort(nodes)
+        return nodes[order], deg[order]
+
+    deg_refs = deg_ds.to_arrow_refs()
+    vsplits = [split_vertices.options(num_returns=P).remote(r)
+               for r in deg_refs]
+    if P == 1:  # options(num_returns=1) returns a bare ref, not a tuple
+        vsplits = [[r] for r in vsplits]
+    vert = [merge_vertices.remote(*[vs[p] for vs in vsplits])
+            for p in range(P)]
+
+    # ---- edge shards by src, pre-indexed per (src shard, dst shard) -----
+    @ray.remote
+    def split_edges(tbl: pa.Table):
+        if tbl.num_rows == 0 or src_col not in tbl.column_names:
+            z = np.zeros(0, np.int64)
+            out = tuple((z, z) for _ in range(P))
+        else:
+            src = tbl[src_col].to_numpy().astype(np.int64, copy=False)
+            dst = tbl[dst_col].to_numpy().astype(np.int64, copy=False)
+            part = _vertex_part(src, P)
+            out = tuple((src[part == p], dst[part == p]) for p in range(P))
+        return out if P > 1 else out[0]
+
+    esplits = [split_edges.options(num_returns=P).remote(r)
+               for r in emat.to_arrow_refs()]
+    if P == 1:
+        esplits = [[r] for r in esplits]
+
+    @ray.remote
+    def prep_shard(vert_p, *chunks):
+        """Pre-index shard p's edges: per dst shard q, the src gather index,
+        integer denominator, distinct dst ids and their scatter index."""
+        nodes_p, deg_p = vert_p
+        src = np.concatenate([c[0] for c in chunks]) if chunks \
+            else np.zeros(0, np.int64)
+        dst = np.concatenate([c[1] for c in chunks]) if chunks \
+            else np.zeros(0, np.int64)
+        si = np.searchsorted(nodes_p, src)
+        denom = damping_den * deg_p[si]
+        dq = _vertex_part(dst, P)
+        cells = []
+        uniq_per_q = []
+        for q in range(P):
+            m = dq == q
+            u, inv = np.unique(dst[m], return_inverse=True)
+            cells.append((si[m], denom[m], inv.astype(np.int64), u.size))
+            uniq_per_q.append(u)
+        return (*uniq_per_q, cells)
+
+    prep_out = [prep_shard.options(num_returns=P + 1)
+                .remote(vert[p], *[es[p] for es in esplits])
+                for p in range(P)]
+    cell_dst = [prep_out[p][:P] for p in range(P)]   # cell_dst[p][q]
+    prepped = [prep_out[p][P] for p in range(P)]
+
+    @ray.remote
+    def resolve_idx(vert_q, uniq_dst: np.ndarray) -> np.ndarray:
+        # position of cell (p -> q)'s distinct dsts inside shard q — fixed
+        # across iterations, so resolved once instead of per reduce
+        return np.searchsorted(vert_q[0], uniq_dst)
+
+    idx = [[resolve_idx.remote(vert[q], cell_dst[p][q]) for p in range(P)]
+           for q in range(P)]
+
+    # ---- iterate ---------------------------------------------------------
+    @ray.remote
+    def init_pr(vert_p) -> np.ndarray:
+        return np.full(vert_p[0].size, mass0, np.int64)
+
+    @ray.remote
+    def src_iter(cells, pr_p: np.ndarray):
+        out = []
+        for si, denom, inv, n_uniq in cells:
+            c = (pr_p[si] * damping_num) // denom
+            s = np.zeros(n_uniq, np.int64)
+            np.add.at(s, inv, c)
+            out.append(s)
+        return tuple(out) if P > 1 else out[0]
+
+    @ray.remote
+    def dst_reduce(vert_q, *idx_and_sums) -> np.ndarray:
+        pr = np.full(vert_q[0].size, base, np.int64)
+        k = len(idx_and_sums) // 2
+        for i, s in zip(idx_and_sums[:k], idx_and_sums[k:]):
+            pr[i] += s  # i is distinct within a cell; += is exact
+        return pr
+
+    pr_refs = [init_pr.remote(vert[p]) for p in range(P)]
+    for _ in range(num_iters):
+        contribs = [src_iter.options(num_returns=P)
+                    .remote(prepped[p], pr_refs[p]) for p in range(P)]
+        if P == 1:
+            contribs = [[r] for r in contribs]
+        pr_refs = [dst_reduce.remote(vert[q], *[idx[q][p] for p in range(P)],
+                                     *[contribs[p][q] for p in range(P)])
+                   for q in range(P)]
+
+    @ray.remote
+    def shard_table(vert_q, pr_q: np.ndarray) -> pa.Table:
+        return pa.table({"node": pa.array(vert_q[0], pa.int64()),
+                         "pr": pa.array(pr_q, pa.int64())})
+
+    return rd.from_arrow_refs(
+        [shard_table.remote(vert[q], pr_refs[q]) for q in range(P)])

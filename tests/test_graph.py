@@ -91,6 +91,43 @@ def test_pagerank_matches_reference(ray_session):
     assert out.equals(out13)
 
 
+def test_pagerank_exchange_matches_broadcast(ray_session):
+    """Vertex-partitioned exchange mode is bit-identical to broadcast mode —
+    exercised by forcing the broadcast guard below the node count (auto
+    fallback) and by explicit mode='exchange' at several shard counts."""
+    from search_engine_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    src = rng.integers(0, 40, 300)
+    dst = rng.integers(0, 40, 300)
+    keep = src != dst
+    tbl = pa.table({"src": pa.array(src[keep], pa.int64()),
+                    "dst": pa.array(dst[keep], pa.int64())})
+
+    def run(**kw):
+        return pagerank(rd.from_arrow(tbl).repartition(7), num_iters=8,
+                        **kw).to_pandas().sort_values("node") \
+            .reset_index(drop=True)
+
+    bcast = run(mode="broadcast")
+    # auto mode falls back to exchange when the guard is below node count
+    auto = run(mode="auto", max_broadcast_nodes=5)
+    assert bcast.equals(auto)
+    for parts in (1, 3, 16):
+        assert bcast.equals(run(mode="exchange", num_parts=parts))
+
+
+def test_pagerank_broadcast_guard_still_raises(ray_session):
+    import pytest
+
+    from search_engine_ray.stages.graph import pagerank
+
+    tbl = pa.table({"src": pa.array([1, 2, 3], pa.int64()),
+                    "dst": pa.array([2, 3, 1], pa.int64())})
+    with pytest.raises(ValueError, match="max_broadcast_nodes"):
+        pagerank(rd.from_arrow(tbl), mode="broadcast", max_broadcast_nodes=2)
+
+
 def test_pagerank_sink_and_isolated_direction(ray_session):
     from search_engine_ray.stages.graph import pagerank
 
