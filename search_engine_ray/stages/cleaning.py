@@ -105,12 +105,42 @@ def _distinct_per_doc(parent: np.ndarray, h: np.ndarray) -> np.ndarray:
     return mask
 
 
+def _rebuild_docs(batch: pa.Table, lst, parent: np.ndarray, flat,
+                  keep: np.ndarray, id_col: str) -> pa.Table:
+    """Reassemble (doc_id, clean_text, n_lines, n_removed) from a per-line
+    keep mask — shared by both line_dedup plans."""
+    n_rows = len(batch)
+    kept_per_doc = np.bincount(parent[keep], minlength=n_rows)
+    offsets = np.zeros(n_rows + 1, np.int64)
+    np.cumsum(kept_per_doc, out=offsets[1:])
+    kept_list = pa.ListArray.from_arrays(
+        pa.array(offsets, pa.int32()),
+        flat.filter(pa.array(keep)).cast(pa.string()))
+    n_lines = pc.list_value_length(lst).cast(pa.int64())
+    return pa.table({
+        id_col: batch[id_col],
+        "clean_text": pc.binary_join(kept_list, "\n").cast(pa.string()),
+        "n_lines": n_lines,
+        "n_removed": pc.subtract(
+            n_lines, pa.array(kept_per_doc, pa.int64())),
+    })
+
+
 def line_dedup(docs: rd.Dataset, *, max_docs: int = 1,
                text_col: str = "text", id_col: str = "doc_id",
-               max_broadcast: int = 5_000_000) -> rd.Dataset:
+               max_broadcast: int = 5_000_000,
+               force_shuffle: bool = False) -> rd.Dataset:
     """Remove every line whose text appears in more than ``max_docs``
     distinct documents.  Returns (doc_id, clean_text, n_lines, n_removed)
     for every input document (``clean_text=''`` if nothing survived).
+
+    Plan selection: the boilerplate-line-hash set broadcasts while it fits
+    a worker heap (``max_broadcast``); beyond that (or with
+    ``force_shuffle``) the operator switches to the hash-partitioned plan —
+    the positional (doc, line position, line hash) table semi-joins the
+    boilerplate set by line hash, removal positions come back to each
+    document through one doc-keyed join, and the rewrite drops them by
+    index.  Identical output either way.
     """
     import ray
 
@@ -124,15 +154,14 @@ def line_dedup(docs: rd.Dataset, *, max_docs: int = 1,
 
     counts = narrow.map_batches(line_counts, batch_format="pyarrow") \
         .groupby("line_hash").aggregate(Sum("one", alias_name="nd"))
-    dup = counts.filter(expr=f"nd > {int(max_docs)}") \
-        .select_columns(["line_hash"]).take_all()
-    if len(dup) > max_broadcast:
-        raise ValueError(
-            f"line_dedup boilerplate set has {len(dup)} lines > "
-            f"max_broadcast={max_broadcast}; broadcast would not fit worker "
-            "heaps. Fall back to a hash-partitioned anti-join of the line "
-            "table (shuffle lines by line_hash, drop groups with a dup "
-            "marker) or raise max_broadcast explicitly.")
+    dup_ds = counts.filter(expr=f"nd > {int(max_docs)}") \
+        .select_columns(["line_hash"]).materialize()
+
+    if force_shuffle or dup_ds.count() > max_broadcast:
+        return _line_dedup_shuffle(narrow, dup_ds, text_col=text_col,
+                                   id_col=id_col)
+
+    dup = dup_ds.take_all()
     dup_sorted = np.sort(np.array([r["line_hash"] for r in dup], np.int64))
     ref = ray.put(dup_sorted)
 
@@ -147,24 +176,98 @@ def line_dedup(docs: rd.Dataset, *, max_docs: int = 1,
             dupmask = bad[pos] == h
         else:
             dupmask = np.zeros(h.size, bool)
-        keep = ~dupmask
-        n_rows = len(batch)
-        kept_per_doc = np.bincount(parent[keep], minlength=n_rows)
-        offsets = np.zeros(n_rows + 1, np.int64)
-        np.cumsum(kept_per_doc, out=offsets[1:])
-        kept_list = pa.ListArray.from_arrays(
-            pa.array(offsets, pa.int32()),
-            flat.filter(pa.array(keep)).cast(pa.string()))
-        n_lines = pc.list_value_length(lst).cast(pa.int64())
-        return pa.table({
-            id_col: batch[id_col],
-            "clean_text": pc.binary_join(kept_list, "\n").cast(pa.string()),
-            "n_lines": n_lines,
-            "n_removed": pc.subtract(
-                n_lines, pa.array(kept_per_doc, pa.int64())),
-        })
+        return _rebuild_docs(batch, lst, parent, flat, ~dupmask, id_col)
 
     return narrow.map_batches(rewrite, batch_format="pyarrow")
+
+
+def _line_dedup_shuffle(narrow: rd.Dataset, dup_ds: rd.Dataset, *,
+                        text_col: str, id_col: str) -> rd.Dataset:
+    """No-broadcast plan for :func:`line_dedup` (see its docstring)."""
+    from .relational import drop_empty_blocks, shuffle_hash_join
+
+    def line_rows(batch: pa.Table) -> pa.Table:
+        lst, parent, _, h = _flat_lines(batch[text_col])
+        ids = batch[id_col].to_numpy()
+        lens = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        starts = np.zeros(len(batch), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        pos = np.arange(h.size, dtype=np.int64) - starts[parent]
+        return pa.table({id_col: pa.array(ids[parent], pa.int64()),
+                         "pos": pa.array(pos, pa.int64()),
+                         "line_hash": pa.array(h, pa.int64())})
+
+    dup_clean = drop_empty_blocks(dup_ds, empty_schema=pa.schema(
+        [("line_hash", pa.int64())]))
+    removed = shuffle_hash_join(
+        narrow.map_batches(line_rows, batch_format="pyarrow"), dup_clean,
+        on=("line_hash",), how="semi")
+
+    def collect_part(group: pa.Table) -> pa.Table:
+        # all docs routed to this part: one lexsort, then per-doc runs of
+        # removed positions packed into ONE binary column (acero joins
+        # reject list payloads; the int64 blob decodes vectorized downstream)
+        ids = group[id_col].to_numpy()
+        pos = group["pos"].to_numpy()
+        order = np.lexsort((pos, ids))
+        ids_s, pos_s = ids[order].astype(np.int64), pos[order].astype(np.int64)
+        first = np.ones(ids_s.size, bool)
+        first[1:] = ids_s[1:] != ids_s[:-1]
+        starts = np.flatnonzero(first)
+        offsets = (np.concatenate([starts, [ids_s.size]]) * 8).astype(np.int32)
+        blob = pa.Array.from_buffers(
+            pa.binary(), starts.size,
+            [None, pa.py_buffer(offsets.tobytes()),
+             pa.py_buffer(pos_s.tobytes())])
+        return pa.table({id_col: pa.array(ids_s[starts], pa.int64()),
+                         "removed_blob": blob})
+
+    # coarse-part routing (same pattern as the dedup bucket groupbys):
+    # one group per routing part, docs walked as sorted runs inside it —
+    # not one tiny map_groups call per document
+    from .dedup import _shuffle_parts
+
+    n_parts = _shuffle_parts()
+
+    def add_part(b: pa.Table) -> pa.Table:
+        from ..functions.hashing import _splitmix64
+
+        ids = b[id_col].to_numpy().astype(np.uint64)
+        part = (_splitmix64(ids) % np.uint64(n_parts)).astype(np.int32)
+        return b.append_column("dpart", pa.array(part, pa.int32()))
+
+    rem_lists = drop_empty_blocks(
+        removed.map_batches(add_part, batch_format="pyarrow")
+        .groupby("dpart").map_groups(collect_part, batch_format="pyarrow"),
+        empty_schema=pa.schema([(id_col, pa.int64()),
+                                ("removed_blob", pa.binary())]))
+
+    joined = shuffle_hash_join(narrow, rem_lists, on=(id_col,), how="left")
+
+    def rewrite(batch: pa.Table) -> pa.Table:
+        lst, parent, flat, h = _flat_lines(batch[text_col])
+        rp = batch["removed_blob"]
+        if isinstance(rp, pa.ChunkedArray):
+            rp = rp.combine_chunks()
+        # decode the packed positions in one pass: per-row byte lengths give
+        # the repeat counts; row slices are contiguous, so the value span is
+        # one int64 view (nulls contribute zero bytes)
+        n_rem = (pc.fill_null(pc.binary_length(rp), 0).to_numpy()
+                 .astype(np.int64) // 8)
+        rem_parent = np.repeat(np.arange(len(rp), dtype=np.int64), n_rem)
+        off = np.frombuffer(rp.buffers()[1], np.int32)[
+            rp.offset: rp.offset + len(rp) + 1]
+        rem_pos = np.frombuffer(rp.buffers()[2], np.uint8)[
+            off[0]: off[-1]].view(np.int64) if len(rp) else \
+            np.zeros(0, np.int64)
+        lens = pc.list_value_length(lst).to_numpy().astype(np.int64)
+        starts = np.zeros(len(batch), np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        keep = np.ones(h.size, bool)
+        keep[starts[rem_parent] + rem_pos] = False
+        return _rebuild_docs(batch, lst, parent, flat, keep, id_col)
+
+    return joined.map_batches(rewrite, batch_format="pyarrow")
 
 
 def repetition_stats(docs: rd.Dataset, *, text_col: str = "text",

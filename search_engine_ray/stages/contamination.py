@@ -90,7 +90,8 @@ def decontaminate(corpus: rd.Dataset, bench_hashes: np.ndarray, *,
 
 def duplicate_ngram_stats(corpus: rd.Dataset, *, n: int = 5,
                           text_col: str = "text", id_col: str = "doc_id",
-                          max_broadcast: int = 50_000_000) -> rd.Dataset:
+                          max_broadcast: int = 50_000_000,
+                          force_shuffle: bool = False) -> rd.Dataset:
     """Corpus-internal duplicate-passage signal (the word-n-gram relaxation
     of suffix-array substring dedup, Lee et al. 2021 "Deduplicating Training
     Data Makes Language Models Better"): for each document, how many of its
@@ -100,21 +101,25 @@ def duplicate_ngram_stats(corpus: rd.Dataset, *, n: int = 5,
     Two passes:
 
     1. per-doc DISTINCT gram hashes stream into one ``groupby(gram)``
-       document-frequency count; grams with df >= 2 form the duplicate set,
-       collected and ``ray.put`` once (guard: ``max_broadcast``; at corpus
-       sizes where the duplicate-gram set exceeds worker heaps, fall back to
-       hash-partitioning the positional gram table by gram hash and joining
-       the df table there instead of broadcasting).
-    2. ALL window positions re-derive per batch (cheaper than shuffling
-       them: the gram table is ~#words rows) and probe the sorted duplicate
-       set with one ``searchsorted`` per batch.
+       document-frequency count; grams with df >= 2 form the duplicate set.
+    2. if the duplicate set fits a worker heap (``max_broadcast``, default
+       50M grams = 400 MB) it is collected and ``ray.put`` once, and ALL
+       window positions re-derive per batch (cheaper than shuffling them:
+       the gram table is ~#words rows) to probe the sorted set with one
+       ``searchsorted``.  Beyond the guard (or with ``force_shuffle``) the
+       operator switches to the no-broadcast plan: the positional gram
+       table hash-partitions by gram into a semi-join against the
+       duplicate-gram table, per-doc hit counts come from one
+       ``groupby(doc_id)``, and a final left join on ``doc_id`` restores
+       zero-hit documents — nothing proportional to the duplicate set in
+       any single process.
 
     Output: ``(doc_id, n_grams, n_dup_grams, dup_gram_frac)`` for every
     input document — docs shorter than ``n`` words get ``(0, 0, 0.0)``.
     ``dup_gram_frac`` is the single division n_dup/n_grams (bit-exact vs
-    the SQL oracle).
+    the SQL oracle, on either plan).
     """
-    from ray.data.aggregate import Sum
+    from ray.data.aggregate import Count, Sum
 
     narrow = corpus.select_columns([id_col, text_col])
 
@@ -125,13 +130,13 @@ def duplicate_ngram_stats(corpus: rd.Dataset, *, n: int = 5,
 
     df = narrow.map_batches(distinct_grams, batch_format="pyarrow") \
         .groupby("gram").aggregate(Sum("one", alias_name="nd"))
-    dup = df.filter(expr="nd >= 2").select_columns(["gram"]).take_all()
-    if len(dup) > max_broadcast:
-        raise ValueError(
-            f"duplicate-gram set has {len(dup)} grams > max_broadcast="
-            f"{max_broadcast}; broadcast would not fit worker heaps. Fall "
-            "back to hash-partitioning the positional gram table by gram "
-            "hash and joining the df table there, or raise max_broadcast.")
+    dup_ds = df.filter(expr="nd >= 2").select_columns(["gram"]).materialize()
+
+    if force_shuffle or dup_ds.count() > max_broadcast:
+        return _dup_ngram_stats_shuffle(narrow, dup_ds, n=n,
+                                        text_col=text_col, id_col=id_col)
+
+    dup = dup_ds.take_all()
     dup_sorted = np.sort(np.array([r["gram"] for r in dup], np.int64)
                          .view(np.uint64))
     ref = ray.put(dup_sorted)
@@ -158,3 +163,62 @@ def duplicate_ngram_stats(corpus: rd.Dataset, *, n: int = 5,
         })
 
     return narrow.map_batches(count_positions, batch_format="pyarrow")
+
+
+def _dup_ngram_stats_shuffle(narrow: rd.Dataset, dup_ds: rd.Dataset, *,
+                             n: int, text_col: str, id_col: str
+                             ) -> rd.Dataset:
+    """No-broadcast plan for :func:`duplicate_ngram_stats` (see its
+    docstring): semi-join the positional gram table against the
+    duplicate-gram table, count hits per doc, left-join back onto the
+    per-doc totals so zero-hit documents keep their ``(n, 0, 0.0)`` row."""
+    from ray.data.aggregate import Count
+
+    from .relational import drop_empty_blocks, shuffle_hash_join
+
+    def positions(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        docs, sh, _ = _batch_shingles(batch[text_col].to_pylist(), n,
+                                      distinct=False)
+        return pa.table({id_col: pa.array(ids[docs], pa.int64()),
+                         "gram": pa.array(sh.view(np.int64), pa.int64())})
+
+    # both join right sides derive from aggregates, which can pad their
+    # output with schemaless empty blocks that crash the join key resolver
+    dup_clean = drop_empty_blocks(dup_ds, empty_schema=pa.schema(
+        [("gram", pa.int64())]))
+    hits = shuffle_hash_join(
+        narrow.map_batches(positions, batch_format="pyarrow"), dup_clean,
+        on=("gram",), how="semi")
+    per_doc_hits = drop_empty_blocks(
+        hits.groupby(id_col).aggregate(Count(alias_name="n_dup_grams")),
+        empty_schema=pa.schema([(id_col, pa.int64()),
+                                ("n_dup_grams", pa.int64())]))
+
+    def totals(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        _, _, counts = _batch_shingles(batch[text_col].to_pylist(), n,
+                                       distinct=False)
+        return pa.table({id_col: pa.array(ids, pa.int64()),
+                         "n_grams": pa.array(counts, pa.int64())})
+
+    joined = shuffle_hash_join(
+        narrow.map_batches(totals, batch_format="pyarrow"), per_doc_hits,
+        on=(id_col,), how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        counts = batch["n_grams"].to_numpy()
+        n_dup = pc.fill_null(batch["n_dup_grams"], 0) \
+            .cast(pa.int64()).to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            frac = np.where(counts > 0, n_dup / counts, 0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_grams": pa.array(counts, pa.int64()),
+            "n_dup_grams": pa.array(n_dup, pa.int64()),
+            "dup_gram_frac": pa.array(frac, pa.float64()),
+        })
+
+    return joined.map_batches(finish, batch_format="pyarrow")

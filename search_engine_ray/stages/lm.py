@@ -72,7 +72,8 @@ def _token_hashes(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
 
 def unigram_logprob_stats(docs: rd.Dataset, *, text_col: str = "text",
                           id_col: str = "doc_id",
-                          max_broadcast: int = 50_000_000) -> rd.Dataset:
+                          max_broadcast: int = 50_000_000,
+                          force_shuffle: bool = False) -> rd.Dataset:
     """Score every document under the corpus's own unigram LM.
 
     Output per input document: ``(doc_id, n_tokens, sum_logp_q, ppl)``.
@@ -81,6 +82,14 @@ def unigram_logprob_stats(docs: rd.Dataset, *, text_col: str = "text",
     entry, so the sum is exact); ``ppl = exp(-sum_logp_q / 1e4 / n_tokens)``
     (0.0 for empty documents).  Every corpus token has count >= 1 — the
     self-scoring model has no OOV path.
+
+    Plan selection: the (hash, count) model broadcasts while it fits a
+    worker heap (``max_broadcast``, default 50M entries = 800 MB); beyond
+    that (or with ``force_shuffle``) the positional token table
+    hash-partitions by token into an inner join against the quantized
+    (token, logprob) table, per-doc sums come from one ``groupby(doc_id)``,
+    and a doc-keyed left join restores empty documents.  Identical output
+    either way (the quantized per-entry integers make sums order-free).
     """
     narrow = docs.select_columns([id_col, text_col])
 
@@ -91,14 +100,11 @@ def unigram_logprob_stats(docs: rd.Dataset, *, text_col: str = "text",
                          "c": pa.array(cnt.astype(np.int64), pa.int64())})
 
     vocab = narrow.map_batches(partial_counts, batch_format="pyarrow") \
-        .groupby("tok").aggregate(Sum("c", alias_name="c"))
+        .groupby("tok").aggregate(Sum("c", alias_name="c")).materialize()
+    if force_shuffle or vocab.count() > max_broadcast:
+        return _unigram_stats_shuffle(narrow, vocab, text_col=text_col,
+                                      id_col=id_col)
     rows = vocab.take_all()
-    if len(rows) > max_broadcast:
-        raise ValueError(
-            f"unigram vocabulary has {len(rows)} entries > max_broadcast="
-            f"{max_broadcast}; broadcast would not fit worker heaps. Fall "
-            "back to hash-partitioning the positional token table by token "
-            "hash and joining the count table there, or raise max_broadcast.")
     hashes = np.array([r["tok"] for r in rows], np.int64).view(np.uint64)
     counts = np.array([r["c"] for r in rows], np.int64)
     order = np.argsort(hashes)
@@ -129,6 +135,69 @@ def unigram_logprob_stats(docs: rd.Dataset, *, text_col: str = "text",
         })
 
     return narrow.map_batches(score, batch_format="pyarrow")
+
+
+def _unigram_stats_shuffle(narrow: rd.Dataset, vocab: rd.Dataset, *,
+                           text_col: str, id_col: str) -> rd.Dataset:
+    """No-broadcast plan for :func:`unigram_logprob_stats` (see its
+    docstring)."""
+    from ray.data.aggregate import Count
+
+    from .relational import drop_empty_blocks, shuffle_hash_join
+
+    total = int(vocab.aggregate(Sum("c", alias_name="t"))["t"])
+
+    def add_q(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy()
+        # same float expression as the broadcast path — bit-identical q
+        q = np.floor(np.log(c / total) * LOGPROB_QUANT + 0.5).astype(np.int64)
+        return pa.table({"tok": batch["tok"], "q": pa.array(q, pa.int64())})
+
+    vq = drop_empty_blocks(
+        vocab.map_batches(add_q, batch_format="pyarrow"),
+        empty_schema=pa.schema([("tok", pa.int64()), ("q", pa.int64())]))
+
+    def positions(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        doc_of, h = _token_hashes(batch[text_col].to_pylist())
+        return pa.table({id_col: pa.array(ids[doc_of], pa.int64()),
+                         "tok": pa.array(h.view(np.int64), pa.int64())})
+
+    joined = shuffle_hash_join(
+        narrow.map_batches(positions, batch_format="pyarrow"), vq,
+        on=("tok",), how="inner")
+    sums = drop_empty_blocks(
+        joined.groupby(id_col).aggregate(
+            Sum("q", alias_name="sum_logp_q"),
+            Count(alias_name="n_tokens")),
+        empty_schema=pa.schema([(id_col, pa.int64()),
+                                ("sum_logp_q", pa.int64()),
+                                ("n_tokens", pa.int64())]))
+
+    all_ids = narrow.map_batches(
+        lambda b: pa.table({id_col: b[id_col]}), batch_format="pyarrow")
+    out = shuffle_hash_join(all_ids, sums, on=(id_col,), how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        n_tokens = pc.fill_null(batch["n_tokens"], 0) \
+            .cast(pa.int64()).to_numpy()
+        sum_q = pc.fill_null(batch["sum_logp_q"], 0) \
+            .cast(pa.int64()).to_numpy()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            ppl = np.where(
+                n_tokens > 0,
+                np.exp(-(sum_q / LOGPROB_QUANT) / np.maximum(n_tokens, 1)),
+                0.0)
+        return pa.table({
+            id_col: batch[id_col],
+            "n_tokens": pa.array(n_tokens, pa.int64()),
+            "sum_logp_q": pa.array(sum_q, pa.int64()),
+            "ppl": pa.array(ppl, pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------
@@ -297,7 +366,8 @@ def bpe_encode(docs: rd.Dataset, merges: list[tuple[str, str]], *,
 def tfidf_topk_terms(docs: rd.Dataset, *, text_col: str = "text",
                      id_col: str = "doc_id", k: int = 5,
                      num_docs: int | None = None,
-                     max_broadcast: int = 50_000_000) -> rd.Dataset:
+                     max_broadcast: int = 50_000_000,
+                     force_shuffle: bool = False) -> rd.Dataset:
     """Top-``k`` TF-IDF terms per document, exact and oracle-checkable.
 
     Frozen integer spec (mirrored in the ``tfidf_topk`` SQL oracle): the
@@ -309,11 +379,14 @@ def tfidf_topk_terms(docs: rd.Dataset, *, text_col: str = "text",
     Scale shape: tf per (doc, term) is computed entirely inside the batch
     (a document lives in one row — no shuffle); df is one vocabulary-sized
     groupby of per-batch distinct-term partials; the (term, idf_q) table is
-    broadcast once (guarded); scoring is a stateless searchsorted pass; the
-    only row-scale exchange is ``grouped_topk``'s ≤k-rows-per-(doc, block)
-    merge.
+    broadcast once while it fits a worker heap (``max_broadcast``), and
+    beyond that (or with ``force_shuffle``) scoring switches to a
+    hash-partitioned inner join of the (doc, term, tf) table against the
+    (term, idf_q) table — identical output (integer products).  Scoring is
+    otherwise a stateless searchsorted pass; the only row-scale exchange is
+    ``grouped_topk``'s ≤k-rows-per-(doc, block) merge.
     """
-    from .relational import grouped_topk
+    from .relational import drop_empty_blocks, grouped_topk, shuffle_hash_join
 
     narrow = docs.select_columns([id_col, text_col])
     if num_docs is None:
@@ -341,14 +414,44 @@ def tfidf_topk_terms(docs: rd.Dataset, *, text_col: str = "text",
         return pa.table({"term": pa.array(ut.tolist(), pa.string()),
                          "df": pa.array(c.astype(np.int64), pa.int64())})
 
-    rows = narrow.map_batches(df_partial, batch_format="pyarrow") \
-        .groupby("term").aggregate(Sum("df", alias_name="df")).take_all()
-    if len(rows) > max_broadcast:
-        raise ValueError(
-            f"vocabulary has {len(rows)} entries > max_broadcast="
-            f"{max_broadcast}; hash-partition the (doc, term, tf) table by "
-            "term and join the df table there instead, or raise "
-            "max_broadcast.")
+    df_ds = narrow.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("df", alias_name="df")).materialize()
+
+    if force_shuffle or df_ds.count() > max_broadcast:
+        def add_idf(batch: pa.Table) -> pa.Table:
+            dfs = batch["df"].to_numpy()
+            # same float expression as the broadcast path below
+            idf_q = np.floor(np.log(float(num_docs) / dfs) * LOGPROB_QUANT
+                             + 0.5).astype(np.int64)
+            return pa.table({"term": batch["term"],
+                             "idf_q": pa.array(idf_q, pa.int64())})
+
+        vq = drop_empty_blocks(
+            df_ds.map_batches(add_idf, batch_format="pyarrow"),
+            empty_schema=pa.schema([("term", pa.string()),
+                                    ("idf_q", pa.int64())]))
+
+        def tf_rows(batch: pa.Table) -> pa.Table:
+            ids, doc_idx, terms, tf = _doc_term_tf(batch)
+            return pa.table({
+                id_col: pa.array(ids[doc_idx], pa.int64()),
+                "term": pa.array(terms.tolist(), pa.string()),
+                "tf": pa.array(tf, pa.int64())})
+
+        joined = shuffle_hash_join(
+            narrow.map_batches(tf_rows, batch_format="pyarrow"), vq,
+            on=("term",), how="inner")
+
+        def score_joined(batch: pa.Table) -> pa.Table:
+            score = batch["tf"].to_numpy() * batch["idf_q"].to_numpy()
+            return pa.table({id_col: batch[id_col], "term": batch["term"],
+                             "score_q": pa.array(score, pa.int64())})
+
+        scored = joined.map_batches(score_joined, batch_format="pyarrow")
+        return grouped_topk(scored, group_col=id_col, order_col="score_q",
+                            tie_col="term", k=k, descending=True)
+
+    rows = df_ds.take_all()
     terms_sorted = np.array([r["term"] for r in rows], object)
     dfs = np.array([r["df"] for r in rows], np.int64)
     order = np.argsort(terms_sorted)

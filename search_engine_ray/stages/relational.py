@@ -109,6 +109,34 @@ _JOIN_TYPES = {
 }
 
 
+def drop_empty_blocks(ds: rd.Dataset, *,
+                      empty_schema: pa.Schema | None = None) -> rd.Dataset:
+    """Strip zero-column padding blocks that ``groupby().aggregate`` can
+    emit.  Such blocks have NO schema, ``map_batches`` never calls the UDF
+    on them, and a downstream ``Dataset.join`` crashes resolving the key
+    column ("No match ... for key field reference").  The driver only sees
+    one boolean per block; data stays in the object store.
+
+    ``empty_schema`` supplies the result schema when EVERY block is empty
+    (otherwise an all-empty input raises, because the dataset would have no
+    schema at all).
+    """
+
+    @ray.remote
+    def has_rows(t: pa.Table) -> bool:
+        return bool(t.num_columns and t.num_rows)
+
+    refs = ds.materialize().to_arrow_refs()
+    keep = [r for r, ok in zip(refs, ray.get([has_rows.remote(r)
+                                              for r in refs])) if ok]
+    if keep:
+        return rd.from_arrow_refs(keep)
+    if empty_schema is None:
+        raise ValueError("drop_empty_blocks: every block is empty and no "
+                         "empty_schema was provided")
+    return rd.from_arrow(empty_schema.empty_table())
+
+
 def shuffle_hash_join(left: rd.Dataset, right: rd.Dataset, *,
                       on: tuple[str, ...], right_on: tuple[str, ...] | None = None,
                       how: str = "inner",

@@ -52,9 +52,23 @@ def test_line_dedup_removes_boilerplate(ray_session):
     assert out.n_removed.tolist() == [1, 1, 1, 0]
 
 
-def test_line_dedup_broadcast_guard(ray_session):
-    with pytest.raises(ValueError, match="max_broadcast"):
-        line_dedup(rd.from_arrow(_docs()), max_docs=0, max_broadcast=2)
+def test_line_dedup_shuffle_fallback_matches_broadcast(ray_session):
+    """Tripping the broadcast guard (max_broadcast=0) now switches to the
+    hash-partitioned semi-join plan instead of raising — output identical."""
+    ds = rd.from_arrow(_docs()).repartition(3)
+
+    def canon(d):
+        return d.sort_values("doc_id").reset_index(drop=True)
+
+    bcast = canon(line_dedup(ds, max_docs=1).to_pandas())
+    assert bcast.equals(canon(
+        line_dedup(ds, max_docs=1, force_shuffle=True).to_pandas()))
+    assert bcast.equals(canon(
+        line_dedup(ds, max_docs=1, max_broadcast=0).to_pandas()))
+    # also under max_docs=0 (every line with nd > 0 removed -> all gone)
+    all0 = canon(line_dedup(ds, max_docs=0, max_broadcast=0).to_pandas())
+    assert all0.clean_text.tolist() == ["", "", "", ""]
+    assert all0.n_removed.tolist() == [3, 3, 4, 1]
 
 
 def test_repetition_stats(ray_session):

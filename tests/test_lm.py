@@ -38,6 +38,40 @@ def test_duplicate_ngram_stats(ray_session):
     assert out.dup_gram_frac.tolist() == [0.4, 0.4, 0.0, 0.0]
 
 
+def test_duplicate_ngram_shuffle_fallback_matches_broadcast(ray_session):
+    """Guard trip (max_broadcast=1) switches to the hash-partitioned
+    semi-join plan instead of raising — output identical to broadcast."""
+    ds = rd.from_arrow(_docs()).repartition(3)
+
+    def canon(d):
+        return d.sort_values("doc_id").reset_index(drop=True)
+
+    bcast = canon(duplicate_ngram_stats(ds, n=5).to_pandas())
+    assert bcast.equals(canon(
+        duplicate_ngram_stats(ds, n=5, force_shuffle=True).to_pandas()))
+    assert bcast.equals(canon(
+        duplicate_ngram_stats(ds, n=5, max_broadcast=1).to_pandas()))
+
+
+def test_unigram_and_tfidf_shuffle_fallbacks(ray_session):
+    from search_engine_ray.stages.lm import tfidf_topk_terms
+
+    ds = rd.from_arrow(_docs()).repartition(3)
+
+    def canon(d, cols):
+        return d.sort_values(cols).reset_index(drop=True)
+
+    u_b = canon(unigram_logprob_stats(ds).to_pandas(), ["doc_id"])
+    u_s = canon(unigram_logprob_stats(ds, max_broadcast=1).to_pandas(),
+                ["doc_id"])
+    assert u_b.equals(u_s)
+
+    t_b = canon(tfidf_topk_terms(ds, k=3).to_pandas(), ["doc_id", "rank"])
+    t_s = canon(tfidf_topk_terms(ds, k=3, max_broadcast=1).to_pandas(),
+                ["doc_id", "rank"])
+    assert t_b.equals(t_s)
+
+
 def test_duplicate_ngram_within_doc_repeat_not_dup(ray_session):
     # a gram repeated only WITHIN one doc has document-frequency 1
     docs = pa.table({
