@@ -207,6 +207,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def image_meta_png(sf_dir):
         return dq.q_image_meta_png(sf_dir)
 
+    def image_meta_jpeg(sf_dir):
+        return dq.q_image_meta_jpeg(sf_dir)
+
     def lang_distribution(sf_dir):
         import ray.data as rd
         from ray.data.aggregate import Count
@@ -970,6 +973,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_scatter": search_scatter,
         "image_meta": image_meta,
         "image_meta_png": image_meta_png,
+        "image_meta_jpeg": image_meta_jpeg,
         "site_stats": site_stats,
         "lang_distribution": lang_distribution,
         "langid_simple": langid_simple,
@@ -1089,6 +1093,39 @@ SELECT doc_id,
            AS channels,
        (doc_id % 256)::DOUBLE AS mean_luma
 FROM documents
+"""
+
+    # real baseline-JPEG decode path (functions/jpeg): constant-fill pixels
+    # at quality=100 round-trip the DCT exactly; the YCbCr forward+inverse
+    # pair below replays the codec's frozen floor(x+0.5) literals, so the
+    # oracle checks DECODED PIXEL CONTENT of a real entropy-coded stream
+    sql["image_meta_jpeg"] = """
+WITH m AS (
+  SELECT doc_id,
+         (doc_id % 256)::DOUBLE AS r,
+         ((3*doc_id) % 256)::DOUBLE AS g,
+         ((7*doc_id) % 256)::DOUBLE AS b
+  FROM documents
+), t AS (
+  SELECT doc_id, r, g, b,
+         LEAST(255, GREATEST(0, FLOOR(0.299*r + 0.587*g + 0.114*b + 0.5))) AS y,
+         LEAST(255, GREATEST(0, FLOOR(-0.168736*r - 0.331264*g + 0.5*b + 128.0 + 0.5))) AS cb,
+         LEAST(255, GREATEST(0, FLOOR(0.5*r - 0.418688*g - 0.081312*b + 128.0 + 0.5))) AS cr
+  FROM m
+), u AS (
+  SELECT doc_id,
+         LEAST(255, GREATEST(0, FLOOR(y + 1.402*(cr-128.0) + 0.5))) AS rr,
+         LEAST(255, GREATEST(0, FLOOR(y - 0.344136*(cb-128.0) - 0.714136*(cr-128.0) + 0.5))) AS gg,
+         LEAST(255, GREATEST(0, FLOOR(y + 1.772*(cb-128.0) + 0.5))) AS bb
+  FROM t
+)
+SELECT d.doc_id,
+       (8 + d.doc_id % 24)::BIGINT AS width,
+       (8 + (5*d.doc_id) % 24)::BIGINT AS height,
+       (CASE WHEN d.doc_id % 2 = 0 THEN 1 ELSE 3 END)::BIGINT AS channels,
+       CASE WHEN d.doc_id % 2 = 0 THEN (d.doc_id % 256)::DOUBLE
+            ELSE (u.rr + u.gg + u.bb) / 3.0 END AS mean_luma
+FROM documents d JOIN u ON u.doc_id = d.doc_id
 """
 
     sql["site_stats"] = f"""

@@ -1,0 +1,502 @@
+"""Pure-stdlib/numpy baseline JPEG codec (encoder + decoder).
+
+Fills the multimodal JPEG seam (``stages/multimodal.py``) left explicitly
+unimplemented in round 2: the container has no PIL/turbojpeg, so a real
+Common-Crawl-style image pipeline needs a built-in decode path the same way
+``functions/png.py`` provides one for PNG.
+
+Scope (documented subset, raises loudly outside it):
+
+* **baseline sequential DCT** (SOF0), 8-bit precision;
+* 1 component (grayscale) or 3 components (YCbCr 4:4:4 — no chroma
+  subsampling; every sampling factor must be 1);
+* standard JFIF byte stream: SOI/APP0/DQT/SOF0/DHT/SOS/EOI with the
+  ITU-T T.81 Annex-K quantization and Huffman tables on the encode side
+  (the decoder builds its tables from the file's DHT/DQT segments, so it
+  reads any conforming baseline 4:4:4 stream, not just our own);
+* no progressive (SOF2), no arithmetic coding, no restart intervals.
+
+Determinism contract (what makes an SQL oracle possible, mirroring the
+PNG path's ``mean_luma`` check): every rounding step uses
+``floor(x + 0.5)`` — NOT banker's rounding — and at ``quality=100`` the
+quantization tables are all ones, so a CONSTANT-fill image round-trips
+EXACTLY: DCT of a constant block has a single DC coefficient ``8*(v-128)``
+(float error ~ulps, crushed by the 0.5 offset), AC exactly zero, and the
+IDCT reproduces ``v``.  For color, the YCbCr forward+inverse transform is
+the only lossy step and both directions are the frozen ``floor(x+0.5)``
+affine maps below — predictable in SQL with the same literals.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+__all__ = ["encode_jpeg", "decode_jpeg"]
+
+# --------------------------------------------------------------------------
+# constants
+# --------------------------------------------------------------------------
+
+#: ITU-T T.81 Annex K.1 luminance quantization table (row-major)
+_QUANT_LUMA = np.array([
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99], np.int32).reshape(8, 8)
+
+#: Annex K.2 chrominance quantization table
+_QUANT_CHROMA = np.array([
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99], np.int32).reshape(8, 8)
+
+
+def _zigzag() -> np.ndarray:
+    """Standard zigzag scan order as flat indices into a row-major 8x8."""
+    out = []
+    for s in range(15):
+        pts = [(i, s - i) for i in range(s + 1)]
+        if s % 2 == 0:
+            pts = pts[::-1]
+        out.extend(r * 8 + c for r, c in pts if r < 8 and c < 8)
+    return np.array(out, np.int64)
+
+
+_ZIG = _zigzag()          # block[_ZIG] -> zigzag vector
+_UNZIG = np.argsort(_ZIG)  # zigzag vector[_UNZIG] -> row-major block
+
+# Annex K.3 standard Huffman tables: (bits-per-length[1..16], symbols)
+_DC_LUMA = ([0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+            list(range(12)))
+_DC_CHROMA = ([0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+              list(range(12)))
+_AC_LUMA = ([0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 125], [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+    0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+    0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+    0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+    0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+_AC_CHROMA = ([0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 119], [
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+    0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+    0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+    0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+    0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+    0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+    0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+    0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+    0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+    0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+    0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+    0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+    0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+    0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+    0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa])
+
+
+def _dct_matrix() -> np.ndarray:
+    k = np.arange(8.0)[:, None]
+    j = np.arange(8.0)[None, :]
+    c = 0.5 * np.cos((2 * j + 1) * k * np.pi / 16.0)
+    c[0, :] = 1.0 / np.sqrt(8.0)
+    return c
+
+
+_C = _dct_matrix()
+
+
+def _scaled_quant(table: np.ndarray, quality: int) -> np.ndarray:
+    """libjpeg-convention quality scaling; quality=100 -> all ones."""
+    quality = min(100, max(1, int(quality)))
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (table.astype(np.int64) * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int32)
+
+
+def _rgb_to_ycbcr(px: np.ndarray) -> np.ndarray:
+    """JFIF forward color transform, frozen floor(x+0.5) rounding (the SQL
+    oracle mirrors these literals verbatim)."""
+    r = px[..., 0].astype(np.float64)
+    g = px[..., 1].astype(np.float64)
+    b = px[..., 2].astype(np.float64)
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5)
+    cr = np.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5)
+    return np.clip(np.stack([y, cb, cr], axis=-1), 0, 255)
+
+
+def _ycbcr_to_rgb(px: np.ndarray) -> np.ndarray:
+    """JFIF inverse color transform, same frozen rounding."""
+    y = px[..., 0].astype(np.float64)
+    cb = px[..., 1].astype(np.float64)
+    cr = px[..., 2].astype(np.float64)
+    r = np.floor(y + 1.402 * (cr - 128.0) + 0.5)
+    g = np.floor(y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0) + 0.5)
+    b = np.floor(y + 1.772 * (cb - 128.0) + 0.5)
+    return np.clip(np.stack([r, g, b], axis=-1), 0, 255)
+
+
+def _blocks(plane: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad (edge-replicate) to multiples of 8 and split into (n, 8, 8)
+    blocks in raster MCU order."""
+    h, w = plane.shape
+    ph, pw = -h % 8, -w % 8
+    if ph or pw:
+        plane = np.pad(plane, ((0, ph), (0, pw)), mode="edge")
+    hh, ww = plane.shape
+    nby, nbx = hh // 8, ww // 8
+    blk = plane.reshape(nby, 8, nbx, 8).transpose(0, 2, 1, 3) \
+        .reshape(nby * nbx, 8, 8)
+    return blk, nby, nbx
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:       # byte stuffing
+                self.out.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> None:
+        if self.n:
+            self.put(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1-bits
+        self.acc, self.n = 0, 0
+
+
+def _huff_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length) per the canonical T.81 code assignment."""
+    codes: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[symbols[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _category(v: int) -> int:
+    return int(v).bit_length() if v > 0 else int(-v).bit_length()
+
+
+def _amplitude(v: int, cat: int) -> int:
+    return v if v >= 0 else v + (1 << cat) - 1
+
+
+def _encode_plane_blocks(qcoef: np.ndarray, prev_dc: int, dc_codes, ac_codes,
+                         bw: _BitWriter) -> int:
+    """Entropy-encode one block's 64 zigzag coefficients; returns new DC."""
+    dc = int(qcoef[0])
+    diff = dc - prev_dc
+    cat = _category(diff)
+    code, length = dc_codes[cat]
+    bw.put(code, length)
+    if cat:
+        bw.put(_amplitude(diff, cat), cat)
+    nz = np.flatnonzero(qcoef[1:]) + 1
+    pos = 0
+    for i in nz:
+        run = int(i) - pos - 1
+        while run >= 16:
+            c, ln = ac_codes[0xF0]   # ZRL
+            bw.put(c, ln)
+            run -= 16
+        v = int(qcoef[i])
+        cat = _category(v)
+        c, ln = ac_codes[(run << 4) | cat]
+        bw.put(c, ln)
+        bw.put(_amplitude(v, cat), cat)
+        pos = int(i)
+    if pos != 63:
+        c, ln = ac_codes[0x00]       # EOB
+        bw.put(c, ln)
+    return dc
+
+
+def encode_jpeg(arr: np.ndarray, *, quality: int = 100) -> bytes:
+    """Encode (h, w) or (h, w, 1) grayscale / (h, w, 3) RGB uint8 to
+    baseline JFIF.  ``quality=100`` (all-ones quant tables) round-trips
+    constant-fill images exactly — the oracle contract."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg supports 1 or 3 channels")
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg expects uint8")
+    color = nc == 3
+    planes = _rgb_to_ycbcr(arr) if color \
+        else [arr[:, :, 0].astype(np.float64)]
+    if color:
+        planes = [planes[..., i] for i in range(3)]
+
+    qtables = [_scaled_quant(_QUANT_LUMA, quality)]
+    if color:
+        qtables.append(_scaled_quant(_QUANT_CHROMA, quality))
+
+    out = bytearray()
+    out += b"\xff\xd8"                                   # SOI
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" \
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    for tid, qt in enumerate(qtables):                   # DQT
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(x) for x in qt.reshape(-1)[_ZIG])
+    # SOF0
+    comps = [(1, 0x11, 0)] if not color else \
+        [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
+                                     len(comps))
+    for cid, samp, tq in comps:
+        out += bytes([cid, samp, tq])
+    # DHT
+    huff_specs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if color:
+        huff_specs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc_th, (bits, symbols) in huff_specs:
+        out += b"\xff\xc4" + struct.pack(">H", 19 + len(symbols)) \
+            + bytes([tc_th]) + bytes(bits) + bytes(symbols)
+    # SOS
+    scomp = [(1, 0x00)] if not color else [(1, 0x00), (2, 0x11), (3, 0x11)]
+    out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scomp), len(scomp))
+    for cid, tabs in scomp:
+        out += bytes([cid, tabs])
+    out += bytes([0, 63, 0])
+
+    dc_tabs = [_huff_codes(*_DC_LUMA)]
+    ac_tabs = [_huff_codes(*_AC_LUMA)]
+    if color:
+        dc_tabs.append(_huff_codes(*_DC_CHROMA))
+        ac_tabs.append(_huff_codes(*_AC_CHROMA))
+
+    # DCT + quantize each plane up front (vectorized over blocks)
+    qplanes = []
+    for ci, plane in enumerate(planes):
+        blk, nby, nbx = _blocks(plane - 128.0)
+        coef = np.einsum("ij,njk,lk->nil", _C, blk, _C, optimize=True)
+        qt = qtables[min(ci, len(qtables) - 1)].astype(np.float64)
+        q = np.floor(coef / qt + 0.5).astype(np.int32)
+        qplanes.append(q.reshape(-1, 64)[:, _ZIG])
+
+    bw = _BitWriter()
+    n_mcu = qplanes[0].shape[0]
+    prev = [0] * len(planes)
+    for m in range(n_mcu):
+        for ci in range(len(planes)):
+            ti = min(ci, len(dc_tabs) - 1)
+            prev[ci] = _encode_plane_blocks(
+                qplanes[ci][m], prev[ci], dc_tabs[ti], ac_tabs[ti], bw)
+    bw.flush()
+    out += bw.out
+    out += b"\xff\xd9"                                   # EOI
+    return bytes(out)
+
+
+# --------------------------------------------------------------------------
+# decoder
+# --------------------------------------------------------------------------
+
+class _BitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        b = self.data[self.pos]
+        v = (b >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return v
+
+    def read_bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _huff_decode_map(bits: list[int], symbols: list[int]
+                     ) -> dict[tuple[int, int], int]:
+    m: dict[tuple[int, int], int] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            m[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return m
+
+
+def _read_symbol(br: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | br.read_bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid huffman code in entropy stream")
+
+
+def _extend(v: int, cat: int) -> int:
+    return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode baseline 4:4:4 JFIF to (h, w, channels) uint8 (channels 1 or
+    3).  Raises NotImplementedError on progressive/subsampled/restart
+    streams (outside the documented subset)."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    h = w = 0
+    comps: list[tuple[int, int, int]] = []   # (cid, sampling, tq)
+    scan_tabs: list[tuple[int, int]] = []    # (dc table id, ac table id)
+    scan_data = b""
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("marker expected")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:                   # EOI
+            break
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue                         # standalone markers
+        seglen = struct.unpack_from(">H", data, pos)[0]
+        body = data[pos + 2: pos + seglen]
+        pos += seglen
+        if marker == 0xDB:                   # DQT (possibly several tables)
+            off = 0
+            while off < len(body):
+                pq, tq = body[off] >> 4, body[off] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                vals = np.frombuffer(body, np.uint8, 64, off + 1)
+                tbl = np.zeros(64, np.int32)
+                tbl[_ZIG] = vals
+                qtables[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker == 0xC0:                 # SOF0 baseline
+            _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = body[6 + 3 * i: 9 + 3 * i]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling not supported (4:4:4 only)")
+                comps.append((cid, samp, tq))
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"only baseline sequential (SOF0) supported, got SOF "
+                f"marker 0x{marker:02x}")
+        elif marker == 0xC4:                 # DHT
+            off = 0
+            while off < len(body):
+                tc, th = body[off] >> 4, body[off] & 0xF
+                bits = list(body[off + 1: off + 17])
+                n = sum(bits)
+                symbols = list(body[off + 17: off + 17 + n])
+                huff[(tc, th)] = _huff_decode_map(bits, symbols)
+                off += 17 + n
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDA:                 # SOS
+            ns = body[0]
+            scan_tabs = []
+            for i in range(ns):
+                _cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan_tabs.append((tabs >> 4, tabs & 0xF))
+            # entropy data runs to the next real marker (unstuff FF00)
+            end = pos
+            while end < len(data) - 1:
+                if data[end] == 0xFF and data[end + 1] not in (0x00,) \
+                        and not (0xD0 <= data[end + 1] <= 0xD7):
+                    break
+                end += 1
+            scan_data = data[pos:end].replace(b"\xff\x00", b"\xff")
+            pos = end
+        # APPn/COM and anything else: skipped via seglen
+
+    if not comps or not scan_data:
+        raise ValueError("truncated JPEG (no SOF/SOS)")
+    nc = len(comps)
+    nby, nbx = (h + 7) // 8, (w + 7) // 8
+    planes = [np.zeros((nby * 8, nbx * 8), np.float64) for _ in range(nc)]
+    br = _BitReader(scan_data)
+    prev = [0] * nc
+    for m in range(nby * nbx):
+        by, bx = divmod(m, nbx)
+        for ci in range(nc):
+            dc_t = huff[(0, scan_tabs[ci][0])]
+            ac_t = huff[(1, scan_tabs[ci][1])]
+            zz = np.zeros(64, np.int64)
+            cat = _read_symbol(br, dc_t)
+            diff = _extend(br.read_bits(cat), cat) if cat else 0
+            prev[ci] += diff
+            zz[0] = prev[ci]
+            k = 1
+            while k < 64:
+                sym = _read_symbol(br, ac_t)
+                if sym == 0x00:              # EOB
+                    break
+                run, cat = sym >> 4, sym & 0xF
+                if cat == 0:
+                    if run != 15:
+                        raise ValueError("bad AC symbol")
+                    k += 16                  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC index overflow")
+                zz[k] = _extend(br.read_bits(cat), cat)
+                k += 1
+            qt = qtables[comps[ci][2]].astype(np.float64)
+            block = np.zeros(64, np.float64)
+            block[_ZIG] = zz
+            coef = block.reshape(8, 8) * qt
+            pix = _C.T @ coef @ _C + 128.0
+            planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = pix
+    planes = [np.clip(np.floor(p + 0.5), 0, 255)[:h, :w] for p in planes]
+    if nc == 1:
+        return planes[0].astype(np.uint8)[:, :, None]
+    rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+    return rgb.astype(np.uint8)

@@ -363,6 +363,52 @@ def q_image_meta(sf_dir: str) -> rd.Dataset:
     return meta.map_batches(shape, batch_format="pyarrow")
 
 
+def q_image_meta_jpeg(sf_dir: str) -> rd.Dataset:
+    """Real-JPEG multimodal entry: deterministic baseline-JFIF payloads
+    (pure-numpy codec, functions/jpeg) decoded back by the DecodeImage
+    actor pool with ``decoder="jpeg"``.  Constant-fill pixels at
+    quality=100 round-trip exactly through the DCT (all-ones quant
+    tables); the only lossy step for color is the frozen floor(x+0.5)
+    YCbCr transform pair, which the SQL oracle replays literal-for-literal
+    — so DuckDB verifies the DECODED PIXELS of a real entropy-coded JPEG
+    stream, not just the header."""
+    import numpy as np
+
+    from ..functions.jpeg import encode_jpeg
+    from ..stages.multimodal import DecodeImage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def attach_payload(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for did in batch["doc_id"].to_pylist():
+            w, h = 8 + did % 24, 8 + (5 * did) % 24
+            if did % 2 == 0:
+                arr = np.full((h, w, 1), did % 256, np.uint8)
+            else:
+                arr = np.zeros((h, w, 3), np.uint8)
+                arr[:, :] = (did % 256, (3 * did) % 256, (7 * did) % 256)
+            payloads.append(encode_jpeg(arr, quality=100))
+        return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+    meta = ds.map_batches(attach_payload, batch_format="pyarrow",
+                          batch_size=256) \
+        .map_batches(DecodeImage, fn_constructor_kwargs={"decoder": "jpeg"},
+                     batch_format="pyarrow", batch_size=256,
+                     concurrency=(1, 4), num_cpus=1)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": batch["width"].cast(pa.int64()),
+            "height": batch["height"].cast(pa.int64()),
+            "channels": batch["channels"].cast(pa.int64()),
+            "mean_luma": batch["mean_luma"],
+        })
+
+    return meta.map_batches(shape, batch_format="pyarrow")
+
+
 def q_image_meta_png(sf_dir: str) -> rd.Dataset:
     """Real-codec multimodal entry: deterministic PNG payloads (stdlib
     codec, functions/png) decoded back by the DecodeImage actor pool with

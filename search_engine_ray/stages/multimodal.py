@@ -4,12 +4,15 @@ Image/audio/video payloads are opaque ``binary`` columns with sidecar
 metadata columns; decode / feature-extract / resize / frame-sample are
 actor-pool ``map_batches`` stages (decoder state loaded once per actor).
 
-Three decoder modes:
+Four decoder modes:
 
 - ``decoder="png"`` is a REAL decode path: a pure-stdlib PNG codec
   (``functions/png``: zlib + numpy unfiltering, all five scanline filters,
   8-bit gray/RGB/GA/RGBA) — no external library needed.
-- ``decoder="real"`` (JPEG/ffmpeg/soundfile formats) raises
+- ``decoder="jpeg"`` is a REAL decode path too: a pure-numpy baseline
+  sequential JFIF codec (``functions/jpeg``: Annex-K tables, 8x8 DCT,
+  Huffman, 4:4:4) — the format most of a real web corpus arrives in.
+- ``decoder="real"`` (WebP/ffmpeg/soundfile formats) raises
   ``NotImplementedError`` at actor construction — those libraries are NOT
   in this container, so that seam stays an explicit stub.
 - ``decoder="fake"`` is a deterministic stand-in that parses the payload's
@@ -52,15 +55,18 @@ class DecodeImage:
         self.payload_col = payload_col
         if decoder == "real":
             raise NotImplementedError(
-                "JPEG/WebP decoding requires PIL/turbojpeg, not present in "
-                "this environment — use decoder='png' (built-in stdlib "
-                "codec, functions/png) or decoder='fake' (deterministic "
-                "header parser)")
-        if decoder not in ("fake", "png"):
+                "WebP/AVIF decoding requires PIL/turbojpeg, not present in "
+                "this environment — use decoder='png' or decoder='jpeg' "
+                "(built-in stdlib codecs, functions/png + functions/jpeg) "
+                "or decoder='fake' (deterministic header parser)")
+        if decoder not in ("fake", "png", "jpeg"):
             raise ValueError(f"unknown decoder {decoder!r}")
         if decoder == "png":
             from ..functions.png import decode_png
             self._decode = decode_png
+        elif decoder == "jpeg":
+            from ..functions.jpeg import decode_jpeg
+            self._decode = decode_jpeg
         else:
             self._decode = None
 
@@ -139,9 +145,10 @@ class SampleFrames:
 class ResizeImage:
     """Actor-pool resize stage: nearest-neighbor subsample to ``target``.
 
-    ``decoder="png"`` decodes/re-encodes real PNG payloads with the
-    built-in stdlib codec (``functions/png``); ``decoder="fake"`` operates
-    on FakeImage headers; JPEG stays the explicit NotImplementedError seam."""
+    ``decoder="png"`` / ``decoder="jpeg"`` decode/re-encode real payloads
+    with the built-in stdlib codecs (``functions/png``, ``functions/jpeg``);
+    ``decoder="fake"`` operates on FakeImage headers; WebP/AVIF stay the
+    explicit NotImplementedError seam."""
 
     def __init__(self, target: tuple[int, int] = (64, 64), decoder: str = "real",
                  payload_col: str = "payload"):
@@ -149,20 +156,23 @@ class ResizeImage:
         self.payload_col = payload_col
         if decoder == "real":
             raise NotImplementedError(
-                "JPEG resize needs an image library; use decoder='png' "
-                "(built-in codec) or decoder='fake'")
-        if decoder not in ("fake", "png"):
+                "WebP/AVIF resize needs an image library; use decoder='png' "
+                "or decoder='jpeg' (built-in codecs) or decoder='fake'")
+        if decoder not in ("fake", "png", "jpeg"):
             raise ValueError(f"unknown decoder {decoder!r}")
-        self._png = decoder == "png"
-        if self._png:
+        self._real = decoder in ("png", "jpeg")
+        if decoder == "png":
             from ..functions.png import decode_png, encode_png
             self._decode, self._encode = decode_png, encode_png
+        elif decoder == "jpeg":
+            from ..functions.jpeg import decode_jpeg, encode_jpeg
+            self._decode, self._encode = decode_jpeg, encode_jpeg
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         tw, th = self.target
         out_payloads = []
         for payload in batch[self.payload_col].to_pylist():
-            if self._png:
+            if self._real:
                 px = self._decode(payload)
                 h, w, c = px.shape
             else:
@@ -173,7 +183,7 @@ class ResizeImage:
             xs = (np.arange(tw) * w) // tw
             resized = px[ys][:, xs]
             out_payloads.append(
-                self._encode(resized) if self._png
+                self._encode(resized) if self._real
                 else _HEADER.pack(_MAGIC, tw, th, c) + resized.tobytes())
         return batch.set_column(batch.column_names.index(self.payload_col),
                                 self.payload_col,

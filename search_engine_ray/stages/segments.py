@@ -142,32 +142,50 @@ def make_runs_segment_builder(runs_dir: str, index_dir: str,
             if not files:
                 continue
             _t_read = _time.perf_counter()
-            # ParquetFile.read skips pq.read_table's per-call dataset
-            # machinery — measured ~40% less per-file overhead across the
-            # ~190 small runs each group reads
-            gt = pa.concat_tables(
-                [pq.ParquetFile(f).read(use_threads=False) for f in files],
-                promote_options="permissive")
-            _logging.getLogger(__name__).info(
-                "grp %d: read %d run files (%d rows) %.2fs", int(grp),
-                len(files), gt.num_rows, _time.perf_counter() - _t_read)
-            parts = gt["part"].to_numpy(zero_copy_only=False)
-            uniq_parts = np.unique(parts)
-            if uniq_parts.size == 1:
-                outs.append(builder(gt))  # group == part: skip the re-copy
-            else:
-                # ONE stable gather into part order, then zero-copy slices —
-                # a filter per part re-copies the whole group table per
-                # part (measured 6x per-part build inflation at 8
-                # parts/group)
+            # Phase B is DRAM-bound (BASELINE.md), so every byte matters:
+            # * ``read_dictionary`` keeps the heavy terms column in its
+            #   on-disk dictionary form — the flat term STRINGS never
+            #   materialize; only int32 codes + each file's small dictionary
+            #   leave the decoder, and the builder re-uses the codes
+            #   directly instead of re-hashing every posting's string.
+            # * the split into parts happens PER RUN FILE, right after its
+            #   decode while the file's ~MBs are still cache-resident — not
+            #   as one whole-group gather (which streamed the entire group
+            #   through DRAM a second time).  Per-part tables then assemble
+            #   with zero-copy concat + one dictionary unification (an
+            #   int32 remap over codes, not a string pass).
+            # * ParquetFile.read skips pq.read_table's per-call dataset
+            #   machinery — measured ~40% less per-file overhead across the
+            #   ~190 small runs each group reads.
+            chunks: dict[int, list[pa.Table]] = {}
+            n_rows = 0
+            for f in files:
+                t = pq.ParquetFile(f, read_dictionary=["terms.list.element"]) \
+                    .read(use_threads=False)
+                n_rows += t.num_rows
+                parts = t["part"].to_numpy(zero_copy_only=False)
+                uniq = np.unique(parts)
+                if uniq.size == 1:
+                    chunks.setdefault(int(uniq[0]), []).append(t)
+                    continue
                 order = np.argsort(parts, kind="stable")
-                gt = gt.take(pa.array(order, pa.int64()))
-                counts = np.bincount(parts - parts.min())
-                starts = np.zeros(uniq_parts.size + 1, np.int64)
-                np.cumsum(counts[counts > 0], out=starts[1:])
-                for i in range(uniq_parts.size):
-                    outs.append(builder(
-                        gt.slice(starts[i], starts[i + 1] - starts[i])))
+                tt = t.take(pa.array(order, pa.int64()))
+                ps = parts[order]
+                bounds = np.flatnonzero(np.diff(ps)) + 1
+                starts = np.concatenate(([0], bounds))
+                ends = np.concatenate((bounds, [ps.size]))
+                for s, e in zip(starts, ends):
+                    chunks.setdefault(int(ps[s]), []).append(
+                        tt.slice(s, e - s))
+            _logging.getLogger(__name__).info(
+                "grp %d: read %d run files (%d rows, %d parts) %.2fs",
+                int(grp), len(files), n_rows, len(chunks),
+                _time.perf_counter() - _t_read)
+            for part in sorted(chunks):
+                gt = pa.concat_tables(chunks[part],
+                                      promote_options="permissive") \
+                    .unify_dictionaries()
+                outs.append(builder(gt))
         return pa.concat_tables(outs) if outs else _empty_stats(-1).slice(0, 0)
 
     return build_from_runs
@@ -300,15 +318,19 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
                                dtype=np.uint64) if n_docs else np.uint64(0)
 
         # --- explode terms/tfs vectorized (original row order) -----------
+        # flatten BEFORE combining chunks: for the dictionary-typed exchange
+        # path only int32 codes are copied, never the term strings
         terms_list = group["terms"]
-        if isinstance(terms_list, pa.ChunkedArray):
-            terms_list = terms_list.combine_chunks()
         tfs_list = group["tfs"]
-        if isinstance(tfs_list, pa.ChunkedArray):
-            tfs_list = tfs_list.combine_chunks()
-        lens = pc.list_value_length(terms_list).to_numpy().astype(np.int64)
+        lens = pc.list_value_length(terms_list).to_numpy(
+            zero_copy_only=False).astype(np.int64)
         flat_terms = pc.list_flatten(terms_list)
-        flat_tfs = pc.list_flatten(tfs_list).to_numpy().astype(np.int64)
+        if isinstance(flat_terms, pa.ChunkedArray):
+            flat_terms = flat_terms.combine_chunks()
+        flat_tfs_arr = pc.list_flatten(tfs_list)
+        if isinstance(flat_tfs_arr, pa.ChunkedArray):
+            flat_tfs_arr = flat_tfs_arr.combine_chunks()
+        flat_tfs = flat_tfs_arr.to_numpy().astype(np.int64)
         # doc id per ORIGINAL row (-1 = dropped duplicate), spread to postings
         row_doc_id = np.full(n_rows, -1, dtype=np.int64)
         row_doc_id[kept] = doc_ids
@@ -334,7 +356,15 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         post_sites = np.repeat(site_idx_doc, lens)
         doc_len_arr = dl_all[kept]
 
-        dict_enc = pc.dictionary_encode(flat_terms)
+        if pa.types.is_dictionary(flat_terms.type):
+            # exchange path: codes arrive pre-unified from the run reader —
+            # the re-encode (a full string hash pass) is skipped entirely.
+            # The dictionary may contain terms of OTHER parts in the same
+            # exchange group; they have no postings rows, so after the
+            # lexicographic re-rank below they simply never get emitted.
+            dict_enc = flat_terms
+        else:
+            dict_enc = pc.dictionary_encode(flat_terms)
         raw_idx = np.asarray(dict_enc.indices.to_numpy(zero_copy_only=False), dtype=np.int64)
         raw_dict: list[str] = dict_enc.dictionary.to_pylist()
         # re-rank dictionary indices lexicographically so the postings table

@@ -217,3 +217,110 @@ def test_resize_png_roundtrip(ray_session):
     assert r.shape == (5, 4, 3)
     ys, xs = (np.arange(5) * 10) // 5, (np.arange(4) * 8) // 4
     assert np.array_equal(r, a[ys][:, xs])
+
+
+# --------------------------------------------------------------------------
+# JPEG codec (functions/jpeg): baseline sequential 4:4:4
+# --------------------------------------------------------------------------
+
+def test_jpeg_constant_gray_exact():
+    from search_engine_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    a = np.full((12, 17, 1), 77, np.uint8)
+    data = encode_jpeg(a)
+    assert data[:2] == b"\xff\xd8" and data[-2:] == b"\xff\xd9"
+    assert np.array_equal(decode_jpeg(data), a)
+
+
+def test_jpeg_constant_rgb_matches_frozen_ycbcr():
+    """quality=100 makes the DCT lossless on constant fill; the only lossy
+    step is the frozen floor(x+0.5) YCbCr pair — the oracle contract."""
+    from search_engine_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    r, g, b = 200.0, 30.0, 90.0
+    img = np.zeros((9, 21, 3), np.uint8)
+    img[:, :] = (int(r), int(g), int(b))
+    out = decode_jpeg(encode_jpeg(img, quality=100))
+    y = np.floor(0.299 * r + 0.587 * g + 0.114 * b + 0.5)
+    cb = np.floor(-0.168736 * r - 0.331264 * g + 0.5 * b + 128.0 + 0.5)
+    cr = np.floor(0.5 * r - 0.418688 * g - 0.081312 * b + 128.0 + 0.5)
+    exp = [np.floor(y + 1.402 * (cr - 128.0) + 0.5),
+           np.floor(y - 0.344136 * (cb - 128.0)
+                    - 0.714136 * (cr - 128.0) + 0.5),
+           np.floor(y + 1.772 * (cb - 128.0) + 0.5)]
+    assert (out == out[0, 0]).all()
+    assert out[0, 0].tolist() == [int(v) for v in exp]
+
+
+def test_jpeg_random_near_exact_at_q100():
+    from search_engine_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.RandomState(0)
+    gray = rng.randint(0, 256, (24, 31, 1)).astype(np.uint8)
+    dg = decode_jpeg(encode_jpeg(gray))
+    assert np.abs(dg.astype(int) - gray.astype(int)).max() <= 1
+    rgb = rng.randint(0, 256, (16, 16, 3)).astype(np.uint8)
+    dc = decode_jpeg(encode_jpeg(rgb))
+    assert np.abs(dc.astype(int) - rgb.astype(int)).max() <= 3
+
+
+def test_jpeg_lossy_quality_reasonable():
+    from search_engine_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    x = np.linspace(0, 255, 64).astype(np.uint8)
+    img = np.tile(x, (48, 1))[:, :, None]
+    d = decode_jpeg(encode_jpeg(img, quality=75))
+    assert np.abs(d.astype(int) - img.astype(int)).mean() < 3.0
+    # lower quality -> smaller file
+    assert len(encode_jpeg(img, quality=30)) < len(encode_jpeg(img, quality=95))
+
+
+def test_jpeg_rejects_out_of_subset():
+    import pytest
+
+    from search_engine_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    with pytest.raises(ValueError, match="not a JPEG"):
+        decode_jpeg(b"\x00\x01nonsense")
+    # progressive SOF2 marker in an otherwise valid prefix
+    data = bytearray(encode_jpeg(np.zeros((8, 8, 1), np.uint8)))
+    i = data.find(b"\xff\xc0")
+    data[i + 1] = 0xC2
+    with pytest.raises(NotImplementedError, match="baseline"):
+        decode_jpeg(bytes(data))
+    with pytest.raises(ValueError, match="channels"):
+        encode_jpeg(np.zeros((4, 4, 2), np.uint8))
+
+
+def test_decode_image_jpeg_actor_pool(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.functions.jpeg import encode_jpeg
+    from search_engine_ray.stages.multimodal import DecodeImage
+
+    imgs = [np.full((4 + i, 6, 1), (40 * i) % 256, np.uint8)
+            for i in range(6)]
+    tbl = pa.table({
+        "doc_id": pa.array(range(6), pa.int64()),
+        "payload": pa.array([encode_jpeg(a) for a in imgs], pa.binary()),
+    })
+    out = rd.from_arrow(tbl).map_batches(
+        DecodeImage, fn_constructor_kwargs={"decoder": "jpeg"},
+        batch_format="pyarrow", batch_size=2, concurrency=2, num_cpus=1) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert out.height.tolist() == [4 + i for i in range(6)]
+    assert (out.width == 6).all() and (out.channels == 1).all()
+    assert out.mean_luma.tolist() == [float((40 * i) % 256) for i in range(6)]
+
+
+def test_resize_jpeg_roundtrip():
+    from search_engine_ray.functions.jpeg import decode_jpeg, encode_jpeg
+    from search_engine_ray.stages.multimodal import ResizeImage
+
+    a = np.full((10, 8, 3), 0, np.uint8)
+    a[:, :] = (10, 200, 60)
+    t = pa.table({"payload": pa.array([encode_jpeg(a)], pa.binary())})
+    out = ResizeImage(target=(4, 5), decoder="jpeg")(t)
+    r = decode_jpeg(out["payload"][0].as_py())
+    assert r.shape == (5, 4, 3)
+    assert (r == r[0, 0]).all()
