@@ -331,12 +331,10 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         if isinstance(flat_tfs_arr, pa.ChunkedArray):
             flat_tfs_arr = flat_tfs_arr.combine_chunks()
         flat_tfs = flat_tfs_arr.to_numpy().astype(np.int64)
-        # doc id per ORIGINAL row (-1 = dropped duplicate), spread to postings
+        # doc id per ORIGINAL row (-1 = dropped duplicate)
         row_doc_id = np.full(n_rows, -1, dtype=np.int64)
         row_doc_id[kept] = doc_ids
-        post_doc_ids = np.repeat(row_doc_id, lens)
         dl_all = group["doc_len"].to_numpy(zero_copy_only=False).astype(np.int64)
-        post_doc_lens = np.repeat(dl_all, lens)
         site_all = group["site"]
         site_codes_doc = pc.dictionary_encode(
             site_all.combine_chunks() if isinstance(site_all, pa.ChunkedArray)
@@ -353,7 +351,6 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
             site_rank[i] = r
         sites_dict = [sites_raw[i] for i in site_lex]
         site_idx_doc = site_rank[site_idx_raw] if site_idx_raw.size else site_idx_raw
-        post_sites = np.repeat(site_idx_doc, lens)
         doc_len_arr = dl_all[kept]
 
         if pa.types.is_dictionary(flat_terms.type):
@@ -377,24 +374,37 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         term_idx = rank_of[raw_idx] if raw_idx.size else raw_idx
         term_dict: list[str] = [raw_dict[i] for i in lex]
 
+        # Per-posting ROW index instead of per-posting copies of every doc
+        # attribute: phase B is DRAM-bound, so the old three int64 repeats
+        # (doc_id, doc_len, site) + a two-key lexsort cost real wall time
+        # under wide concurrency.  One int32 repeat + a single packed
+        # (term, doc-rank) int64 key sort carries the same information;
+        # doc-level attributes come back as post-sort gathers through the
+        # row index.
+        post_rows = np.repeat(np.arange(n_rows, dtype=np.int32), lens)
         # postings of dropped duplicate rows carry doc_id -1 — filter them
         # out before grouping (no-op on the common dup-free path)
         if had_dups:
-            valid = post_doc_ids >= 0
+            valid = row_doc_id[post_rows] >= 0
             term_idx = term_idx[valid]
-            post_doc_ids = post_doc_ids[valid]
+            post_rows = post_rows[valid]
             flat_tfs = flat_tfs[valid]
-            post_doc_lens = post_doc_lens[valid]
-            post_sites = post_sites[valid]
 
         # postings must be term-grouped with doc_ids ascending inside each
-        # term; the flat stream is in arbitrary row order, so sort on the
-        # (term, doc_id) pair.
-        sort_ix = np.lexsort((post_doc_ids, term_idx))
-        term_sorted = term_idx[sort_ix]
-        docs_sorted = post_doc_ids[sort_ix]
+        # term: doc_id = part_base + rank with rank < n_docs, so the pair
+        # packs into one int64 key (keys are unique — a (doc, term) pair
+        # occurs once — so any sort order rule is deterministic).
+        part_base = np.int64(part) << DOC_ID_PART_SHIFT
+        rank = row_doc_id[post_rows] - part_base
+        bits = int(max(1, n_docs)).bit_length()
+        key = (term_idx.astype(np.int64) << bits) | rank
+        sort_ix = np.argsort(key)
+        skey = key[sort_ix]
+        term_sorted = skey >> bits
+        docs_sorted = (skey & ((np.int64(1) << bits) - 1)) + part_base
         tfs_sorted = flat_tfs[sort_ix]
-        dls_sorted = post_doc_lens[sort_ix]
+        rows_sorted = post_rows[sort_ix]
+        dls_sorted = dl_all[rows_sorted]
 
         boundaries = np.flatnonzero(np.diff(term_sorted)) + 1
         starts = np.concatenate(([0], boundaries))
@@ -437,7 +447,8 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         )
 
         # --- per-(site, term) document frequency (reference A2) ----------
-        st_key = post_sites[sort_ix] * np.int64(len(term_dict)) + term_sorted
+        st_key = site_idx_doc[rows_sorted] * np.int64(len(term_dict)) \
+            + term_sorted
         uniq_st, st_counts = np.unique(st_key, return_counts=True)
         if uniq_st.size:
             nt = np.int64(len(term_dict))
