@@ -786,6 +786,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_id", "ts", "user_id", "value"])
         return analytic_per_key(ds)
 
+    def events_rolling(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import rolling_agg
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id", "value"])
+        return rolling_agg(ds, k=4)
+
+    def events_funnel(sf_dir):
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import funnel_match
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"])
+        return funnel_match(ds, steps=("view", "click", "purchase"),
+                            within_sec=3600)
+
     def decontaminate(sf_dir):
         import pyarrow.compute as pc
         import ray.data as rd
@@ -1011,6 +1031,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": events_asof,
         "sessionize": sessionize,
         "events_analytic": events_analytic,
+        "events_rolling": events_rolling,
+        "events_funnel": events_funnel,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
         "decontaminate": decontaminate,
@@ -1503,6 +1525,61 @@ SELECT event_id, user_id,
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+    sql["events_rolling"] = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER w AS rn,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_cents,
+       COUNT(*) OVER (
+           w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::BIGINT AS roll_n,
+       MAX(value) OVER (
+           w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_max
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+    # ANY-completion ordered funnel via the same prefix-MAX dynamic program
+    # as the engine: for each step-2 row, the LATEST step-1 ts strictly
+    # before it (latest start widens the time budget); for each step-3 row,
+    # the max of that over step-2 rows strictly before it.
+    sql["events_funnel"] = """
+WITH ord AS (
+    SELECT user_id, event_id, event_type,
+           CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+           ts
+    FROM events
+),
+m1 AS (
+    SELECT *,
+           MAX(CASE WHEN event_type = 'view' THEN sec END) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS max_view_before
+    FROM ord
+),
+m2 AS (
+    SELECT *,
+           MAX(CASE WHEN event_type = 'click' THEN max_view_before END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+           ) AS best_chain_before
+    FROM m1
+)
+SELECT user_id,
+       SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)::BIGINT
+           AS n_step1,
+       SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)::BIGINT
+           AS n_step2,
+       SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)::BIGINT
+           AS n_step3,
+       COALESCE(MAX(CASE WHEN event_type = 'purchase'
+                          AND best_chain_before IS NOT NULL
+                          AND sec - best_chain_before <= 3600
+                         THEN TRUE ELSE FALSE END), FALSE) AS completed
+FROM m2
+GROUP BY user_id
 """
 
     # decontamination: string-shingle overlap vs the hash-shingle engine —

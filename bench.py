@@ -158,7 +158,7 @@ HEADLINE = [
     "dup_ngrams", "doc_ppl", "bpe_tokenize", "pagerank_suppliers",
     "embedding_dup_blocked", "lineitem_rollup", "event_value_hist",
     "custkeys_negative_balance", "urgent_lineitems_bloom", "image_meta_png",
-    "image_meta_jpeg",
+    "image_meta_jpeg", "events_rolling", "events_funnel",
     "tfidf_topk", "sample_weighted", "user_event_pivot", "user_top_event",
 ]
 

@@ -121,6 +121,106 @@ def sessionize(events: rd.Dataset, gap_sec: int = 1800,
 
     return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
+def rolling_agg(events: rd.Dataset, *, k: int = 4, key_col: str = "user_id",
+                ts_col: str = "ts", order_col: str = "event_id",
+                value_col: str = "value") -> rd.Dataset:
+    """Per-key rolling-window aggregates over the last ``k`` rows
+    (``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW``): rolling integer-cent
+    sum, rolling row count, rolling max.
+
+    Scale shape: ONE shuffle (``groupby(key)``), then vectorized numpy per
+    group (prefix-sum difference for the sum, ``sliding_window_view`` max
+    for the max) — same one-key-fits-a-worker contract as
+    :func:`analytic_per_key`.  The sum is over ``floor(value*100)`` int64
+    cents so it is bit-exact vs the SQL windowed SUM regardless of
+    association order; the max is a comparison, exact on raw doubles.
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending"),
+                                                  (order_col, "ascending")])
+        g = group.take(order)
+        n = g.num_rows
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.maximum(np.arange(1, n + 1) - k, 0)
+        roll_cents = cum[1:] - cum[lo]
+        roll_n = np.arange(1, n + 1, dtype=np.int64) - lo
+        if n:
+            if n >= k:
+                from numpy.lib.stride_tricks import sliding_window_view
+
+                full = sliding_window_view(v, k).max(axis=1)
+                head = np.maximum.accumulate(v[:k - 1]) if k > 1 \
+                    else np.empty(0, v.dtype)
+                roll_max = np.concatenate([head, full])
+            else:
+                roll_max = np.maximum.accumulate(v)
+        else:
+            roll_max = v
+        return pa.table({
+            order_col: g[order_col],
+            key_col: g[key_col],
+            "rn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "roll_cents": pa.array(roll_cents, pa.int64()),
+            "roll_n": pa.array(roll_n, pa.int64()),
+            "roll_max": pa.array(roll_max, pa.float64()),
+        })
+
+    return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def funnel_match(events: rd.Dataset, *,
+                 steps: tuple[str, str, str] = ("view", "click", "purchase"),
+                 within_sec: int = 3600, key_col: str = "user_id",
+                 ts_col: str = "ts", order_col: str = "event_id",
+                 type_col: str = "event_type") -> rd.Dataset:
+    """Per-key ordered-funnel completion: does the key have events
+    ``steps[0]`` then ``steps[1]`` then ``steps[2]`` in strictly increasing
+    (ts, order) with the whole chain inside ``within_sec``?
+
+    ANY completion counts (the standard product-analytics semantics), not
+    just the earliest-greedy chain — computed in one vectorized prefix-MAX
+    sweep per key: for every step-2 event, the LATEST step-1 timestamp
+    strictly before it (the latest start can only widen the time budget);
+    for every step-3 event, the max of that value over step-2 events
+    strictly before it.  A step-3 row completes iff that value is within
+    ``within_sec``.  Same dynamic program in the SQL oracle (two windowed
+    ``MAX ... ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING``).  ONE
+    shuffle; per-key history in one worker.
+
+    Output per key: ``(key, n_step1, n_step2, n_step3, completed)``.
+    """
+    s1, s2, s3 = steps
+
+    def per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending"),
+                                                  (order_col, "ascending")])
+        g = group.take(order)
+        ts = g[ts_col].cast(pa.int64()).to_numpy() // 1_000_000
+        et = g[type_col].to_numpy(zero_copy_only=False)
+        is1, is2, is3 = et == s1, et == s2, et == s3
+        ninf = np.iinfo(np.int64).min
+        # LATEST step-1 ts strictly before each row
+        m1 = np.maximum.accumulate(np.where(is1, ts, ninf))
+        m1_before = np.concatenate([[ninf], m1[:-1]]) if ts.size else m1
+        # max over step-2 rows (of their m1_before) strictly before each row
+        m2 = np.maximum.accumulate(np.where(is2, m1_before, ninf))
+        m2_before = np.concatenate([[ninf], m2[:-1]]) if ts.size else m2
+        ok = is3 & (m2_before > ninf) & (ts - m2_before <= within_sec)
+        key = group[key_col][0].as_py()
+        return pa.table({
+            key_col: pa.array([key], pa.int64()),
+            "n_step1": pa.array([int(is1.sum())], pa.int64()),
+            "n_step2": pa.array([int(is2.sum())], pa.int64()),
+            "n_step3": pa.array([int(is3.sum())], pa.int64()),
+            "completed": pa.array([bool(ok.any())]),
+        })
+
+    return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
 def analytic_per_key(events: rd.Dataset, key_col: str = "user_id",
                      ts_col: str = "ts", order_col: str = "event_id",
                      value_col: str = "value") -> rd.Dataset:
