@@ -786,6 +786,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_id", "ts", "user_id", "value"])
         return analytic_per_key(ds)
 
+    def warc_roundtrip(sf_dir):
+        """Real WARC byte-stream round trip: documents -> per-record-gzipped
+        WARC fixture on scratch -> streaming WarcDatasource -> pages rows.
+        The oracle recomputes url/ts/byte-length/code from the documents
+        table directly, so parity witnesses header parsing, gzip member
+        handling, HTTP payload split, and timestamp decoding."""
+        import hashlib
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.sources.warc import read_warc, write_warc
+
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = f"/tmp/serx_warc_{tag}.warc.gz"
+        write_warc(path, [
+            (f"http://w.example/p{int(d)}", int(d) * 1_000_000,
+             f"<html><body>{t or ''}</body></html>".encode(), 200)
+            for d, t in zip(docs["doc_id"].to_pylist(),
+                            docs["text"].to_pylist())])
+
+        def shape(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "url": b["url"],
+                "ts_sec": pc.divide(b["warc_ts"].cast(pa.int64()),
+                                    1_000_000).cast(pa.int64()),
+                "n_bytes": pc.binary_length(b["html"]).cast(pa.int64()),
+                "code": b["code"].cast(pa.int64()),
+            })
+
+        return read_warc([path]).map_batches(shape, batch_format="pyarrow")
+
     def events_rolling(sf_dir):
         import ray.data as rd
 
@@ -1033,6 +1068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_analytic": events_analytic,
         "events_rolling": events_rolling,
         "events_funnel": events_funnel,
+        "warc_roundtrip": warc_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
         "decontaminate": decontaminate,
@@ -1525,6 +1561,16 @@ SELECT event_id, user_id,
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+    # WARC round trip: 26 = len("<html><body>") + len("</body></html>");
+    # strlen is BYTE length in DuckDB, matching the utf-8 encoded payload
+    sql["warc_roundtrip"] = """
+SELECT 'http://w.example/p' || doc_id AS url,
+       doc_id::BIGINT AS ts_sec,
+       (strlen(text) + 26)::BIGINT AS n_bytes,
+       200::BIGINT AS code
+FROM documents
 """
 
     sql["events_rolling"] = """
