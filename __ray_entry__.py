@@ -117,6 +117,101 @@ FROM contrib GROUP BY doc_id
 """
 
 
+def _phrase_sql(terms: list[str]) -> str:
+    """Positional phrase oracle: rebuild kept-token positions with
+    row_number over the token ordinal, then chain ``m-1`` adjacency
+    self-joins (the relational mirror of pipelines/phrase.PhraseCounter's
+    shifted boolean ANDs)."""
+    joins = "\n".join(
+        f"JOIN pos t{j} ON t{j}.doc_id = t0.doc_id AND t{j}.p = t0.p + {j}"
+        for j in range(1, len(terms)))
+    conds = " AND ".join(f"t{j}.term = '{t}'" for j, t in enumerate(terms))
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_extract(tok, '{TOKEN_RE_SQL}', 1) AS term,
+           ord
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '{_SPLIT_SQL}'))
+                     AS tok,
+                 generate_subscripts(
+                     string_split_regex(lower(text), '{_SPLIT_SQL}'), 1)
+                     AS ord
+          FROM documents)
+),
+pos AS (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS p
+    FROM toks WHERE term <> ''
+)
+SELECT t0.doc_id, COUNT(*)::BIGINT AS n_matches
+FROM pos t0
+{joins}
+WHERE {conds}
+GROUP BY t0.doc_id
+"""
+
+
+def _kmeans_sql(*, k: int, iters: int, scale_bits: int) -> str:
+    """Unrolled-CTE DuckDB mirror of stages/clustering.kmeans_assign — the
+    same trick as the PageRank oracle: exact integer arithmetic makes each
+    Lloyd iteration a pure relational expression.  ``eq`` is the quantized
+    (vec_id, dim, x) long table; each iteration is assign (argmin of the
+    int squared distance, ties to smallest cid) then integer floor-div
+    centroid means with empty clusters keeping the previous centroid."""
+    scale = float(1 << scale_bits)
+    parts = [f"""
+WITH eq AS (
+    SELECT vec_id, generate_subscripts(embedding, 1) AS d,
+           CAST(floor((CAST(unnest(embedding) AS DOUBLE) + 1.0) * {scale})
+                AS BIGINT) AS x
+    FROM embeddings
+),
+seed AS (
+    SELECT vec_id, row_number() OVER (ORDER BY vec_id) - 1 AS cid
+    FROM (SELECT DISTINCT vec_id FROM embeddings ORDER BY vec_id LIMIT {k})
+),
+c0 AS (SELECT s.cid, e.d, e.x FROM seed s JOIN eq e USING (vec_id))"""]
+    for i in range(1, iters + 1):
+        prev = f"c{i - 1}"
+        parts.append(f""",
+d{i} AS (
+    SELECT e.vec_id, c.cid, SUM((e.x - c.x) * (e.x - c.x)) AS dist
+    FROM eq e JOIN {prev} c ON c.d = e.d
+    GROUP BY e.vec_id, c.cid
+),
+a{i} AS (
+    SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY dist, cid) AS rn
+        FROM d{i})
+    WHERE rn = 1
+),
+m{i} AS (
+    SELECT a.cid, e.d, CAST(SUM(e.x) // COUNT(*) AS BIGINT) AS x
+    FROM a{i} a JOIN eq e USING (vec_id)
+    GROUP BY a.cid, e.d
+),
+c{i} AS (
+    SELECT c.cid, c.d, COALESCE(m.x, c.x) AS x
+    FROM {prev} c LEFT JOIN m{i} m ON m.cid = c.cid AND m.d = c.d
+)""")
+    parts.append(f""",
+dfin AS (
+    SELECT e.vec_id, c.cid, SUM((e.x - c.x) * (e.x - c.x)) AS dist
+    FROM eq e JOIN c{iters} c ON c.d = e.d
+    GROUP BY e.vec_id, c.cid
+)
+SELECT vec_id, cid AS cluster, CAST(dist AS BIGINT) AS dist_q FROM (
+    SELECT vec_id, cid, dist,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+    FROM dfin)
+WHERE rn = 1
+""")
+    return "".join(parts)
+
+
 def _search_ref_sql(terms: list[str]) -> str:
     term_list = ",".join(f"'{t}'" for t in terms)
     return f"""
@@ -830,6 +925,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_id", "ts", "user_id", "value"])
         return rolling_agg(ds, k=4)
 
+    def events_rolling_time(sf_dir):
+        """Time-based rolling window (RANGE BETWEEN 600s PRECEDING AND
+        CURRENT ROW, peers included): one key shuffle, two vectorized
+        searchsorted probes + a prefix-sum difference per key."""
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import rolling_time_agg
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id", "value"])
+        return rolling_time_agg(ds, window_sec=600)
+
+    def events_rank(sf_dir):
+        """SQL rank-family window functions (RANK / DENSE_RANK /
+        PERCENT_RANK / CUME_DIST / NTILE(4)) per user over value: one key
+        shuffle, one sort + run-length pass per key; float outputs are
+        single IEEE divisions of exact ints, bitwise-equal to DuckDB."""
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import rank_features
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "value"])
+        return rank_features(ds, ntiles=4)
+
+    def lineitem_cube(sf_dir):
+        """GROUP BY CUBE via the grouping_sets operator (all 4 subsets of
+        the two keys); same one-all-to-all pre-combined shape as the
+        rollup entry."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import grouping_sets
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_returnflag", "l_linestatus", "l_quantity"])
+        return grouping_sets(
+            ds, keys=("l_returnflag", "l_linestatus"),
+            sets=(("l_returnflag", "l_linestatus"), ("l_returnflag",),
+                  ("l_linestatus",), ()),
+            sum_cols={"sum_qty": "l_quantity"})
+
+    def kmeans_embed(sf_dir):
+        """Exact integer k-means over the embeddings table (semantic
+        clustering / SemDeDup building block): quantized int64 arithmetic
+        with floor-div centroid means makes every iteration
+        order-independent, so the 3-iteration run is bit-identical to the
+        unrolled SQL CTE oracle at any parallelism."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.clustering import kmeans_assign
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        return kmeans_assign(ds, k=8, iters=3)
+
+    def search_phrase(sf_dir):
+        """Positional phrase match ("table hash") over the documents table:
+        one vectorized actor-pool map_batches pass (pipelines/phrase),
+        positions = kept-token running index, zero shuffle."""
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.phrase import phrase_counts
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return phrase_counts(docs, ["table", "hash"], morphology="simple")
+
+    def similar_docs(sf_dir):
+        """Levenshtein similarity self-join over 24-char text prefixes,
+        blocked by lang: exact byte-level edit distance (DuckDB
+        levenshtein semantics) behind two loss-free prefilters
+        (length diff, bag-of-bytes L1)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.strings import edit_distance_pairs
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        return edit_distance_pairs(ds, prefix_len=24, max_dist=3)
+
     def events_funnel(sf_dir):
         import ray.data as rd
 
@@ -1067,7 +1243,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": sessionize,
         "events_analytic": events_analytic,
         "events_rolling": events_rolling,
+        "events_rolling_time": events_rolling_time,
+        "events_rank": events_rank,
         "events_funnel": events_funnel,
+        "lineitem_cube": lineitem_cube,
+        "kmeans_embed": kmeans_embed,
+        "similar_docs": similar_docs,
+        "search_phrase": search_phrase,
         "warc_roundtrip": warc_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
@@ -1584,6 +1766,60 @@ SELECT event_id, user_id,
            w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_max
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+    # Time-based rolling window: RANGE frames are peer-inclusive (every row
+    # whose ts_sec falls in [ts_i-600, ts_i], regardless of tie order) —
+    # exactly the two-searchsorted frame in pipelines/windows.py
+    sql["events_rolling_time"] = """
+SELECT event_id, user_id,
+       (COUNT(*) OVER w)::BIGINT AS win_n,
+       (SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER w)::BIGINT AS win_cents
+FROM (SELECT event_id, user_id, value,
+             epoch_us(ts) // 1000000 AS ts_sec
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
+    # Rank family: RANK/DENSE_RANK/PERCENT_RANK/CUME_DIST are peer-based
+    # (no tie-break needed); NTILE assigns by row position so it gets the
+    # deterministic (value, event_id) ordering — same contract as
+    # pipelines/windows.rank_features
+    sql["events_rank"] = """
+SELECT event_id, user_id,
+       RANK() OVER v::BIGINT AS rnk,
+       DENSE_RANK() OVER v::BIGINT AS drnk,
+       PERCENT_RANK() OVER v AS pct_rank,
+       CUME_DIST() OVER v AS cume,
+       NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id)::BIGINT
+           AS tile
+FROM events
+WINDOW v AS (PARTITION BY user_id ORDER BY value)
+"""
+
+    sql["lineitem_cube"] = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag, l_linestatus)::BIGINT AS grouping_id,
+       SUM(l_quantity) AS sum_qty,
+       COUNT(*)::BIGINT AS n_rows
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+    sql["kmeans_embed"] = _kmeans_sql(k=8, iters=3, scale_bits=20)
+
+    sql["search_phrase"] = _phrase_sql(["table", "hash"])
+
+    # Byte-level Levenshtein (DuckDB's levenshtein measures UTF-8 bytes);
+    # the engine's prefilters are loss-free necessary conditions, so the
+    # pair sets match exactly (stages/strings.py)
+    sql["similar_docs"] = """
+WITH p AS (SELECT doc_id, lang, substr(text, 1, 24) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       levenshtein(a.s, b.s)::BIGINT AS dist
+FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(a.s, b.s) <= 3
 """
 
     # ANY-completion ordered funnel via the same prefix-MAX dynamic program

@@ -1,0 +1,163 @@
+"""Phrase (positional) matching.
+
+The reference engine has no phrase queries — its index stores only
+(page, lemma, tf) (``model/Index.java:13-34``) and search is a bag-of-
+lemmas AND (``services/SearchServiceImpl.java:152-180``).  Round 3 adds
+the standard full-text feature on top of the same token pipeline:
+
+* **Position semantics**: a document's token positions are the 0-based
+  running index over its KEPT tokens — the cleaned, morphology-surviving
+  lemma stream in original text order (the same stream the TF counter
+  consumes).  A phrase ``[q0 .. qm-1]`` matches at position ``p`` iff the
+  kept token at ``p+j`` normalizes to ``qj`` for every ``j`` — i.e.
+  adjacency AFTER cleaning/stop-filtering, the common "phrase with stop
+  words elided" contract.
+* :func:`phrase_counts` — the streaming operator over a raw document
+  table: one stateless/actor ``map_batches`` pass, no shuffle, exactly
+  SQL-mirrorable for ``morphology="simple"`` (the oracle rebuilds
+  positions with ``row_number() OVER (PARTITION BY doc ORDER BY token
+  ordinal)`` and self-joins ``p+1 .. p+m-1``).
+* The index-backed path (positional postings) lives with the segment
+  reader; ``tests`` cross-check the two.
+
+Scale shape: the per-batch matcher is fully vectorized — the Arrow
+tokenize kernels are shared with the Lemmatizer stage
+(``stages/lemmatize.py``), phrase-slot membership is computed on the
+batch's UNIQUE surface forms only, and the adjacency test is ``m-1``
+shifted boolean ANDs over the kept-token stream.  Memory per batch is
+O(tokens); nothing leaves the task but (doc_id, n_matches) rows.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+from ..functions.morphology import get_morphology
+from ..functions.tokenize import SPLIT_RE, TOKEN_RE, clean_token
+
+__all__ = ["PhraseCounter", "phrase_counts", "normalize_phrase"]
+
+
+def normalize_phrase(phrase: list[str] | str,
+                     morphology: str = "simple") -> list[str]:
+    """The query side of the contract: clean + normalize each phrase word
+    with exactly the document pipeline (tokenize.clean_token + morphology);
+    dropped words are elided, keeping the order and duplicates of the
+    survivors (unlike ``lemmas_of_query``, which dedups for the AND path)."""
+    text = phrase if isinstance(phrase, str) else " ".join(phrase)
+    morph = get_morphology(morphology)
+    out = []
+    for raw in SPLIT_RE.split(text.lower()):
+        if not raw:
+            continue
+        w = clean_token(raw)
+        t = morph.normal_word(w) if w else ""
+        if t:
+            out.append(t)
+    return out
+
+
+class PhraseCounter:
+    """Callable-class stage: per-doc occurrence count of one phrase.
+
+    Tokenization is kernel-for-kernel the Lemmatizer's fast path
+    (``stages/lemmatize.py`` — lowercase, ascii whitespace split, anchored
+    TOKEN_RE clean, unique-surface-form normalization), so positions are
+    defined over exactly the stream the index stores tfs for.
+    """
+
+    def __init__(self, phrase: list[str], morphology: str = "simple",
+                 text_column: str = "text", id_column: str = "doc_id",
+                 keep_zero: bool = False) -> None:
+        if not phrase:
+            raise ValueError("empty phrase")
+        self.phrase = list(phrase)
+        self.morph = get_morphology(morphology)
+        self.text_column = text_column
+        self.id_column = id_column
+        self.keep_zero = keep_zero
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        ids = batch[self.id_column]
+        empty = pa.table({self.id_column: ids.slice(0, 0),
+                          "n_matches": pa.array([], pa.int64())})
+        if not n_docs:
+            return empty
+        texts = batch[self.text_column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lower = pc.utf8_lower(texts)
+        toks = pc.ascii_split_whitespace(lower)
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy() \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        simple = pc.match_substring_regex(flat, r"^[а-яёa-z]+$")
+        rest = pc.invert(simple)
+        if pc.any(rest).as_py():
+            rest_words = pc.struct_field(
+                pc.extract_regex(flat.filter(rest), pattern=TOKEN_RE.pattern),
+                "word")
+            words = pc.replace_with_mask(flat, rest, rest_words)
+        else:
+            words = flat
+
+        enc = words.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        surface = enc.dictionary.to_pylist()
+        normal = self.morph.normal_word
+        normed = [normal(s) for s in surface]
+        kept_dict = np.array([bool(t) for t in normed], bool) \
+            if normed else np.empty(0, bool)
+        # phrase-slot membership per DICT entry (tokens inherit it below)
+        slot_dict = [np.array([t == q for t in normed], bool)
+                     if normed else np.empty(0, bool)
+                     for q in self.phrase]
+
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(idx) if idx.dtype.kind == "f" \
+            else np.ones(len(idx), bool)
+        didx = np.where(valid, idx, 0).astype(np.int64)
+        keep = valid & (kept_dict[didx] if len(kept_dict) else False)
+
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[keep]
+        kdict = didx[keep]
+        n = len(kdict)
+        m = len(self.phrase)
+        if n >= m:
+            w = n - m + 1
+            match = slot_dict[0][kdict[:w]].copy()
+            for j in range(1, m):
+                match &= slot_dict[j][kdict[j:j + w]]
+            match &= doc_of[:w] == doc_of[m - 1:]
+            counts = np.bincount(doc_of[:w][match], minlength=n_docs) \
+                .astype(np.int64)
+        else:
+            counts = np.zeros(n_docs, np.int64)
+        if self.keep_zero:
+            sel = np.ones(n_docs, bool)
+        else:
+            sel = counts > 0
+        return pa.table({
+            self.id_column: ids.filter(pa.array(sel)),
+            "n_matches": pa.array(counts[sel], pa.int64()),
+        })
+
+
+def phrase_counts(docs: rd.Dataset, phrase: list[str] | str, *,
+                  morphology: str = "simple", text_column: str = "text",
+                  id_column: str = "doc_id",
+                  concurrency=(1, 8)) -> rd.Dataset:
+    """(doc_id, n_matches) for documents containing the phrase (see
+    module doc).  One actor-pool ``map_batches`` pass, zero shuffle."""
+    terms = normalize_phrase(phrase, morphology)
+    return docs.map_batches(
+        PhraseCounter,
+        fn_constructor_kwargs={"phrase": terms, "morphology": morphology,
+                               "text_column": text_column,
+                               "id_column": id_column},
+        batch_format="pyarrow", concurrency=concurrency)

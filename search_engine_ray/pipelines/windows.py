@@ -171,6 +171,108 @@ def rolling_agg(events: rd.Dataset, *, k: int = 4, key_col: str = "user_id",
     return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
+def rolling_time_agg(events: rd.Dataset, *, window_sec: int = 600,
+                     key_col: str = "user_id", ts_col: str = "ts",
+                     order_col: str = "event_id",
+                     value_col: str = "value") -> rd.Dataset:
+    """Per-key time-based rolling aggregates over the trailing
+    ``window_sec`` seconds (``RANGE BETWEEN window_sec PRECEDING AND
+    CURRENT ROW``): row count and integer-cent sum.
+
+    RANGE semantics (exactly SQL's): the frame of row *i* is every row *j*
+    of the key with ``ts_j`` in ``[ts_i - window_sec, ts_i]`` — including
+    *peers* (rows sharing ``ts_i``) regardless of tie-break order, which is
+    why the frame is computed on the ts array with two ``searchsorted``
+    probes (left edge ``ts_i - W`` 'left', right edge ``ts_i`` 'right')
+    rather than row offsets.  Sum is over ``floor(value*100)`` int64 cents
+    (bit-exact vs the SQL windowed SUM under any association order); count
+    is exact by construction.
+
+    Scale shape: ONE shuffle (``groupby(key)``), then one sort + two
+    vectorized searchsorted passes + a prefix-sum difference per group —
+    same one-key-fits-a-worker contract as :func:`analytic_per_key`.
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending"),
+                                                  (order_col, "ascending")])
+        g = group.take(order)
+        n = g.num_rows
+        ts = g[ts_col].cast(pa.timestamp("us"), safe=False) \
+            .cast(pa.int64()).to_numpy() // 1_000_000
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(cents)])
+        lo = np.searchsorted(ts, ts - window_sec, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        return pa.table({
+            order_col: g[order_col],
+            key_col: g[key_col],
+            "win_n": pa.array(hi - lo, pa.int64()),
+            "win_cents": pa.array(cum[hi] - cum[lo], pa.int64()),
+        })
+
+    return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def rank_features(events: rd.Dataset, *, key_col: str = "user_id",
+                  value_col: str = "value", order_col: str = "event_id",
+                  ntiles: int = 4) -> rd.Dataset:
+    """Per-key SQL rank-family window functions over ``value`` ascending:
+    ``RANK`` / ``DENSE_RANK`` / ``PERCENT_RANK`` / ``CUME_DIST`` (peer-based,
+    so ties get equal outputs and no tie-break is needed) and ``NTILE(n)``
+    ordered by ``(value, order_col)`` (NTILE assigns by row position, so the
+    tie-break makes it deterministic — mirrored in the SQL oracle).
+
+    Float outputs are single IEEE divisions of exact integers —
+    ``(rank-1)/(n-1)`` and ``peers_through/n`` — computed identically by
+    DuckDB, so the driver's value hash matches bitwise.
+
+    Scale shape: ONE shuffle, vectorized numpy per group (one sort, one
+    run-length pass), one-key-fits-a-worker contract.
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group,
+                                sort_keys=[(value_col, "ascending"),
+                                           (order_col, "ascending")])
+        g = group.take(order)
+        n = g.num_rows
+        v = g[value_col].to_numpy(zero_copy_only=False)
+        new_peer = np.empty(n, bool)
+        if n:
+            new_peer[0] = True
+            new_peer[1:] = v[1:] != v[:-1]
+        starts = np.flatnonzero(new_peer)                 # peer-group starts
+        ends = np.concatenate([starts[1:], [n]])          # exclusive ends
+        sizes = ends - starts
+        gidx = np.cumsum(new_peer) - 1                    # peer group index
+        rnk = starts[gidx] + 1                            # RANK
+        drnk = gidx + 1                                   # DENSE_RANK
+        pct = ((rnk - 1) / (n - 1)) if n > 1 else np.zeros(n)
+        cume = ends[gidx] / n if n else np.zeros(0)
+        # NTILE(t): first n%t tiles get n//t+1 rows, by row position
+        pos = np.arange(n, dtype=np.int64)
+        base, rem = divmod(n, ntiles) if n else (0, 0)
+        cut = rem * (base + 1)
+        if base:
+            tile = np.where(pos < cut, pos // (base + 1),
+                            rem + (pos - cut) // base) + 1
+        else:  # fewer rows than tiles: one row per tile
+            tile = pos + 1
+        return pa.table({
+            order_col: g[order_col],
+            key_col: g[key_col],
+            "rnk": pa.array(rnk, pa.int64()),
+            "drnk": pa.array(drnk, pa.int64()),
+            "pct_rank": pa.array(pct, pa.float64()),
+            "cume": pa.array(cume, pa.float64()),
+            "tile": pa.array(tile, pa.int64()),
+        })
+
+    return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
 def funnel_match(events: rd.Dataset, *,
                  steps: tuple[str, str, str] = ("view", "click", "purchase"),
                  within_sec: int = 3600, key_col: str = "user_id",

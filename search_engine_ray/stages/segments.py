@@ -197,7 +197,9 @@ def commit_empty_part(index_dir: str, part: int, cfg: IndexBuildConfig,
     a committed (empty) segment so resume bookkeeping sees it as done."""
     docs_schema = pa.schema([
         ("doc_id", pa.int64()), ("url", pa.string()), ("site", pa.string()),
-        ("path", pa.string()), ("title", pa.string()), ("doc_len", pa.int64()),
+        # doc_len is int32 — MUST match the non-empty builder's docs schema
+        # (Lemmatizer emits int32) or cross-part reads/merges hit promotion
+        ("path", pa.string()), ("title", pa.string()), ("doc_len", pa.int32()),
         ("code", pa.int32()),
     ] + ([("whole_text", pa.string())] if cfg.store_doc_text else []))
     postings_schema = pa.schema([

@@ -1,0 +1,148 @@
+"""String-similarity self-join: pairs within a Levenshtein distance bound.
+
+Fuzzy-duplicate detection over short keys (titles, URLs, product names,
+doc prefixes) — a standard data-cleaning join the reference engine has no
+analogue for (its only string ops are tokenize/trim,
+``services/LemmasFinder.java:260-290``).  Round-3 LLM-pipeline addition
+per SURVEY §2.11.
+
+Semantics (mirrored exactly by the DuckDB ``levenshtein`` oracle): over
+key strings ``s = text[:prefix_len]`` (character slice, UTF-8 aware both
+engines), emit every pair ``(a, b)``, ``a < b``, within the same blocking
+key (``block_col``) whose unit-cost edit distance is <= ``max_dist``,
+with the exact distance.  Distance is measured over UTF-8 BYTES, because
+that is what DuckDB's ``levenshtein`` measures — the two engines agree by
+construction on ASCII and on any byte-level definition elsewhere.
+
+Scale shape: ONE shuffle (``groupby(block_col)``).  Within a block the
+candidate set is pruned by two *necessary* conditions before the O(L^2)
+verify — length difference <= d, and bag-of-characters L1 distance <= 2d
+(one substitution moves two counts; one indel moves one) — so NO true
+pair is ever dropped and oracle parity is exact.  The verify is a
+pair-vectorized Wagner–Fischer DP: python loops run over the <=
+``prefix_len``^2 cell grid, numpy vectors run across ALL candidate pairs
+at once; memory is two (pairs, L+1) rows, never a 3-D tensum.  Candidate
+L1 scoring streams in fixed-size pair chunks, so a hot block costs time,
+not memory.  Blocks are quadratic by contract (like
+``ngram_jaccard_pairs``, the documented oracle for the LSH family): at
+production scale run ``minhash_lsh_pairs`` first and use this as the
+exact verifier within LSH buckets.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+__all__ = ["edit_distance_pairs", "levenshtein_pairs"]
+
+_CHUNK = 65536  # candidate pairs scored per L1 slab
+
+
+def _codes(strings: list[str]) -> tuple[np.ndarray, np.ndarray]:
+    """(m, width) uint16 UTF-8 BYTE matrix (padded with 256 — a value no
+    byte takes) + byte lengths.  Byte-level, not codepoint-level, because
+    DuckDB's ``levenshtein`` measures UTF-8 bytes — the oracle contract."""
+    m = len(strings)
+    enc = [s.encode("utf-8") for s in strings]
+    width = max((len(b) for b in enc), default=0)
+    out = np.full((m, width), 256, np.uint16)
+    lens = np.zeros(m, np.int64)
+    for i, b in enumerate(enc):
+        c = np.frombuffer(b, np.uint8)
+        lens[i] = len(c)
+        out[i, :len(c)] = c
+    return out, lens
+
+
+def levenshtein_pairs(codes: np.ndarray, lens: np.ndarray,
+                      ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """Exact unit-cost edit distance for each candidate pair, vectorized
+    across pairs (loops only over the character grid)."""
+    a, b = codes[ia], codes[ib]
+    la, lb = lens[ia], lens[ib]
+    p = len(ia)
+    lamax = int(la.max()) if p else 0
+    lbmax = int(lb.max()) if p else 0
+    out = np.where(la == 0, lb, 0).astype(np.int64)
+    prev = np.broadcast_to(np.arange(lbmax + 1, dtype=np.int64),
+                           (p, lbmax + 1)).copy()
+    for i in range(1, lamax + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = a[:, i - 1]
+        for j in range(1, lbmax + 1):
+            cost = (ai != b[:, j - 1]).astype(np.int64)
+            cur[:, j] = np.minimum(
+                np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1),
+                prev[:, j - 1] + cost)
+        done = la == i
+        if done.any():
+            out[done] = cur[done, lb[done]]
+        prev = cur
+    return out
+
+
+def edit_distance_pairs(docs: rd.Dataset, *, key_col: str = "doc_id",
+                        text_col: str = "text", block_col: str = "lang",
+                        prefix_len: int = 24,
+                        max_dist: int = 3) -> rd.Dataset:
+    """Pairs ``(id_a, id_b, dist)`` with ``dist <= max_dist`` over
+    ``text[:prefix_len]``, blocked by ``block_col`` (see module doc)."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            key_col: batch[key_col],
+            block_col: batch[block_col],
+            "s": pc.utf8_slice_codeunits(batch[text_col], 0, prefix_len),
+        })
+
+    def per_block(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(key_col, "ascending")])
+        g = group.take(order)
+        ids = g[key_col].to_numpy()
+        strings = g["s"].to_pylist()
+        m = len(strings)
+        empty = pa.table({"id_a": pa.array([], pa.int64()),
+                          "id_b": pa.array([], pa.int64()),
+                          "dist": pa.array([], pa.int64())})
+        if m < 2:
+            return empty
+        codes, lens = _codes(strings)
+        # bag-of-bytes over the block's own alphabet (small dense matrix)
+        alphabet, inv = np.unique(codes.ravel(), return_inverse=True)
+        bags = np.zeros((m, len(alphabet)), np.int16)
+        rows = np.repeat(np.arange(m), codes.shape[1] or 1)[:inv.size]
+        np.add.at(bags, (rows, inv.ravel()), 1)
+        if alphabet.size and alphabet[-1] == 256:  # drop the pad column
+            bags[:, -1] = 0
+        ia_all, ib_all = np.triu_indices(m, k=1)
+        keep_len = np.abs(lens[ia_all] - lens[ib_all]) <= max_dist
+        ia_all, ib_all = ia_all[keep_len], ib_all[keep_len]
+        # L1 bag prefilter in fixed-size slabs (necessary condition <= 2d)
+        cand_a, cand_b = [], []
+        for at in range(0, len(ia_all), _CHUNK):
+            ia = ia_all[at:at + _CHUNK]
+            ib = ib_all[at:at + _CHUNK]
+            l1 = np.abs(bags[ia].astype(np.int32)
+                        - bags[ib].astype(np.int32)).sum(axis=1)
+            ok = l1 <= 2 * max_dist
+            cand_a.append(ia[ok])
+            cand_b.append(ib[ok])
+        ia = np.concatenate(cand_a) if cand_a else np.empty(0, np.int64)
+        ib = np.concatenate(cand_b) if cand_b else np.empty(0, np.int64)
+        if not len(ia):
+            return empty
+        dist = levenshtein_pairs(codes, lens, ia, ib)
+        hit = dist <= max_dist
+        return pa.table({
+            "id_a": pa.array(ids[ia[hit]], pa.int64()),
+            "id_b": pa.array(ids[ib[hit]], pa.int64()),
+            "dist": pa.array(dist[hit], pa.int64()),
+        })
+
+    return (docs.map_batches(prep, batch_format="pyarrow")
+            .groupby(block_col).map_groups(per_block,
+                                           batch_format="pyarrow"))

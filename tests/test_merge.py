@@ -1,0 +1,93 @@
+"""Index merge/compaction (pipelines/merge): byte-identity vs full build,
+reindex-delta (last source wins) semantics."""
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import ray.data as rd
+
+from search_engine_ray.config import IndexBuildConfig
+from search_engine_ray.pipelines.build import build_index
+from search_engine_ray.pipelines.merge import merge_indexes
+
+
+def _pages(rows):
+    return rd.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": pa.array(
+            [f"<html><title>t</title><body>{r[2]}</body></html>".encode()
+             for r in rows], pa.binary()),
+    }))
+
+
+def _corpus(i0, n):
+    words = ["apple", "banana", "cherry", "date", "elder", "fig"]
+    return [(f"http://s{i % 3}.example/p{i}", 1_000_000 * i,
+             " ".join(words[(i + j) % len(words)]
+                      for j in range(3 + i % 4)))
+            for i in range(i0, i0 + n)]
+
+
+def _seg_bytes(index_dir):
+    out = {}
+    for d in sorted(os.listdir(index_dir)):
+        if not d.startswith("part="):
+            continue
+        for f in ["docs.parquet", "postings.parquet", "dict.parquet"]:
+            out[f"{d}/{f}"] = open(os.path.join(index_dir, d, f),
+                                   "rb").read()
+    return out
+
+
+def test_merge_equals_full_build(ray_session, tmp_path):
+    cfg = IndexBuildConfig(morphology="simple", num_partitions=3)
+    a, b = _corpus(0, 40), _corpus(40, 40)
+    build_index(_pages(a), str(tmp_path / "ia"), cfg, resume=False)
+    build_index(_pages(b), str(tmp_path / "ib"), cfg, resume=False)
+    build_index(_pages(a + b), str(tmp_path / "full"), cfg, resume=False)
+    res = merge_indexes([str(tmp_path / "ia"), str(tmp_path / "ib")],
+                        str(tmp_path / "merged"))
+    assert res["n_docs"] == 80
+    got = _seg_bytes(str(tmp_path / "merged"))
+    want = _seg_bytes(str(tmp_path / "full"))
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k], f"{k} differs"
+    # global dict equal too (values, not bytes — different aggregate paths)
+    gd = pq.read_table(str(tmp_path / "merged/global_dict/dict.parquet")) \
+        .to_pandas().sort_values("term").reset_index(drop=True)
+    fd = pq.read_table(str(tmp_path / "full/global_dict/dict.parquet")) \
+        .to_pandas().sort_values("term").reset_index(drop=True)
+    assert gd.equals(fd)
+
+
+def test_merge_last_source_wins(ray_session, tmp_path):
+    cfg = IndexBuildConfig(morphology="simple", num_partitions=2)
+    old = [("http://x.example/a", 1_000_000, "apple banana"),
+           ("http://x.example/b", 2_000_000, "cherry date")]
+    new = [("http://x.example/a", 9_000_000, "fig fig fig")]
+    build_index(_pages(old), str(tmp_path / "old"), cfg, resume=False)
+    build_index(_pages(new), str(tmp_path / "delta"), cfg, resume=False)
+    res = merge_indexes([str(tmp_path / "old"), str(tmp_path / "delta")],
+                        str(tmp_path / "out"))
+    assert res["n_docs"] == 2  # /a deduped, delta version kept
+    # the merged index must equal a fresh build over (b-old, a-new)
+    build_index(_pages([old[1], new[0]]), str(tmp_path / "want"), cfg,
+                resume=False)
+    assert _seg_bytes(str(tmp_path / "out")) == \
+        _seg_bytes(str(tmp_path / "want"))
+
+
+def test_merge_rejects_mixed_configs(ray_session, tmp_path):
+    import pytest
+
+    c1 = IndexBuildConfig(morphology="simple", num_partitions=2)
+    c2 = IndexBuildConfig(morphology="simple", num_partitions=2,
+                          block_size=64)
+    build_index(_pages(_corpus(0, 6)), str(tmp_path / "x"), c1, resume=False)
+    build_index(_pages(_corpus(6, 6)), str(tmp_path / "y"), c2, resume=False)
+    with pytest.raises(ValueError, match="different configs"):
+        merge_indexes([str(tmp_path / "x"), str(tmp_path / "y")],
+                      str(tmp_path / "z"))

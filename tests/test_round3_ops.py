@@ -1,0 +1,248 @@
+"""Round-3 operators: time-range rolling window, rank family, CUBE,
+exact integer k-means, Levenshtein similarity join."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray.data as rd
+
+
+def _events(n=400, keys=7, seed=11):
+    rng = np.random.RandomState(seed)
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.randint(0, keys, n).astype(np.int64),
+        "ts": pd.to_datetime(
+            rng.randint(0, 5000, n) * 1_000_000_000 // 3, unit="ns"),
+        "value": np.round(rng.uniform(-5, 5, n), 3),
+    })
+
+
+def test_rolling_time_agg_matches_duckdb(ray_session):
+    from search_engine_ray.pipelines.windows import rolling_time_agg
+
+    df = _events()
+    out = rolling_time_agg(rd.from_pandas(df), window_sec=120) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    ref = duckdb.sql("""
+        SELECT event_id,
+               (COUNT(*) OVER w)::BIGINT AS win_n,
+               (SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER w)::BIGINT
+                   AS win_cents
+        FROM (SELECT event_id, user_id, value,
+                     epoch_us(ts) // 1000000 AS ts_sec FROM df)
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+                     RANGE BETWEEN 120 PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""").fetchdf()
+    assert out["win_n"].tolist() == ref["win_n"].tolist()
+    assert out["win_cents"].tolist() == ref["win_cents"].tolist()
+
+
+def test_rolling_time_includes_future_peers(ray_session):
+    """RANGE frames include peers AFTER the current row (same ts)."""
+    from search_engine_ray.pipelines.windows import rolling_time_agg
+
+    df = pd.DataFrame({
+        "event_id": np.array([0, 1, 2], np.int64),
+        "user_id": np.zeros(3, np.int64),
+        "ts": pd.to_datetime([1000, 1000, 1000], unit="s"),
+        "value": [1.0, 1.0, 1.0],
+    })
+    out = rolling_time_agg(rd.from_pandas(df), window_sec=10) \
+        .to_pandas()
+    assert out["win_n"].tolist() == [3, 3, 3]
+
+
+def test_rank_features_matches_duckdb(ray_session):
+    from search_engine_ray.pipelines.windows import rank_features
+
+    df = _events(seed=5)
+    # force value ties inside keys so RANK != ROW_NUMBER somewhere
+    df["value"] = np.round(df["value"])
+    out = rank_features(rd.from_pandas(df), ntiles=4) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    ref = duckdb.sql("""
+        SELECT event_id,
+               RANK() OVER v::BIGINT AS rnk,
+               DENSE_RANK() OVER v::BIGINT AS drnk,
+               PERCENT_RANK() OVER v AS pct_rank,
+               CUME_DIST() OVER v AS cume,
+               NTILE(4) OVER (PARTITION BY user_id
+                              ORDER BY value, event_id)::BIGINT AS tile
+        FROM df
+        WINDOW v AS (PARTITION BY user_id ORDER BY value)
+        ORDER BY event_id""").fetchdf()
+    assert (out["rnk"] != out["drnk"]).any()  # ties exist
+    for col in ["rnk", "drnk", "tile"]:
+        assert out[col].tolist() == ref[col].tolist(), col
+    for col in ["pct_rank", "cume"]:
+        assert out[col].tolist() == ref[col].tolist(), col  # bitwise
+
+
+def test_cube_matches_duckdb(ray_session):
+    from search_engine_ray.stages.relational import grouping_sets
+
+    rng = np.random.RandomState(2)
+    df = pd.DataFrame({
+        "a": rng.choice(["x", "y"], 300),
+        "b": rng.choice(["p", "q", "r"], 300),
+        "v": rng.randint(0, 50, 300).astype(np.int64),
+    })
+    out = grouping_sets(rd.from_pandas(df), keys=("a", "b"),
+                        sets=(("a", "b"), ("a",), ("b",), ()),
+                        sum_cols={"sv": "v"}) \
+        .to_pandas().sort_values(["grouping_id", "a", "b"],
+                                 na_position="first") \
+        .reset_index(drop=True)
+    ref = duckdb.sql("""
+        SELECT a, b, GROUPING(a, b)::BIGINT AS grouping_id,
+               SUM(v)::BIGINT AS sv, COUNT(*)::BIGINT AS n_rows
+        FROM df GROUP BY CUBE (a, b)
+        ORDER BY grouping_id, a NULLS FIRST, b NULLS FIRST""").fetchdf()
+    assert len(out) == len(ref)
+    assert out["sv"].tolist() == ref["sv"].tolist()
+    assert out["n_rows"].tolist() == ref["n_rows"].tolist()
+
+
+def _embeddings(n=120, dim=16, seed=3):
+    rng = np.random.RandomState(seed)
+    base = rng.uniform(-0.9, 0.9, (6, dim))
+    vecs = base[rng.randint(0, 6, n)] + rng.uniform(-0.05, 0.05, (n, dim))
+    vecs = np.clip(vecs, -0.999, 0.999).astype(np.float32)
+    return pa.table({
+        "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+        "embedding": pa.array(list(vecs), pa.list_(pa.float32())),
+    })
+
+
+def _kmeans_numpy_ref(tbl, k, iters, scale_bits=20):
+    """Sequential reference of the exact-integer Lloyd spec."""
+    vecs = np.array(tbl["embedding"].to_pylist(), np.float64)
+    q = np.floor((vecs + 1.0) * (1 << scale_bits)).astype(np.int64)
+    cents = q[:k].copy()
+    for _ in range(iters):
+        d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        cid = np.argmin(d, axis=1)
+        new = cents.copy()
+        for c in range(k):
+            sel = cid == c
+            if sel.any():
+                new[c] = q[sel].sum(axis=0) // sel.sum()
+        cents = new
+    d = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cid = np.argmin(d, axis=1)
+    return cid, d[np.arange(len(cid)), cid]
+
+
+def test_kmeans_matches_reference_and_parallelism_invariant(ray_session):
+    from search_engine_ray.stages.clustering import kmeans_assign
+
+    tbl = _embeddings()
+    cid_ref, dist_ref = _kmeans_numpy_ref(tbl, k=5, iters=3)
+    outs = []
+    for nblocks in (1, 7):
+        ds = rd.from_arrow(tbl).repartition(nblocks)
+        out = kmeans_assign(ds, k=5, iters=3) \
+            .to_pandas().sort_values("vec_id").reset_index(drop=True)
+        outs.append(out)
+    for out in outs:
+        assert out["cluster"].tolist() == cid_ref.tolist()
+        assert out["dist_q"].tolist() == dist_ref.tolist()
+    # clusters actually separate the 6 planted modes into 5 groups
+    assert outs[0]["cluster"].nunique() >= 4
+
+
+def test_kmeans_matches_sql_oracle(ray_session, tmp_path):
+    import importlib.util
+
+    from search_engine_ray.stages.clustering import kmeans_assign
+
+    spec = importlib.util.spec_from_file_location(
+        "re3_", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    tbl = _embeddings(n=80, dim=8, seed=9)
+    import pyarrow.parquet as pq
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM "
+                f"'{tmp_path}/embeddings.parquet'")
+    ref = con.execute(m._kmeans_sql(k=4, iters=2, scale_bits=20)) \
+        .fetchdf().sort_values("vec_id").reset_index(drop=True)
+    out = kmeans_assign(rd.from_arrow(tbl), k=4, iters=2) \
+        .to_pandas().sort_values("vec_id").reset_index(drop=True)
+    assert out["cluster"].tolist() == ref["cluster"].tolist()
+    assert out["dist_q"].tolist() == ref["dist_q"].tolist()
+
+
+def _phrase_ref_sql(terms):
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "re4_", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m._phrase_sql(terms)
+
+
+def test_phrase_counts_matches_duckdb(ray_session):
+    from search_engine_ray.pipelines.phrase import phrase_counts
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(8, dtype=np.int64),
+        "text": [
+            "the table hash join",             # 1 match
+            "table, hash! table hash",         # punctuation cleaned: 2
+            "table x123 hash",                 # digit token dropped: adjacent
+            "hash table",                      # wrong order: 0
+            "table\thash\ntable",              # whitespace variants: 1
+            "TABLE HASH",                      # case-folded: 1
+            "a a a",                           # overlap fixture (below)
+            "",                                # empty
+        ],
+    })
+    con = duckdb.connect()
+    con.register("documents", docs)
+    out = phrase_counts(rd.from_pandas(docs), ["table", "hash"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref = con.execute(_phrase_ref_sql(["table", "hash"])).fetchdf() \
+        .sort_values("doc_id").reset_index(drop=True)
+    assert out["doc_id"].tolist() == ref["doc_id"].tolist()
+    assert out["n_matches"].tolist() == ref["n_matches"].tolist()
+    # doc 2: "x123" is dropped by the clean regex, making table/hash adjacent
+    assert 2 in out["doc_id"].tolist()
+    # overlapping occurrences of a repeated-term phrase count individually
+    out2 = phrase_counts(rd.from_pandas(docs), ["a", "a"]) \
+        .to_pandas().sort_values("doc_id").reset_index(drop=True)
+    ref2 = con.execute(_phrase_ref_sql(["a", "a"])).fetchdf()
+    assert out2["n_matches"].tolist() == [2] == ref2["n_matches"].tolist()
+
+
+def test_edit_distance_pairs_matches_duckdb(ray_session):
+    from search_engine_ray.stages.strings import edit_distance_pairs
+
+    rng = np.random.RandomState(4)
+    words = ["kitten", "sitting", "kitchen", "mitten", "fitting",
+             "ветер", "вечер", "велер", "zzz", "zz"]
+    rows = []
+    for i in range(80):
+        w = words[rng.randint(len(words))]
+        if rng.rand() < 0.4:  # mutate a char
+            pos = rng.randint(len(w))
+            w = w[:pos] + chr(97 + rng.randint(26)) + w[pos + 1:]
+        rows.append((i, w + " tail text", ["en", "ru"][rng.randint(2)]))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    out = edit_distance_pairs(rd.from_pandas(df), prefix_len=10,
+                              max_dist=3) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    ref = duckdb.sql("""
+        WITH p AS (SELECT doc_id, lang, substr(text, 1, 10) AS s FROM df)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               levenshtein(a.s, b.s)::BIGINT AS dist
+        FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE levenshtein(a.s, b.s) <= 3
+        ORDER BY id_a, id_b""").fetchdf()
+    assert out["id_a"].tolist() == ref["id_a"].tolist()
+    assert out["id_b"].tolist() == ref["id_b"].tolist()
+    assert out["dist"].tolist() == ref["dist"].tolist()
