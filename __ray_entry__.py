@@ -993,6 +993,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return phrase_counts(docs, ["table", "hash"], morphology="simple")
 
+    def search_phrase_idx(sf_dir):
+        """The same phrase query answered from POSITIONAL POSTINGS: index
+        built once with store_positions=True, then one pruned parquet read
+        per partition (only the phrase terms' rows), AND-intersect +
+        shifted-key position intersection (pipelines/phrase.phrase_search).
+        Must hash-match the streaming search_phrase entry AND the SQL
+        oracle."""
+        import pandas as pd
+
+        from search_engine_ray.pipelines.docqueries import (_src_ids_of,
+                                                            cached_index)
+        from search_engine_ray.pipelines.phrase import phrase_search
+
+        idx = cached_index(sf_dir, store_positions=True)
+        res = phrase_search(idx, ["table", "hash"]).to_pandas()
+        if not len(res):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_matches": pd.Series(dtype="int64")})
+        return pd.DataFrame({
+            "doc_id": _src_ids_of(idx, res["doc_id"].tolist()),
+            "n_matches": res["n_matches"].astype("int64"),
+        })
+
     def similar_docs(sf_dir):
         """Levenshtein similarity self-join over 24-char text prefixes,
         blocked by lang: exact byte-level edit distance (DuckDB
@@ -1250,6 +1273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embed": kmeans_embed,
         "similar_docs": similar_docs,
         "search_phrase": search_phrase,
+        "search_phrase_idx": search_phrase_idx,
         "warc_roundtrip": warc_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
@@ -1810,6 +1834,8 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
     sql["kmeans_embed"] = _kmeans_sql(k=8, iters=3, scale_bits=20)
 
     sql["search_phrase"] = _phrase_sql(["table", "hash"])
+    # the positional-postings path must answer identically
+    sql["search_phrase_idx"] = sql["search_phrase"]
 
     # Byte-level Levenshtein (DuckDB's levenshtein measures UTF-8 bytes);
     # the engine's prefilters are loss-free necessary conditions, so the

@@ -75,6 +75,11 @@ class IndexBuildConfig:
     exchange_dir: str | None = None
     morphology: str = "default"  # "default" (stem+stop) or "simple" (identity)
     store_doc_text: bool = True  # keep extracted text for snippet generation
+    # positional postings: per (doc, term) the 0-based indices into the doc's
+    # kept-token stream, varint-delta-packed next to the tfs — enables phrase
+    # queries (pipelines/phrase.phrase_search).  Off by default: ~doc_len
+    # extra varints per doc through the exchange and into the segments.
+    store_positions: bool = False
     bm25: Bm25Params = field(default_factory=Bm25Params)
 
 

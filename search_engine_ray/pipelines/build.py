@@ -69,7 +69,9 @@ def _config_hash(cfg: IndexBuildConfig, num_partitions: int) -> str:
     # rebuild rather than resume (build_index invalidates mismatched parts).
     payload = json.dumps(
         {"p": num_partitions, "block": cfg.block_size, "morph": cfg.morphology,
-         "text": cfg.store_doc_text, "hashv": 2}, sort_keys=True)
+         "text": cfg.store_doc_text, "hashv": 2,
+         # only present when on, so round-2 indexes keep their hashes
+         **({"pos": True} if cfg.store_positions else {})}, sort_keys=True)
     return hashlib.blake2b(payload.encode(), digest_size=8).hexdigest()
 
 
@@ -204,7 +206,9 @@ def build_index(
                             batch_size=cfg.extract_batch_size)
         ds = ds.map_batches(
             Lemmatizer,
-            fn_constructor_kwargs={"morphology": cfg.morphology, "drop_text": True},
+            fn_constructor_kwargs={"morphology": cfg.morphology,
+                                   "drop_text": True,
+                                   "store_positions": cfg.store_positions},
             batch_format="pyarrow",
             batch_size=cfg.lemmatizer_batch_size,
             concurrency=lem_actors,

@@ -39,12 +39,16 @@ SEARCH_TERMS_1 = ["spark", "query"]
 SEARCH_TERMS_2 = ["hash", "join", "table"]
 
 
-def cached_index(sf_dir: str, morphology: str = "simple") -> str:
+def cached_index(sf_dir: str, morphology: str = "simple",
+                 store_positions: bool = False) -> str:
     """Build (or resume) the documents-derived index; idempotent per sf_dir."""
-    key = hashlib.blake2b(f"{os.path.abspath(sf_dir)}|{morphology}".encode(),
-                          digest_size=8).hexdigest()
+    tag = f"{os.path.abspath(sf_dir)}|{morphology}" \
+          + ("|pos" if store_positions else "")
+    key = hashlib.blake2b(tag.encode(), digest_size=8).hexdigest()
     index_dir = os.path.join(CACHE_ROOT, key)
-    cfg = IndexBuildConfig(morphology=morphology, target_docs_per_partition=2000)
+    cfg = IndexBuildConfig(morphology=morphology,
+                           target_docs_per_partition=2000,
+                           store_positions=store_positions)
     import pyarrow.parquet as pq
 
     n_hint = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows

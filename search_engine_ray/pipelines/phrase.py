@@ -148,6 +148,112 @@ class PhraseCounter:
         })
 
 
+def _decode_term_row(row: dict) -> tuple[np.ndarray, np.ndarray]:
+    """(doc_ids, flat positions) for one positional postings row; positions
+    are delta-decoded per posting (first value absolute — the same layout
+    stages/lemmatize packs and stages/segments concatenates)."""
+    from ..functions.codec import (EncodedPostings, decode_postings,
+                                   varint_decode)
+
+    enc = EncodedPostings(
+        df=row["df"], doc_ids=row["doc_ids"], tfs=row["tfs"],
+        block_last_docid=np.array(row["block_last_docid"], np.int64),
+        block_off_docs=np.array(row["block_off_docs"], np.int64),
+        block_off_tfs=np.array(row["block_off_tfs"], np.int64),
+        block_max_tf=np.array(row["block_max_tf"], np.int32),
+        block_min_dl=np.array(row["block_min_dl"], np.int32),
+        block_first_docid=np.array(row["block_first_docid"], np.int64),
+    )
+    ids, tfs = decode_postings(enc)
+    n_pos = int(tfs.sum())
+    gaps = varint_decode(row["positions"], count=n_pos)
+    starts = np.zeros(len(ids), np.int64)
+    np.cumsum(tfs[:-1], out=starts[1:])
+    cs = np.cumsum(gaps)
+    carry = np.where(starts > 0, cs[starts - 1], 0)
+    pos = cs - np.repeat(carry, tfs)
+    return ids, pos, tfs
+
+
+def _phrase_part(index_dir: str, part_dir: str,
+                 terms: list[str]) -> pa.Table:
+    import os
+
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    empty = pa.table({"doc_id": pa.array([], pa.int64()),
+                      "n_matches": pa.array([], pa.int64())})
+    path = os.path.join(index_dir, part_dir, "postings.parquet")
+    uniq = sorted(set(terms))
+    t = pq.read_table(path, filters=pads.field("term").isin(uniq))
+    if t.num_rows < len(uniq):
+        return empty  # a phrase term is absent from this partition
+    if "positions" not in t.column_names:
+        raise ValueError(
+            "index lacks positional postings — build with "
+            "IndexBuildConfig(store_positions=True)")
+    rows = {r["term"]: r for r in t.to_pylist()}
+    decoded = {term: _decode_term_row(rows[term]) for term in uniq}
+    # AND-intersect the candidate doc set first (rarest term would go first
+    # in a cost-based version; m is tiny).  Candidates give every slot a
+    # SHARED compact rank space so (doc, pos) packs into one int64 key.
+    cand: np.ndarray | None = None
+    for term in uniq:
+        ids = decoded[term][0]
+        cand = ids if cand is None else np.intersect1d(
+            cand, ids, assume_unique=True)
+    if cand is None or not len(cand):
+        return empty
+    # slot j contributes keys cand_rank*2^32 + (pos - j); a phrase start p
+    # in doc d survives iff (d, p) is in EVERY slot's key set
+    inter: np.ndarray | None = None
+    for j, term in enumerate(terms):
+        ids, pos, tfs = decoded[term]
+        doc_of = np.repeat(ids, tfs)
+        ridx = np.searchsorted(cand, doc_of)
+        ridx[ridx >= len(cand)] = 0
+        keep = (cand[ridx] == doc_of) & (pos >= j)
+        keys = (ridx[keep] << np.int64(32)) | (pos[keep] - j)
+        keys.sort()
+        inter = keys if inter is None else np.intersect1d(
+            inter, keys, assume_unique=True)
+        if not len(inter):
+            return empty
+    ranks = (inter >> np.int64(32)).astype(np.int64)
+    uniq_ranks, counts = np.unique(ranks, return_counts=True)
+    return pa.table({
+        "doc_id": pa.array(cand[uniq_ranks], pa.int64()),
+        "n_matches": pa.array(counts.astype(np.int64), pa.int64()),
+    })
+
+
+def phrase_search(index_dir: str, phrase: list[str] | str, *,
+                  morphology: str = "simple") -> rd.Dataset:
+    """Index-backed phrase query over positional postings (one Ray task per
+    partition; parts hold disjoint documents, so results just concatenate).
+    ``morphology`` must match the index build's.  Each task reads ONLY the
+    phrase terms' rows (parquet row-group pruning on the term-sorted
+    segment), so cost is O(sum df of the phrase terms), not corpus size."""
+    import glob
+    import os
+
+    terms = normalize_phrase(phrase, morphology)
+    if not terms:
+        raise ValueError("phrase normalizes to no terms")
+    parts = sorted(os.path.basename(p) for p in
+                   glob.glob(os.path.join(index_dir, "part=*")))
+
+    def run(batch: pa.Table) -> pa.Table:
+        outs = [_phrase_part(index_dir, p, terms)
+                for p in batch["part_dir"].to_pylist()]
+        return pa.concat_tables(outs)
+
+    return rd.from_arrow(pa.table({"part_dir": pa.array(parts)})) \
+        .repartition(max(1, len(parts))) \
+        .map_batches(run, batch_format="pyarrow")
+
+
 def phrase_counts(docs: rd.Dataset, phrase: list[str] | str, *,
                   morphology: str = "simple", text_column: str = "text",
                   id_column: str = "doc_id",

@@ -40,10 +40,12 @@ class Lemmatizer:
     """
 
     def __init__(self, morphology: str = "default", text_column: str = "text_x",
-                 drop_text: bool = False) -> None:
+                 drop_text: bool = False,
+                 store_positions: bool = False) -> None:
         self.morph = get_morphology(morphology)
         self.text_column = text_column
         self.drop_text = drop_text
+        self.store_positions = store_positions
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         n_docs = batch.num_rows
@@ -124,7 +126,54 @@ class Lemmatizer:
         out = out.append_column("terms", terms_list)
         out = out.append_column("tfs", tfs_list)
         out = out.append_column("doc_len", pa.array(doc_len, pa.int32()))
+        if self.store_positions:
+            out = out.append_column(
+                "poss", self._positions_list(doc_idx, tid[keep], v, offsets,
+                                             n_docs))
         return out
+
+    @staticmethod
+    def _positions_list(doc_idx: np.ndarray, tid_kept: np.ndarray, v: int,
+                        offsets: np.ndarray, n_docs: int) -> pa.ListArray:
+        """``poss: list<binary>`` aligned with ``terms``: per (doc, term) the
+        0-based positions in the doc's kept-token stream, delta-encoded
+        (first value absolute) and varint-packed.
+
+        Fully vectorized: positions come from one bincount/cumsum, the
+        (doc, term) grouping from one stable argsort over the same combined
+        key ``np.unique`` sorts by (so group order matches ``terms``), and
+        the whole batch's varints are encoded in ONE call — the per-group
+        binary values are zero-copy slices of that single buffer via a
+        ``BinaryArray.from_buffers`` offsets vector.
+        """
+        from ..functions.codec import varint_encode_with_lengths
+
+        n_kept = len(doc_idx)
+        kcounts = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+        kstarts = np.zeros(n_docs, np.int64)
+        np.cumsum(kcounts[:-1], out=kstarts[1:])
+        pos = np.arange(n_kept, dtype=np.int64) - kstarts[doc_idx]
+        key = doc_idx * v + tid_kept
+        order = np.argsort(key, kind="stable")  # within group: pos ascending
+        skey = key[order]
+        spos = pos[order]
+        gstarts = np.concatenate(([0], np.flatnonzero(np.diff(skey)) + 1)) \
+            if n_kept else np.empty(0, np.int64)
+        gaps = spos.copy()
+        if n_kept:
+            gaps[1:] -= spos[:-1]
+            gaps[gstarts] = spos[gstarts]
+        buf, lens_b = varint_encode_with_lengths(gaps)
+        cum = np.concatenate(([0], np.cumsum(lens_b)))
+        byte_offsets = np.concatenate(
+            (cum[gstarts], [cum[-1]])).astype(np.int32)
+        n_groups = len(gstarts)
+        bin_arr = pa.BinaryArray.from_buffers(
+            pa.binary(), n_groups,
+            [None, pa.py_buffer(byte_offsets.tobytes()),
+             pa.py_buffer(bytes(buf))])
+        return pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()).cast(pa.int32()), bin_arr)
 
 
 def lemmas_of_query(query: str, morphology: str = "default") -> list[str]:

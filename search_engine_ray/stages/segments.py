@@ -210,7 +210,8 @@ def commit_empty_part(index_dir: str, part: int, cfg: IndexBuildConfig,
         ("block_max_tf", pa.list_(pa.int32())),
         ("block_min_dl", pa.list_(pa.int32())),
         ("block_first_docid", pa.list_(pa.int64())),
-    ])
+    ] + ([("positions", pa.binary()), ("block_off_pos", pa.list_(pa.int64()))]
+         if cfg.store_positions else []))
     dict_schema = pa.schema([("site", pa.string()), ("term", pa.string()),
                              ("df", pa.int64())])
     final_dir = os.path.join(index_dir, part_dirname(part))
@@ -291,7 +292,7 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         had_dups = kept.size != n_rows
 
         # doc-level (light) columns of the surviving rows, url-sorted
-        heavy = {"terms", "tfs", "part"}
+        heavy = {"terms", "tfs", "part", "poss"}
         g = group.select([c for c in group.column_names
                           if c not in heavy]).take(pa.array(kept))
 
@@ -333,6 +334,11 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         if isinstance(flat_tfs_arr, pa.ChunkedArray):
             flat_tfs_arr = flat_tfs_arr.combine_chunks()
         flat_tfs = flat_tfs_arr.to_numpy().astype(np.int64)
+        has_pos = "poss" in group.column_names
+        if has_pos:
+            flat_poss = pc.list_flatten(group["poss"])
+            if isinstance(flat_poss, pa.ChunkedArray):
+                flat_poss = flat_poss.combine_chunks()
         # doc id per ORIGINAL row (-1 = dropped duplicate)
         row_doc_id = np.full(n_rows, -1, dtype=np.int64)
         row_doc_id[kept] = doc_ids
@@ -391,6 +397,8 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
             term_idx = term_idx[valid]
             post_rows = post_rows[valid]
             flat_tfs = flat_tfs[valid]
+            if has_pos:
+                flat_poss = flat_poss.filter(pa.array(valid))
 
         # postings must be term-grouped with doc_ids ascending inside each
         # term: doc_id = part_base + rank with rank < n_docs, so the pair
@@ -407,6 +415,21 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         tfs_sorted = flat_tfs[sort_ix]
         rows_sorted = post_rows[sort_ix]
         dls_sorted = dl_all[rows_sorted]
+        if has_pos:
+            # one materializing take lays every posting's packed positions
+            # contiguously in sort order: each term's positions blob is then
+            # ONE buffer slice, block offsets one gather — no per-posting
+            # python work anywhere
+            poss_sorted = flat_poss.take(pa.array(sort_ix, pa.int64()))
+            if isinstance(poss_sorted, pa.ChunkedArray):
+                poss_sorted = poss_sorted.combine_chunks()
+            pos_values = poss_sorted.buffers()[2] or b""
+            if len(sort_ix):
+                pos_offs = np.frombuffer(poss_sorted.buffers()[1], np.int32,
+                                         count=len(sort_ix) + 1) \
+                    .astype(np.int64)
+            else:
+                pos_offs = np.zeros(1, np.int64)
 
         boundaries = np.flatnonzero(np.diff(term_sorted)) + 1
         starts = np.concatenate(([0], boundaries))
@@ -416,11 +439,17 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         rows_term, rows_df = [], []
         rows_docids, rows_tfs = [], []
         rows_blast, rows_boffd, rows_bofft, rows_bmaxtf, rows_bmindl, rows_bfirst = [], [], [], [], [], []
+        rows_pos, rows_boffp = [], []
         bytes_postings = 0
         for s, e in zip(starts, ends):
             tix = term_sorted[s] if term_sorted.size else 0
             enc = encode_postings(docs_sorted[s:e], tfs_sorted[s:e], dls_sorted[s:e],
                                   block_size=cfg.block_size)
+            if has_pos:
+                rows_pos.append(bytes(pos_values[pos_offs[s]:pos_offs[e]]))
+                blk = np.arange(0, e - s, cfg.block_size, dtype=np.int64)
+                rows_boffp.append((pos_offs[s + blk] - pos_offs[s]).tolist())
+                bytes_postings += len(rows_pos[-1])
             rows_term.append(term_dict[int(tix)])
             rows_df.append(enc.df)
             rows_docids.append(enc.doc_ids)
@@ -445,6 +474,10 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
                 "block_max_tf": pa.array(rows_bmaxtf, pa.list_(pa.int32())),
                 "block_min_dl": pa.array(rows_bmindl, pa.list_(pa.int32())),
                 "block_first_docid": pa.array(rows_bfirst, pa.list_(pa.int64())),
+                **({"positions": pa.array(rows_pos, pa.binary()),
+                    "block_off_pos": pa.array(rows_boffp,
+                                              pa.list_(pa.int64()))}
+                   if has_pos else {}),
             }
         )
 
@@ -489,7 +522,8 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
         # user passthrough columns (e.g. an upstream id) ride along into the
         # doc metadata — the engine's extension surface for per-doc payloads
         known = {"url", "warc_ts", "html", "part", "site", "path", "title",
-                 "doc_len", "terms", "tfs", "text_x", "whole_text", "text", "lang"}
+                 "doc_len", "terms", "tfs", "poss", "text_x", "whole_text",
+                 "text", "lang"}
         for name in g.column_names:
             if name not in known and name not in docs_cols:
                 docs_cols[name] = g[name]
