@@ -305,6 +305,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def image_meta_jpeg(sf_dir):
         return dq.q_image_meta_jpeg(sf_dir)
 
+    def image_dhash(sf_dir):
+        """Perceptual image fingerprint (dHash) over REAL decoded pixels:
+        gradient-fill PNGs (pixel(x,y) = (3x+7y+doc_id) mod 256, dims from
+        doc_id arithmetic) go through the stdlib PNG codec and the frozen
+        9x8 nearest-sample dHash spec; the SQL oracle replays the pixel
+        formula + integer grid literal-for-literal, so a wrong decode,
+        wrong sample grid, or wrong bit order all hash-mismatch."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.functions.png import encode_png
+        from search_engine_ray.stages.multimodal import DHashImage
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+
+        def attach(batch: pa.Table) -> pa.Table:
+            payloads = []
+            for did in batch["doc_id"].to_pylist():
+                w, h = 8 + did % 24, 8 + (5 * did) % 24
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                px = ((3 * x[None, :] + 7 * y[:, None] + did) % 256) \
+                    .astype(np.uint8)
+                payloads.append(encode_png(px))
+            return batch.append_column("payload",
+                                       pa.array(payloads, pa.binary()))
+
+        return ds.map_batches(attach, batch_format="pyarrow",
+                              batch_size=256) \
+            .map_batches(DHashImage, fn_constructor_kwargs={"decoder": "png"},
+                         batch_format="pyarrow", batch_size=256,
+                         concurrency=(1, 4), num_cpus=1)
+
     def lang_distribution(sf_dir):
         import ray.data as rd
         from ray.data.aggregate import Count
@@ -635,6 +670,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             how="inner", num_partitions=8).select_columns(
             ["o_orderkey", "o_custkey", "c_name", "c_mktsegment",
              "o_totalprice"])
+
+    def customer_orders_skew(sf_dir):
+        """The same join answered by the skew-aware plan: the orders-side
+        key histogram classifies hot custkeys (threshold forced low here so
+        BOTH paths run at sf scale), hot keys take the broadcast path (big
+        side streams, no exchange), cold keys take the shuffle join — must
+        hash-match the plain customer_orders oracle exactly."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import skew_salted_join
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"])
+        return skew_salted_join(
+            orders, cust, big_key="o_custkey", dim_key="c_custkey",
+            hot_threshold=12, num_partitions=8,
+            select=["o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+                    "o_totalprice"])
 
     def customers_no_urgent(sf_dir):
         import ray.data as rd
@@ -1228,6 +1285,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta": image_meta,
         "image_meta_png": image_meta_png,
         "image_meta_jpeg": image_meta_jpeg,
+        "image_dhash": image_dhash,
         "site_stats": site_stats,
         "lang_distribution": lang_distribution,
         "langid_simple": langid_simple,
@@ -1246,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_lineitems_bloom": urgent_lineitems_bloom,
         "events_range_join": events_range_join,
         "customer_orders": customer_orders,
+        "customer_orders_skew": customer_orders_skew,
         "customers_no_urgent": customers_no_urgent,
         "pii_scrub": pii_scrub,
         "line_dedup": line_dedup,
@@ -1400,6 +1459,32 @@ SELECT d.source AS source,
        COUNT(DISTINCT tf.term)::BIGINT AS n_terms
 FROM documents d LEFT JOIN tf ON tf.doc_id = d.doc_id
 GROUP BY d.source
+"""
+
+    # dHash over decoded gradient PNGs: the oracle replays the pixel
+    # formula (3x+7y+doc_id mod 256) and the frozen 9x8 integer sample
+    # grid, so it checks DECODED PIXEL CONTENT and the exact bit layout
+    sql["image_dhash"] = """
+WITH d AS (
+    SELECT doc_id, (8 + doc_id % 24)::BIGINT AS w,
+           (8 + (5 * doc_id) % 24)::BIGINT AS h
+    FROM documents
+),
+b AS (
+    SELECT d.doc_id, j.j, i.i,
+           CASE WHEN (3 * (((i.i + 1) * d.w) // 9) + 7 * ((j.j * d.h) // 8)
+                      + d.doc_id) % 256
+                   > (3 * ((i.i * d.w) // 9) + 7 * ((j.j * d.h) // 8)
+                      + d.doc_id) % 256
+                THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+    FROM d, range(8) j(j), range(8) i(i)
+)
+SELECT doc_id,
+       SUM(CASE WHEN j >= 4 THEN bit << ((j - 4) * 8 + i) ELSE 0 END)::BIGINT
+           AS dhash_hi,
+       SUM(CASE WHEN j < 4 THEN bit << (j * 8 + i) ELSE 0 END)::BIGINT
+           AS dhash_lo
+FROM b GROUP BY doc_id
 """
 
     sql["lang_distribution"] = \
@@ -1575,6 +1660,9 @@ FROM lineitem GROUP BY l_returnflag, l_linestatus
 SELECT o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment, o.o_totalprice
 FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 """
+
+    # the skew-aware plan must produce exactly the plain join's rows
+    sql["customer_orders_skew"] = sql["customer_orders"]
 
     sql["customers_no_urgent"] = """
 SELECT c.c_custkey, c.c_name, c.c_acctbal

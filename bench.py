@@ -160,6 +160,10 @@ HEADLINE = [
     "custkeys_negative_balance", "urgent_lineitems_bloom", "image_meta_png",
     "image_meta_jpeg", "events_rolling", "events_funnel",
     "tfidf_topk", "sample_weighted", "user_event_pivot", "user_top_event",
+    # round-3 operators
+    "events_rolling_time", "events_rank", "lineitem_cube", "kmeans_embed",
+    "similar_docs", "search_phrase", "search_phrase_idx", "warc_roundtrip",
+    "customer_orders_skew", "image_dhash",
 ]
 
 

@@ -94,6 +94,59 @@ class DecodeImage:
         return out
 
 
+class DHashImage:
+    """Actor-pool stage: image payload -> 64-bit difference hash (dHash),
+    the standard cheap perceptual fingerprint for image NEAR-dup detection
+    (near-identical images differ in a few bits; exact dups collide).
+
+    Frozen spec (mirrored literal-for-literal by the SQL oracle, so it is
+    exactly reproducible anywhere):
+
+    * gray plane = channel 0 of the decoded 8-bit image;
+    * a 9x8 sample grid by integer floor division —
+      ``x_i = (i*W)//9`` (i=0..8), ``y_j = (j*H)//8`` (j=0..7);
+    * ``bit(j,i) = gray[y_j, x_{i+1}] > gray[y_j, x_i]`` (i=0..7);
+    * bit index ``b = j*8 + i``; returned as two int64 halves
+      (``dhash_lo`` bits 0-31, ``dhash_hi`` bits 32-63) to stay inside
+      signed-64 arithmetic in every engine.
+
+    Nearest-neighbor sampling (not area averaging) keeps the spec integer-
+    exact; it is the dHash variant used when decode bandwidth dominates.
+    """
+
+    def __init__(self, decoder: str = "png", payload_col: str = "payload"):
+        self.payload_col = payload_col
+        if decoder == "png":
+            from ..functions.png import decode_png
+            self._decode = decode_png
+        elif decoder == "jpeg":
+            from ..functions.jpeg import decode_jpeg
+            self._decode = decode_jpeg
+        else:
+            raise ValueError(f"DHashImage needs a real decoder, got {decoder!r}")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        his, los = [], []
+        for payload in batch[self.payload_col].to_pylist():
+            arr = self._decode(payload)
+            h, w = arr.shape[:2]
+            gray = arr[:, :, 0].astype(np.int64)
+            xs = (np.arange(9, dtype=np.int64) * w) // 9
+            ys = (np.arange(8, dtype=np.int64) * h) // 8
+            g = gray[np.ix_(ys, xs)]
+            bits = (g[:, 1:] > g[:, :-1])
+            lo = int((bits[:4].ravel().astype(np.int64)
+                      << np.arange(32, dtype=np.int64)).sum())
+            hi = int((bits[4:].ravel().astype(np.int64)
+                      << np.arange(32, dtype=np.int64)).sum())
+            los.append(lo)
+            his.append(hi)
+        out = batch.drop_columns([self.payload_col])
+        out = out.append_column("dhash_hi", pa.array(his, pa.int64()))
+        out = out.append_column("dhash_lo", pa.array(los, pa.int64()))
+        return out
+
+
 _VMAGIC = b"FVID"
 _VHEADER = struct.Struct("<4sIIII")  # magic, n_frames, width, height, channels
 

@@ -159,6 +159,101 @@ def shuffle_hash_join(left: rd.Dataset, right: rd.Dataset, *,
                      on=tuple(on), right_on=tuple(right_on) if right_on else None)
 
 
+def skew_salted_join(big: rd.Dataset, dim: rd.Dataset, *, big_key: str,
+                     dim_key: str, hot_threshold: int = 100_000,
+                     max_hot: int = 65_536, how: str = "inner",
+                     num_partitions: int | None = None,
+                     select: list[str] | None = None) -> rd.Dataset:
+    """Skew-aware big x dimension join: HOT keys bypass the shuffle.
+
+    The classic AQE skew-join move: a hash-partitioned join sends every
+    row of a hot key to ONE aggregator (``shuffle_hash_join``'s documented
+    weakness), so a zipfian big side stalls on its head keys.  Here the
+    big side's key histogram is measured first (per-block pyarrow
+    ``group_by`` partials -> one vocabulary-scale groupby — only (key,
+    count) rows ever shuffle); keys with ``count >= hot_threshold`` are
+    declared hot (guarded by ``max_hot``, the broadcastable bound), the
+    dimension rows for hot keys broadcast once via ``broadcast_hash_join``
+    (the big side STREAMS — no exchange at all for the skewed mass), and
+    only the cold remainder goes through the ordinary shuffle join.  The
+    union is exactly the plain join's rows (pytest + driver-oracle checked
+    with a threshold low enough to force both paths).
+
+    ``dim`` must be unique on ``dim_key`` (a dimension table — the same
+    contract as ``broadcast_hash_join``).  ``how``: inner or left.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("skew_salted_join supports how = inner | left")
+    from ray.data.aggregate import Sum
+
+    def key_counts(batch: pa.Table) -> pa.Table:
+        res = batch.select([big_key]).group_by(big_key) \
+            .aggregate([([], "count_all")])
+        return pa.table({big_key: res[big_key],
+                         "n": res["count_all"].cast(pa.int64())})
+
+    hist = big.map_batches(key_counts, batch_format="pyarrow") \
+        .groupby(big_key).aggregate(Sum("n", alias_name="n"))
+
+    def pick_hot(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as _pc
+
+        return batch.filter(_pc.greater_equal(batch["n"], hot_threshold)) \
+            .select([big_key])
+
+    hot_rows = hist.map_batches(pick_hot, batch_format="pyarrow").take_all()
+    if len(hot_rows) > max_hot:
+        raise ValueError(
+            f"skew_salted_join: {len(hot_rows)} hot keys exceed max_hot="
+            f"{max_hot}; raise hot_threshold or max_hot")
+    hot = np.sort(np.array([r[big_key] for r in hot_rows], np.int64))
+
+    if select is None:
+        sel_cols = None
+    else:
+        sel_cols = list(select)
+
+    def is_hot(batch: pa.Table, invert: bool = False) -> pa.Table:
+        k = batch[big_key].to_numpy(zero_copy_only=False)
+        if not hot.size:
+            m = np.zeros(len(k), bool)
+        else:
+            pos = np.clip(np.searchsorted(hot, k), 0, hot.size - 1)
+            m = hot[pos] == k
+        return batch.filter(pa.array(~m if invert else m))
+
+    import functools
+
+    cold_big = big.map_batches(functools.partial(is_hot, invert=True),
+                               batch_format="pyarrow")
+    cold = shuffle_hash_join(cold_big, dim, on=(big_key,),
+                             right_on=(dim_key,), how=how,
+                             num_partitions=num_partitions)
+    if not hot.size:
+        return cold if sel_cols is None else cold.select_columns(sel_cols)
+    hot_big = big.map_batches(is_hot, batch_format="pyarrow")
+
+    def dim_hot(batch: pa.Table) -> pa.Table:
+        k = batch[dim_key].to_numpy(zero_copy_only=False)
+        pos = np.clip(np.searchsorted(hot, k), 0, hot.size - 1)
+        return batch.filter(pa.array(hot[pos] == k))
+
+    hot_dim_tbl = pa.concat_tables(
+        ray.get(dim.map_batches(dim_hot, batch_format="pyarrow")
+                .to_arrow_refs()), promote_options="permissive")
+    if dim_key != big_key:
+        i = hot_dim_tbl.schema.get_field_index(dim_key)
+        hot_dim_tbl = hot_dim_tbl.set_column(
+            i, big_key, hot_dim_tbl.column(dim_key))
+    hot_join = broadcast_hash_join(hot_big, hot_dim_tbl, big_key=big_key,
+                                   small_key=big_key, how=how)
+    if sel_cols is None:
+        sel_cols = sorted(set(cold.schema().names)
+                          & set(hot_join.schema().names))
+    return cold.select_columns(sel_cols) \
+        .union(hot_join.select_columns(sel_cols))
+
+
 def grouped_quantiles(ds: rd.Dataset, *, group_col: str, value_col: str,
                       qs: tuple[float, ...] = (0.5, 0.95, 0.99),
                       count_alias: str = "n") -> rd.Dataset:

@@ -105,6 +105,60 @@ def test_cube_matches_duckdb(ray_session):
     assert out["n_rows"].tolist() == ref["n_rows"].tolist()
 
 
+def _skew_tables(seed=8):
+    rng = np.random.RandomState(seed)
+    n = 4000
+    # zipf-ish: key 1 is very hot, a few warm, long uniform tail
+    keys = np.concatenate([
+        np.full(1500, 1), np.full(300, 2), np.full(200, 3),
+        rng.randint(10, 500, n - 2000)]).astype(np.int64)
+    rng.shuffle(keys)
+    big = pd.DataFrame({"k": keys,
+                        "v": np.arange(n, dtype=np.int64)})
+    dim = pd.DataFrame({"dk": np.arange(0, 480, dtype=np.int64),
+                        "name": [f"n{i}" for i in range(480)]})
+    return big, dim
+
+
+def test_skew_salted_join_matches_plain(ray_session):
+    from search_engine_ray.stages.relational import (shuffle_hash_join,
+                                                     skew_salted_join)
+
+    big, dim = _skew_tables()
+    plain = shuffle_hash_join(rd.from_pandas(big), rd.from_pandas(dim),
+                              on=("k",), right_on=("dk",), how="inner",
+                              num_partitions=4) \
+        .select_columns(["k", "v", "name"]).to_pandas() \
+        .sort_values(["k", "v"]).reset_index(drop=True)
+    skew = skew_salted_join(rd.from_pandas(big), rd.from_pandas(dim),
+                            big_key="k", dim_key="dk", hot_threshold=150,
+                            num_partitions=4, select=["k", "v", "name"]) \
+        .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    assert plain.equals(skew)
+    assert (big["k"] == 1).sum() >= 150  # the hot path actually ran
+
+
+def test_skew_salted_join_left_and_no_hot(ray_session):
+    from search_engine_ray.stages.relational import (shuffle_hash_join,
+                                                     skew_salted_join)
+
+    big, dim = _skew_tables(seed=13)
+    big.loc[:10, "k"] = 9999  # keys missing from dim -> null payload
+    for thresh in (150, 10**9):  # both paths / shuffle-only fallback
+        plain = shuffle_hash_join(rd.from_pandas(big), rd.from_pandas(dim),
+                                  on=("k",), right_on=("dk",), how="left",
+                                  num_partitions=4) \
+            .select_columns(["k", "v", "name"]).to_pandas() \
+            .sort_values(["k", "v"]).reset_index(drop=True)
+        skew = skew_salted_join(rd.from_pandas(big), rd.from_pandas(dim),
+                                big_key="k", dim_key="dk",
+                                hot_threshold=thresh, how="left",
+                                num_partitions=4,
+                                select=["k", "v", "name"]) \
+            .to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+        assert plain.equals(skew), thresh
+
+
 def _embeddings(n=120, dim=16, seed=3):
     rng = np.random.RandomState(seed)
     base = rng.uniform(-0.9, 0.9, (6, dim))
@@ -174,6 +228,35 @@ def test_kmeans_matches_sql_oracle(ray_session, tmp_path):
         .to_pandas().sort_values("vec_id").reset_index(drop=True)
     assert out["cluster"].tolist() == ref["cluster"].tolist()
     assert out["dist_q"].tolist() == ref["dist_q"].tolist()
+
+
+def test_dhash_near_dup_property(ray_session):
+    """dHash is a PERCEPTUAL key: a lightly perturbed image lands within a
+    few bits, an unrelated image far away."""
+    from search_engine_ray.functions.png import encode_png
+    from search_engine_ray.stages.multimodal import DHashImage
+
+    rng = np.random.RandomState(1)
+    base = rng.randint(0, 256, (40, 50), np.uint8)
+    # smooth it so single-pixel noise doesn't flip grid samples
+    base = (base.astype(np.int64) // 4 * 4).astype(np.uint8)
+    near = base.copy()
+    near[0, 0] ^= 1  # off-grid single-pixel tweak
+    far = 255 - base[::-1, ::-1]
+    tbl = pa.table({
+        "img_id": pa.array([0, 1, 2], pa.int64()),
+        "payload": pa.array([encode_png(a) for a in (base, near, far)],
+                            pa.binary()),
+    })
+    out = DHashImage(decoder="png")(tbl).to_pandas()
+
+    def bits(row):
+        return np.unpackbits(np.array(
+            [row.dhash_lo, row.dhash_hi], dtype=np.uint64).view(np.uint8))
+
+    b0, b1, b2 = (bits(out.iloc[i]) for i in range(3))
+    assert (b0 != b1).sum() <= 2
+    assert (b0 != b2).sum() >= 20
 
 
 def _phrase_ref_sql(terms):
