@@ -340,6 +340,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          batch_format="pyarrow", batch_size=256,
                          concurrency=(1, 4), num_cpus=1)
 
+    def audio_features(sf_dir):
+        """REAL WAV decode (stdlib RIFF PCM16) + integer-exact signal
+        features: synthetic deterministic waveforms (sample i =
+        ((i*k + doc_id) mod 4001) - 2000, k and length from doc_id
+        arithmetic) are written as real WAV bytes, decoded back by the
+        DecodeAudio actor pool, and the SQL oracle replays the formula —
+        wrong decode, channel handling, or sign rule all mismatch."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.stages.multimodal import (DecodeAudio,
+                                                         encode_wav)
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+
+        def attach(batch: pa.Table) -> pa.Table:
+            payloads = []
+            for did in batch["doc_id"].to_pylist():
+                n = 800 + (did % 50) * 16
+                k = 3 + did % 5
+                i = np.arange(n, dtype=np.int64)
+                s = ((i * k + did) % 4001 - 2000).astype(np.int16)
+                payloads.append(encode_wav(s, rate=8000))
+            return batch.append_column("payload",
+                                       pa.array(payloads, pa.binary()))
+
+        return ds.map_batches(attach, batch_format="pyarrow",
+                              batch_size=256) \
+            .map_batches(DecodeAudio, fn_constructor_kwargs={"decoder": "wav"},
+                         batch_format="pyarrow", batch_size=256,
+                         concurrency=(1, 4), num_cpus=1)
+
     def lang_distribution(sf_dir):
         import ray.data as rd
         from ray.data.aggregate import Count
@@ -1286,6 +1320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_png": image_meta_png,
         "image_meta_jpeg": image_meta_jpeg,
         "image_dhash": image_dhash,
+        "audio_features": audio_features,
         "site_stats": site_stats,
         "lang_distribution": lang_distribution,
         "langid_simple": langid_simple,
@@ -1485,6 +1520,35 @@ SELECT doc_id,
        SUM(CASE WHEN j < 4 THEN bit << (j * 8 + i) ELSE 0 END)::BIGINT
            AS dhash_lo
 FROM b GROUP BY doc_id
+"""
+
+    # WAV round trip: the oracle recomputes the synthetic waveform's
+    # features from the formula; note DuckDB % keeps C truncation semantics
+    # but (i*k + doc_id) is nonnegative, so % == mod here
+    sql["audio_features"] = """
+WITH d AS (
+    SELECT doc_id, (800 + (doc_id % 50) * 16)::BIGINT AS n,
+           (3 + doc_id % 5)::BIGINT AS k
+    FROM documents
+),
+s AS (
+    SELECT d.doc_id, i.i, d.n,
+           ((i.i * d.k + d.doc_id) % 4001 - 2000)::BIGINT AS v
+    FROM d, range(1600) i(i) WHERE i.i < d.n
+),
+w AS (
+    SELECT doc_id, i, n, v,
+           LAG(v) OVER (PARTITION BY doc_id ORDER BY i) AS pv
+    FROM s
+)
+SELECT doc_id,
+       MAX(n) AS n_samples,
+       8000::BIGINT AS sample_rate,
+       (MAX(n) * 1000 // 8000)::BIGINT AS duration_ms,
+       SUM(v * v)::BIGINT AS sum_sq,
+       SUM(CASE WHEN pv IS NOT NULL AND ((v >= 0) != (pv >= 0))
+                THEN 1 ELSE 0 END)::BIGINT AS zero_cross
+FROM w GROUP BY doc_id
 """
 
     sql["lang_distribution"] = \

@@ -163,7 +163,7 @@ HEADLINE = [
     # round-3 operators
     "events_rolling_time", "events_rank", "lineitem_cube", "kmeans_embed",
     "similar_docs", "search_phrase", "search_phrase_idx", "warc_roundtrip",
-    "customer_orders_skew", "image_dhash",
+    "customer_orders_skew", "image_dhash", "audio_features",
 ]
 
 

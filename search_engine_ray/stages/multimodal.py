@@ -147,6 +147,74 @@ class DHashImage:
         return out
 
 
+class DecodeAudio:
+    """Actor-pool stage: audio payload -> integer-exact signal features.
+
+    ``decoder="wav"`` is a REAL codec (stdlib ``wave``, RIFF PCM16) — the
+    audio analogue of the PNG/JPEG upgrade: mp3/flac/ogg stay a documented
+    ``NotImplementedError`` seam (no external audio libs in this
+    environment).  Emitted features are chosen to be integer-exact so a
+    SQL oracle can replay them from a synthetic waveform formula:
+
+    * ``n_samples`` / ``sample_rate`` / ``duration_ms`` (= n*1000 // rate),
+    * ``sum_sq`` — int64 sum of channel-0 squared samples (energy; RMS is
+      ``sqrt(sum_sq/n)`` downstream, kept integer here for exactness),
+    * ``zero_cross`` — count of sign boundaries ``(s[i] >= 0) != (s[i-1]
+      >= 0)`` (the classic cheap voicing/noise discriminator).
+    """
+
+    def __init__(self, decoder: str = "wav", payload_col: str = "payload"):
+        self.payload_col = payload_col
+        if decoder != "wav":
+            raise NotImplementedError(
+                "mp3/flac/ogg decoding needs external codecs not present "
+                "here — use decoder='wav' (stdlib RIFF PCM16)")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        ns, rates, durs, sums, zcs = [], [], [], [], []
+        for payload in batch[self.payload_col].to_pylist():
+            with wave.open(io.BytesIO(payload)) as w:
+                rate = w.getframerate()
+                n = w.getnframes()
+                ch = w.getnchannels()
+                if w.getsampwidth() != 2:
+                    raise ValueError("DecodeAudio expects PCM16")
+                raw = w.readframes(n)
+            s = np.frombuffer(raw, "<i2")
+            if ch > 1:
+                s = s[::ch]  # channel 0 — mirrors DHashImage's gray plane
+            s64 = s.astype(np.int64)
+            ns.append(int(len(s)))
+            rates.append(int(rate))
+            durs.append(int(len(s)) * 1000 // int(rate))
+            sums.append(int((s64 * s64).sum()))
+            zcs.append(int(((s[1:] >= 0) != (s[:-1] >= 0)).sum()))
+        out = batch.drop_columns([self.payload_col])
+        out = out.append_column("n_samples", pa.array(ns, pa.int64()))
+        out = out.append_column("sample_rate", pa.array(rates, pa.int64()))
+        out = out.append_column("duration_ms", pa.array(durs, pa.int64()))
+        out = out.append_column("sum_sq", pa.array(sums, pa.int64()))
+        out = out.append_column("zero_cross", pa.array(zcs, pa.int64()))
+        return out
+
+
+def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
+    """int16 mono samples -> RIFF PCM16 WAV bytes (stdlib writer)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(np.ascontiguousarray(samples, "<i2").tobytes())
+    return buf.getvalue()
+
+
 _VMAGIC = b"FVID"
 _VHEADER = struct.Struct("<4sIIII")  # magic, n_frames, width, height, channels
 

@@ -259,6 +259,35 @@ def test_dhash_near_dup_property(ray_session):
     assert (b0 != b2).sum() >= 20
 
 
+def test_decode_audio_wav(ray_session):
+    from search_engine_ray.stages.multimodal import DecodeAudio, encode_wav
+
+    import io
+    import wave
+
+    s = np.array([100, -100, 50, -50, 0, 0, 30], np.int16)
+    mono = encode_wav(s, rate=16000)
+    # stereo: channel 0 must be extracted, channel 1 (noise) ignored
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(16000)
+        inter = np.empty(len(s) * 2, np.int16)
+        inter[0::2] = s
+        inter[1::2] = 9999
+        w.writeframes(inter.tobytes())
+    stereo = buf.getvalue()
+    tbl = pa.table({"aid": pa.array([0, 1], pa.int64()),
+                    "payload": pa.array([mono, stereo], pa.binary())})
+    out = DecodeAudio()(tbl).to_pandas()
+    assert out.n_samples.tolist() == [7, 7]
+    assert out.duration_ms.tolist() == [0, 0]
+    assert out.sum_sq.tolist() == [int((s.astype(np.int64) ** 2).sum())] * 2
+    # crossings: 100/-100, -100/50, 50/-50, -50/0 (0 counts as >= 0)
+    assert out.zero_cross.tolist() == [4, 4]
+
+
 def _phrase_ref_sql(terms):
     import importlib.util
 
