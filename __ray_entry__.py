@@ -1107,6 +1107,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n_matches": res["n_matches"].astype("int64"),
         })
 
+    def doc_cosine_pairs(sf_dir):
+        """Sparse all-pairs cosine similarity over BIGRAM tf vectors
+        (term-partitioned: one groupby(term) emits bounded pair partials +
+        diagonal norms, one groupby(pair) sums; stop n-grams beyond the
+        df cap are part of the frozen spec).  Threshold 2/5; IEEE-ordered
+        float comparison identical in numpy and DuckDB."""
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.phrase import NgramTF
+        from search_engine_ray.stages.dedup import sparse_cosine_pairs
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        tf = docs.map_batches(NgramTF, fn_constructor_kwargs={"n": 2},
+                              batch_format="pyarrow", concurrency=(1, 8))
+        return sparse_cosine_pairs(tf, threshold=(2, 5), max_df=128)
+
     def similar_docs(sf_dir):
         """Levenshtein similarity self-join over 24-char text prefixes,
         blocked by lang: exact byte-level edit distance (DuckDB
@@ -1366,6 +1383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube": lineitem_cube,
         "kmeans_embed": kmeans_embed,
         "similar_docs": similar_docs,
+        "doc_cosine_pairs": doc_cosine_pairs,
         "search_phrase": search_phrase,
         "search_phrase_idx": search_phrase_idx,
         "warc_roundtrip": warc_roundtrip,
@@ -1986,6 +2004,52 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
     sql["kmeans_embed"] = _kmeans_sql(k=8, iters=3, scale_bits=20)
 
     sql["search_phrase"] = _phrase_sql(["table", "hash"])
+
+    # Sparse bigram-tf cosine pairs: the positions CTE self-joins into
+    # bigrams, the df cap is part of the spec, and the threshold test is
+    # the identical IEEE float64 expression the engine evaluates
+    sql["doc_cosine_pairs"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_extract(tok, '{TOKEN_RE_SQL}', 1) AS term,
+           ord
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '{_SPLIT_SQL}'))
+                     AS tok,
+                 generate_subscripts(
+                     string_split_regex(lower(text), '{_SPLIT_SQL}'), 1)
+                     AS ord
+          FROM documents)
+),
+pos AS (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS p
+    FROM toks WHERE term <> ''
+),
+big AS (
+    SELECT p0.doc_id, p0.term || ' ' || p1.term AS term
+    FROM pos p0 JOIN pos p1 ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1
+),
+tfb AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM big
+        GROUP BY doc_id, term),
+df AS (SELECT term, COUNT(*) AS n FROM tfb GROUP BY term),
+tf2 AS (SELECT tfb.* FROM tfb JOIN df USING (term) WHERE df.n <= 128),
+norms AS (SELECT doc_id, SUM(tf * tf)::BIGINT AS normsq FROM tf2
+          GROUP BY doc_id),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           SUM(a.tf * b.tf)::BIGINT AS numer
+    FROM tf2 a JOIN tf2 b ON a.term = b.term AND a.doc_id < b.doc_id
+    GROUP BY id_a, id_b
+)
+SELECT p.id_a, p.id_b, p.numer,
+       na.normsq AS normsq_a, nb.normsq AS normsq_b
+FROM pairs p
+JOIN norms na ON na.doc_id = p.id_a
+JOIN norms nb ON nb.doc_id = p.id_b
+WHERE (p.numer::DOUBLE * p.numer::DOUBLE) * 25.0
+      >= 4.0 * (na.normsq::DOUBLE * nb.normsq::DOUBLE)
+"""
     # the positional-postings path must answer identically
     sql["search_phrase_idx"] = sql["search_phrase"]
 

@@ -38,7 +38,8 @@ import ray.data as rd
 from ..functions.morphology import get_morphology
 from ..functions.tokenize import SPLIT_RE, TOKEN_RE, clean_token
 
-__all__ = ["PhraseCounter", "phrase_counts", "normalize_phrase"]
+__all__ = ["PhraseCounter", "NgramTF", "phrase_counts", "phrase_search",
+           "normalize_phrase"]
 
 
 def normalize_phrase(phrase: list[str] | str,
@@ -58,6 +59,105 @@ def normalize_phrase(phrase: list[str] | str,
         if t:
             out.append(t)
     return out
+
+
+class NgramTF:
+    """Callable-class stage: per-doc word n-gram term frequencies —
+    ``(id, term, tf)`` rows where ``term`` is the space-joined n-gram of
+    KEPT tokens (the same cleaned/normalized stream every other stage
+    consumes, so the SQL mirror is the positions CTE self-joined n-1
+    times).  The tf base layer for n-gram-vector similarity
+    (``stages/dedup.sparse_cosine_pairs``).
+
+    Vectorized like :class:`PhraseCounter`: Arrow tokenize kernels, then
+    the n-gram keys pack as base-V integers over the batch vocabulary and
+    count with one ``np.unique`` — n-gram STRINGS are materialized only
+    for the batch's distinct keys."""
+
+    def __init__(self, n: int = 2, morphology: str = "simple",
+                 text_column: str = "text", id_column: str = "doc_id"):
+        self.n = int(n)
+        if self.n < 1:
+            raise ValueError("n >= 1")
+        self.morph = get_morphology(morphology)
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        out_schema = pa.schema([(self.id_column, pa.int64()),
+                                ("term", pa.string()),
+                                ("tf", pa.int64())])
+        if not n_docs:
+            return out_schema.empty_table()
+        texts = batch[self.text_column]
+        if isinstance(texts, pa.ChunkedArray):
+            texts = texts.combine_chunks()
+        lower = pc.utf8_lower(texts)
+        toks = pc.ascii_split_whitespace(lower)
+        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy() \
+            .astype(np.int64)
+        flat = pc.list_flatten(toks)
+        simple = pc.match_substring_regex(flat, r"^[а-яёa-z]+$")
+        rest = pc.invert(simple)
+        if pc.any(rest).as_py():
+            rest_words = pc.struct_field(
+                pc.extract_regex(flat.filter(rest), pattern=TOKEN_RE.pattern),
+                "word")
+            words = pc.replace_with_mask(flat, rest, rest_words)
+        else:
+            words = flat
+        enc = words.dictionary_encode()
+        if isinstance(enc, pa.ChunkedArray):
+            enc = enc.combine_chunks()
+        surface = enc.dictionary.to_pylist()
+        normal = self.morph.normal_word
+        normed = [normal(s) for s in surface]
+        vocab = sorted({t for t in normed if t})
+        vid = {t: i for i, t in enumerate(vocab)}
+        dict_to_vid = np.array([vid.get(t, -1) for t in normed], np.int64) \
+            if normed else np.empty(0, np.int64)
+        idx = enc.indices.to_numpy(zero_copy_only=False)
+        valid = ~np.isnan(idx) if idx.dtype.kind == "f" \
+            else np.ones(len(idx), bool)
+        didx = np.where(valid, idx, 0).astype(np.int64)
+        tid = np.where(valid, dict_to_vid[didx] if len(dict_to_vid) else -1,
+                       -1)
+        keep = tid >= 0
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[keep]
+        tid = tid[keep]
+        n = self.n
+        m = len(tid)
+        if m < n:
+            return out_schema.empty_table()
+        V = np.int64(max(1, len(vocab)))
+        w = m - n + 1
+        key = tid[:w].copy()
+        for j in range(1, n):
+            key = key * V + tid[j:j + w]
+        same_doc = doc_of[:w] == doc_of[n - 1:]
+        key, gdoc = key[same_doc], doc_of[:w][same_doc]
+        combo = gdoc * (V ** n) + key
+        uk, counts = np.unique(combo, return_counts=True)
+        u_doc = uk // (V ** n)
+        u_key = uk % (V ** n)
+        # build strings only for this batch's distinct n-gram keys
+        distinct_keys, inv = np.unique(u_key, return_inverse=True)
+        parts = []
+        rem = distinct_keys.copy()
+        for _ in range(n):
+            parts.append(rem % V)
+            rem //= V
+        parts.reverse()
+        vocab_arr = np.asarray(vocab, object)
+        strings = [" ".join(vocab_arr[p[i]] for p in parts)
+                   for i in range(len(distinct_keys))]
+        ids = batch[self.id_column].to_numpy(zero_copy_only=False)
+        return pa.table({
+            self.id_column: pa.array(ids[u_doc], pa.int64()),
+            "term": pa.array(np.asarray(strings, object)[inv], pa.string()),
+            "tf": pa.array(counts.astype(np.int64), pa.int64()),
+        })
 
 
 class PhraseCounter:

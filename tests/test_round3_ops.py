@@ -259,6 +259,62 @@ def test_dhash_near_dup_property(ray_session):
     assert (b0 != b2).sum() >= 20
 
 
+def test_sparse_cosine_pairs_matches_duckdb(ray_session):
+    from search_engine_ray.pipelines.phrase import NgramTF
+    from search_engine_ray.stages.dedup import sparse_cosine_pairs
+
+    rng = np.random.RandomState(6)
+    words = ["red", "blue", "green", "apple", "pear", "plum"]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(40, dtype=np.int64),
+        "text": [" ".join(words[w] for w in rng.randint(0, 6, 10))
+                 for _ in range(40)],
+    })
+    docs.loc[1, "text"] = docs.loc[0, "text"]          # exact dup
+    docs.loc[2, "text"] = docs.loc[0, "text"] + " red"  # near dup
+    tf = rd.from_pandas(docs).map_batches(
+        NgramTF, fn_constructor_kwargs={"n": 2}, batch_format="pyarrow",
+        concurrency=(1, 2))
+    ref = duckdb.sql("""
+        WITH pos AS (
+          SELECT doc_id, tok AS term,
+                 row_number() OVER (PARTITION BY doc_id
+                                    ORDER BY ord) - 1 AS p
+          FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+                       generate_subscripts(string_split(text, ' '), 1)
+                           AS ord FROM docs)),
+        big AS (SELECT p0.doc_id, p0.term || ' ' || p1.term AS term
+                FROM pos p0 JOIN pos p1
+                ON p1.doc_id = p0.doc_id AND p1.p = p0.p + 1),
+        tfb AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM big
+                GROUP BY doc_id, term),
+        df AS (SELECT term, COUNT(*) AS n FROM tfb GROUP BY term),
+        tf2 AS (SELECT tfb.* FROM tfb JOIN df USING (term)
+                WHERE df.n <= 16),
+        norms AS (SELECT doc_id, SUM(tf*tf)::BIGINT AS normsq FROM tf2
+                  GROUP BY doc_id),
+        pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         SUM(a.tf*b.tf)::BIGINT AS numer
+                  FROM tf2 a JOIN tf2 b
+                  ON a.term = b.term AND a.doc_id < b.doc_id
+                  GROUP BY id_a, id_b)
+        SELECT p.id_a, p.id_b, p.numer, na.normsq AS normsq_a,
+               nb.normsq AS normsq_b
+        FROM pairs p JOIN norms na ON na.doc_id = p.id_a
+                     JOIN norms nb ON nb.doc_id = p.id_b
+        WHERE (p.numer::DOUBLE * p.numer::DOUBLE) * 4.0
+              >= 1.0 * (na.normsq::DOUBLE * nb.normsq::DOUBLE)
+        ORDER BY id_a, id_b""").fetchdf()
+    for max_bcast in (5_000_000, 1):  # broadcast path, then shuffle path
+        out = sparse_cosine_pairs(tf, threshold=(1, 2), max_df=16,
+                                  max_broadcast_docs=max_bcast) \
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert out["id_a"].tolist() == ref["id_a"].tolist(), max_bcast
+        for col in ["id_b", "numer", "normsq_a", "normsq_b"]:
+            assert out[col].tolist() == ref[col].tolist(), (max_bcast, col)
+    assert {(0, 1), (0, 2)} <= set(zip(ref.id_a, ref.id_b))  # planted dups
+
+
 def test_decode_audio_wav(ray_session):
     from search_engine_ray.stages.multimodal import DecodeAudio, encode_wav
 
