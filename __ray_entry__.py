@@ -1016,6 +1016,93 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["event_id", "ts", "user_id", "value"])
         return rolling_agg(ds, k=4)
 
+    def jsonl_roundtrip(sf_dir):
+        """JSONL source coverage: documents written as line-delimited JSON
+        shards on scratch, read back with ray.data.read_json (file-level
+        parallelism), reshaped; the oracle recomputes the same columns from
+        the parquet directly, so field fidelity (unicode text round-trip
+        included) is value-checked."""
+        import hashlib
+        import json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        d = f"/tmp/serx_jsonl_{tag}"
+        os.makedirs(d, exist_ok=True)
+        rows = sorted(docs.to_pylist(), key=lambda r: r["doc_id"])
+        shard, n_shards = [], 4
+        for i in range(n_shards):
+            with open(f"{d}/part-{i}.jsonl", "w") as f:
+                for r in rows[i::n_shards]:
+                    f.write(json.dumps(r, ensure_ascii=False) + "\n")
+
+        def shape(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "lang": b["lang"],
+                "n_chars_rt": pcm.utf8_length(b["text"]).cast(pa.int64()),
+            })
+
+        return rd.read_json([f"{d}/part-{i}.jsonl"
+                             for i in range(n_shards)]) \
+            .map_batches(shape, batch_format="pyarrow")
+
+    def csv_roundtrip(sf_dir):
+        """CSV source coverage: events written as CSV shards, read back
+        with ray.data.read_csv, aggregated per event_type — value-checked
+        against SQL over the parquet (timestamps ride as epoch micros to
+        keep CSV lossless)."""
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.csv as pacsv
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+
+        import numpy as np
+
+        ev = pq.read_table(f"{sf_dir}/events.parquet",
+                           columns=["event_id", "ts", "event_type", "value"])
+        # ints only in the CSV (epoch micros, floor-cents): lossless by
+        # construction — float text round-trips are not part of this test
+        v = ev["value"].to_numpy(zero_copy_only=False)
+        ev = pa.table({
+            "event_id": ev["event_id"],
+            "ts_us": ev["ts"].cast(pa.int64()),
+            "event_type": ev["event_type"],
+            "cents": pa.array(np.floor(v * 100.0).astype(np.int64)),
+        })
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        d = f"/tmp/serx_csv_{tag}"
+        os.makedirs(d, exist_ok=True)
+        n_shards = 4
+        per = (ev.num_rows + n_shards - 1) // n_shards
+        paths = []
+        for i in range(n_shards):
+            p = f"{d}/part-{i}.csv"
+            pacsv.write_csv(ev.slice(i * per, per), p)
+            paths.append(p)
+
+        def shape(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_type": b["event_type"],
+                "cents": b["cents"].cast(pa.int64()),
+            })
+
+        return rd.read_csv(paths).map_batches(shape, batch_format="pyarrow") \
+            .groupby("event_type").aggregate(
+                Count(alias_name="n_events"),
+                Sum("cents", alias_name="sum_cents"))
+
     def events_rolling_time(sf_dir):
         """Time-based rolling window (RANGE BETWEEN 600s PRECEDING AND
         CURRENT ROW, peers included): one key shuffle, two vectorized
@@ -1387,6 +1474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase": search_phrase,
         "search_phrase_idx": search_phrase_idx,
         "warc_roundtrip": warc_roundtrip,
+        "jsonl_roundtrip": jsonl_roundtrip,
+        "csv_roundtrip": csv_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
         "decontaminate": decontaminate,
@@ -1947,6 +2036,17 @@ SELECT 'http://w.example/p' || doc_id AS url,
        (strlen(text) + 26)::BIGINT AS n_bytes,
        200::BIGINT AS code
 FROM documents
+"""
+
+    # length() counts CHARACTERS in DuckDB, matching Arrow's utf8_length
+    sql["jsonl_roundtrip"] = """
+SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
+"""
+
+    sql["csv_roundtrip"] = """
+SELECT event_type, COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events GROUP BY event_type
 """
 
     sql["events_rolling"] = """

@@ -232,13 +232,21 @@ def _src_fingerprint(src: str, part: int) -> str:
     return m.input_fingerprint if m else "absent"
 
 
-def merge_indexes(source_dirs: list[str], out_dir: str) -> dict:
+def merge_indexes(source_dirs: list[str], out_dir: str, *,
+                  resume: bool = True) -> dict:
     """Merge/compact N committed indexes into ``out_dir`` (see module doc).
 
     All sources must share a partition count and config hash (block size
     etc. — byte-identity is only defined within one config).  Runs one Ray
     task per part via a Dataset pipeline, then the builder's own
     ``finalize_index`` for the global dictionary + corpus stats.
+
+    ``resume=True`` (default): output parts whose committed manifest
+    already records this exact merge — same config hash and the same
+    per-source input fingerprints (the ``merge:fp1,fp2,...`` lineage
+    string, order-sensitive because later sources win dedup) — are
+    skipped, so a killed merge re-runs only its missing/stale parts; the
+    same contract as ``build_index``'s per-partition checkpointing.
     """
     from .build import finalize_index
 
@@ -250,6 +258,21 @@ def merge_indexes(source_dirs: list[str], out_dir: str) -> dict:
         raise ValueError(f"sources built with different configs: {hashes}")
     config_hash = next(iter(hashes))
     all_parts = sorted({p for d in per_src for p in d})
+    skipped = {}
+    if resume and os.path.isdir(out_dir):
+        committed = done_parts(out_dir)
+        for p in list(all_parts):
+            m = committed.get(p)
+            want_fp = "merge:" + ",".join(
+                _src_fingerprint(s, p) for s in source_dirs)
+            if m and m.config_hash == config_hash \
+                    and m.input_fingerprint == want_fp:
+                skipped[p] = m
+        all_parts = [p for p in all_parts if p not in skipped]
+        if not all_parts:
+            finalize_index(out_dir)
+            return {"parts": 0, "skipped": len(skipped),
+                    "n_docs": sum(m.n_docs for m in skipped.values())}
     # block size rides in the config hash; recover it from any source's
     # postings metadata contract (the builder default) via config echo in
     # manifests' extra, else the engine default
@@ -257,6 +280,14 @@ def merge_indexes(source_dirs: list[str], out_dir: str) -> dict:
 
     block_size = IndexBuildConfig().block_size
     os.makedirs(out_dir, exist_ok=True)
+
+    # clear stale/incomplete output dirs for the parts being rebuilt —
+    # commit_part_dir is first-wins and would otherwise discard the rebuild
+    import shutil
+
+    for p in all_parts:
+        shutil.rmtree(os.path.join(out_dir, part_dirname(p)),
+                      ignore_errors=True)
 
     srcs = list(source_dirs)
 
@@ -274,4 +305,6 @@ def merge_indexes(source_dirs: list[str], out_dir: str) -> dict:
         .repartition(len(all_parts)) \
         .map_batches(run, batch_format="pyarrow").take_all()
     finalize_index(out_dir)
-    return {"parts": len(stats), "n_docs": sum(r["n_docs"] for r in stats)}
+    return {"parts": len(stats), "skipped": len(skipped),
+            "n_docs": sum(r["n_docs"] for r in stats)
+            + sum(m.n_docs for m in skipped.values())}

@@ -80,6 +80,37 @@ def test_merge_last_source_wins(ray_session, tmp_path):
         _seg_bytes(str(tmp_path / "want"))
 
 
+def test_merge_resume_skips_committed_parts(ray_session, tmp_path):
+    import json
+    import os
+
+    cfg = IndexBuildConfig(morphology="simple", num_partitions=3)
+    a, b = _corpus(0, 30), _corpus(30, 30)
+    build_index(_pages(a), str(tmp_path / "ia"), cfg, resume=False)
+    build_index(_pages(b), str(tmp_path / "ib"), cfg, resume=False)
+    out = str(tmp_path / "m")
+    r1 = merge_indexes([str(tmp_path / "ia"), str(tmp_path / "ib")], out)
+    assert r1["parts"] == 3 and r1["skipped"] == 0
+    before = _seg_bytes(out)
+    # simulate a killed merge: drop one part's manifest
+    os.remove(os.path.join(out, "part=00001", "_MANIFEST.json"))
+    r2 = merge_indexes([str(tmp_path / "ia"), str(tmp_path / "ib")], out)
+    assert r2["parts"] == 1 and r2["skipped"] == 2
+    assert r2["n_docs"] == r1["n_docs"] == 60
+    assert _seg_bytes(out) == before
+    # fully committed: third run rebuilds nothing
+    r3 = merge_indexes([str(tmp_path / "ia"), str(tmp_path / "ib")], out)
+    assert r3["parts"] == 0 and r3["skipped"] == 3
+    # a stale manifest (different lineage) does get rebuilt
+    mpath = os.path.join(out, "part=00002", "_MANIFEST.json")
+    m = json.load(open(mpath))
+    m["input_fingerprint"] = "merge:stale"
+    json.dump(m, open(mpath, "w"))
+    r4 = merge_indexes([str(tmp_path / "ia"), str(tmp_path / "ib")], out)
+    assert r4["parts"] == 1 and r4["skipped"] == 2
+    assert _seg_bytes(out) == before
+
+
 def test_merge_rejects_mixed_configs(ray_session, tmp_path):
     import pytest
 
