@@ -1224,6 +1224,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["doc_id", "text", "lang"])
         return edit_distance_pairs(ds, prefix_len=24, max_dist=3)
 
+    def user_retention(sf_dir):
+        """Cohort retention matrix: per-user distinct active days (one key
+        shuffle), then one metadata-scale (cohort, offset) groupby."""
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import retention_matrix
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts"])
+        return retention_matrix(ds, max_offset=30)
+
+    def user_event_seq(sf_dir):
+        """Ordered collect: each user's first-20 event-type sequence as a
+        string (string_agg ORDER BY mirror) + total event count."""
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import collect_ordered
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "ts", "user_id", "event_type"])
+        return collect_ordered(ds, k=20)
+
     def events_funnel(sf_dir):
         import ray.data as rd
 
@@ -1467,6 +1490,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_time": events_rolling_time,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
+        "user_retention": user_retention,
+        "user_event_seq": user_event_seq,
         "lineitem_cube": lineitem_cube,
         "kmeans_embed": kmeans_embed,
         "similar_docs": similar_docs,
@@ -2090,6 +2115,34 @@ SELECT event_id, user_id,
            AS tile
 FROM events
 WINDOW v AS (PARTITION BY user_id ORDER BY value)
+"""
+
+    sql["user_retention"] = """
+WITH ud AS (
+    SELECT DISTINCT user_id,
+           epoch_us(ts) // 1000000 // 86400 AS day
+    FROM events
+),
+coh AS (SELECT user_id, MIN(day) AS cohort_day FROM ud GROUP BY user_id)
+SELECT c.cohort_day::BIGINT AS cohort_day,
+       (u.day - c.cohort_day)::BIGINT AS day_offset,
+       COUNT(DISTINCT u.user_id)::BIGINT AS n_users
+FROM ud u JOIN coh c USING (user_id)
+WHERE u.day - c.cohort_day <= 30
+GROUP BY 1, 2
+"""
+
+    sql["user_event_seq"] = """
+WITH r AS (
+    SELECT user_id, event_type,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS rn,
+           COUNT(*) OVER (PARTITION BY user_id) AS n_total
+    FROM events
+)
+SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS seq,
+       MAX(n_total)::BIGINT AS n_total
+FROM r WHERE rn <= 20 GROUP BY user_id
 """
 
     sql["lineitem_cube"] = """

@@ -323,6 +323,68 @@ def funnel_match(events: rd.Dataset, *,
     return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
+def retention_matrix(events: rd.Dataset, *, key_col: str = "user_id",
+                     ts_col: str = "ts", max_offset: int = 30,
+                     day_sec: int = 86_400) -> rd.Dataset:
+    """Cohort retention: ``(cohort_day, day_offset, n_users)`` — the
+    product-analytics staple.  A user's cohort is their FIRST active day;
+    ``n_users`` counts distinct users of that cohort active again exactly
+    ``offset`` days later (offset 0 = cohort size).
+
+    Scale shape: one ``groupby(key)`` (each user's history is tiny); per
+    key the distinct active days come from one ``np.unique``, cohort =
+    ``days[0]``, offsets = ``days - cohort`` (capped at ``max_offset``);
+    then ONE metadata-scale groupby over (cohort, offset) pairs — at most
+    ``max_offset + 1`` rows per user leave the first shuffle.
+    """
+    from ray.data.aggregate import Count
+
+    def per_key(group: pa.Table) -> pa.Table:
+        ts = group[ts_col].cast(pa.timestamp("us"), safe=False) \
+            .cast(pa.int64()).to_numpy() // 1_000_000
+        days = np.unique(ts // day_sec)
+        cohort = days[0] if len(days) else 0
+        off = days - cohort
+        off = off[off <= max_offset]
+        return pa.table({
+            "cohort_day": pa.array(np.full(len(off), cohort, np.int64)),
+            "day_offset": pa.array(off.astype(np.int64)),
+        })
+
+    return events.groupby(key_col) \
+        .map_groups(per_key, batch_format="pyarrow") \
+        .groupby(["cohort_day", "day_offset"]) \
+        .aggregate(Count(alias_name="n_users"))
+
+
+def collect_ordered(events: rd.Dataset, *, key_col: str = "user_id",
+                    ts_col: str = "ts", order_col: str = "event_id",
+                    value_col: str = "event_type", k: int = 20,
+                    sep: str = ",") -> rd.Dataset:
+    """Per-key ordered collect: the first ``k`` values by (ts, order) as
+    one joined string — SQL's ``string_agg(v ORDER BY ...)`` over a
+    LIMIT-k window; the sequence-mining/session-path primitive.
+
+    One key shuffle; per group one sort + a python join of <= k strings
+    (bounded by contract, not by data).
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending"),
+                                                  (order_col, "ascending")])
+        g = group.take(order[:k])
+        vals = g[value_col].to_pylist()
+        key = group[key_col][0].as_py()
+        return pa.table({
+            key_col: pa.array([key], pa.int64()),
+            "seq": pa.array([sep.join(map(str, vals))], pa.string()),
+            "n_total": pa.array([group.num_rows], pa.int64()),
+        })
+
+    return events.groupby(key_col).map_groups(per_key,
+                                              batch_format="pyarrow")
+
+
 def analytic_per_key(events: rd.Dataset, key_col: str = "user_id",
                      ts_col: str = "ts", order_col: str = "event_id",
                      value_col: str = "value") -> rd.Dataset:

@@ -259,6 +259,44 @@ def test_dhash_near_dup_property(ray_session):
     assert (b0 != b2).sum() >= 20
 
 
+def test_retention_and_collect_match_duckdb(ray_session):
+    from search_engine_ray.pipelines.windows import (collect_ordered,
+                                                     retention_matrix)
+
+    df = _events(n=600, keys=25, seed=21)
+    df["event_type"] = np.array(["view", "click", "buy"])[
+        np.random.RandomState(2).randint(0, 3, len(df))]
+    ret = retention_matrix(rd.from_pandas(df), max_offset=5) \
+        .to_pandas().sort_values(["cohort_day", "day_offset"]) \
+        .reset_index(drop=True)
+    ret_ref = duckdb.sql("""
+        WITH ud AS (SELECT DISTINCT user_id,
+                           epoch_us(ts) // 1000000 // 86400 AS day FROM df),
+        coh AS (SELECT user_id, MIN(day) AS cohort_day FROM ud
+                GROUP BY user_id)
+        SELECT c.cohort_day::BIGINT AS cohort_day,
+               (u.day - c.cohort_day)::BIGINT AS day_offset,
+               COUNT(DISTINCT u.user_id)::BIGINT AS n_users
+        FROM ud u JOIN coh c USING (user_id)
+        WHERE u.day - c.cohort_day <= 5
+        GROUP BY 1, 2 ORDER BY 1, 2""").fetchdf()
+    assert ret.values.tolist() == ret_ref.values.tolist()
+    seq = collect_ordered(rd.from_pandas(df), k=5,
+                          value_col="event_type") \
+        .to_pandas().sort_values("user_id").reset_index(drop=True)
+    seq_ref = duckdb.sql("""
+        WITH r AS (SELECT user_id, event_type,
+                          row_number() OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) AS rn,
+                          COUNT(*) OVER (PARTITION BY user_id) AS n_total
+                   FROM df)
+        SELECT user_id, string_agg(event_type, ',' ORDER BY rn) AS seq,
+               MAX(n_total)::BIGINT AS n_total
+        FROM r WHERE rn <= 5 GROUP BY user_id ORDER BY user_id""").fetchdf()
+    assert seq["seq"].tolist() == seq_ref["seq"].tolist()
+    assert seq["n_total"].tolist() == seq_ref["n_total"].tolist()
+
+
 def test_sparse_cosine_pairs_matches_duckdb(ray_session):
     from search_engine_ray.pipelines.phrase import NgramTF
     from search_engine_ray.stages.dedup import sparse_cosine_pairs
