@@ -844,6 +844,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _ivf(ds, query_ids=list(range(8)), k=5,
                     n_centroids=16, n_probe=4)
 
+    def knn_pq(sf_dir):
+        """PQ compressed-domain ANN: ADC scan over uint8 codes (no float
+        matmul against the corpus) + bounded exact re-rank of the
+        shortlist — the memory-bound 10^12-vector scale path.  Recall
+        gated by pytest (like knn_ivf/knn_lsh); rows-only driver check."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.similarity import knn_pq as _pq
+
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        return _pq(ds, query_ids=list(range(8)), k=5, n_sub=8,
+                   n_centroids=16, rerank=4)
+
     def knn_lsh(sf_dir):
         import ray.data as rd
 
@@ -1478,6 +1491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": simhash_dedup,
         "knn_cosine": knn_cosine,
         "knn_ivf": knn_ivf,
+        "knn_pq": knn_pq,
         "knn_lsh": knn_lsh,
         "embedding_dup": embedding_dup,
         "embedding_dup_blocked": embedding_dup_blocked,

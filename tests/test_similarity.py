@@ -91,3 +91,30 @@ def test_blocked_pairs_empty_input(ray_session):
                     "embedding": pa.array([], pa.list_(pa.float64()))})
     out = embedding_dup_pairs_blocked(rd.from_arrow(tbl)).to_pandas()
     assert len(out) == 0
+
+
+def test_pq_recall_and_determinism(ray_session):
+    from search_engine_ray.stages.similarity import knn_pq, pq_encode, pq_train
+
+    t = _clustered_embeddings(dim=32)
+    ds = rd.from_arrow(t)
+    queries = [0, 61, 130, 305, 417]
+    exact = knn_bruteforce(ds, queries, k=5).to_pandas()
+    books = pq_train(ds, n_sub=8, n_centroids=16)
+    assert books.shape == (8, 16, 4)
+    approx = knn_pq(ds, queries, k=5, books=books).to_pandas()
+    hits = total = 0
+    for q in queries:
+        e = set(exact[exact.query_id == q].neighbor_id)
+        a = set(approx[approx.query_id == q].neighbor_id)
+        hits += len(e & a)
+        total += len(e)
+    assert hits / total >= 0.6  # ADC shortlist (8x16 codes) + exact rerank
+    # codes are 8-byte fixed binary and deterministic across parallelism
+    c1 = pq_encode(ds, books).to_pandas().sort_values("vec_id")
+    c2 = pq_encode(ds.repartition(7), books).to_pandas().sort_values("vec_id")
+    assert c1.codes.tolist() == c2.codes.tolist()
+    assert all(len(c) == 8 for c in c1.codes)
+    # and a second run returns the identical ranking
+    again = knn_pq(ds, queries, k=5, books=books).to_pandas()
+    assert again.equals(approx)
