@@ -269,6 +269,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def dictionary(sf_dir):
         return dq.q_dictionary(sf_dir)
 
+    def dictionary_incremental(sf_dir):
+        """The dictionary answered from an INCREMENTALLY built index: the
+        corpus split by parity into a base and a delta build, compacted by
+        pipelines/merge — must hash-match the one-shot dictionary oracle
+        (the whole maintenance path, driver-witnessed)."""
+        return dq.q_dictionary_incremental(sf_dir)
+
     def doc_len(sf_dir):
         return dq.q_doc_len(sf_dir)
 
@@ -1448,6 +1455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf": tf,
         "term_df": term_df,
         "dictionary": dictionary,
+        "dictionary_incremental": dictionary_incremental,
         "doc_len": doc_len,
         "corpus_stats": corpus_stats,
         "top_terms": top_terms,
@@ -1548,6 +1556,9 @@ SELECT d.source AS source, tf.term AS term, COUNT(*)::BIGINT AS df
 FROM tf JOIN documents d ON d.doc_id = tf.doc_id
 GROUP BY d.source, tf.term
 """
+
+    # the incremental (base + delta -> merge) index must answer identically
+    sql["dictionary_incremental"] = sql["dictionary"]
 
     sql["doc_len"] = f"WITH {_TF_CTE}, {_DOC_LEN_CTE.lstrip()} SELECT doc_id, doc_len FROM doc_len"
 

@@ -111,13 +111,41 @@ def _source_of_site(site: str) -> str:
     return site.removeprefix("https://").removesuffix(".example")
 
 
-def q_dictionary(sf_dir: str) -> rd.Dataset:
-    """(source, term, df) per-site dictionary — read from the built index's
-    per-partition dict.parquet (reference ``lemmas`` table) and re-aggregated
-    across partitions."""
+def cached_incremental_index(sf_dir: str) -> str:
+    """Incremental-indexing fixture: the corpus split by doc_id parity is
+    built as TWO indexes (base + delta) and ``merge_indexes`` compacts
+    them — the end-to-end exercise of the batch engine's maintenance
+    story (build_index's checkpointing + pipelines/merge).  Returns the
+    merged index dir; idempotent per sf_dir (merge resume makes the
+    second call metadata-only)."""
+    import pyarrow.compute as _pc
+
+    from .merge import merge_indexes
+
+    key = hashlib.blake2b(
+        f"{os.path.abspath(sf_dir)}|inc".encode(), digest_size=8).hexdigest()
+    out_dir = os.path.join(CACHE_ROOT, key)
+    cfg = IndexBuildConfig(morphology="simple",
+                           target_docs_per_partition=2000)
+    halves = []
+    for parity in (0, 1):
+        d = os.path.join(CACHE_ROOT, f"{key}-h{parity}")
+
+        def pick(batch, _p=parity):
+            ids = batch["src_doc_id"]
+            return batch.filter(_pc.equal(_pc.bit_wise_and(ids, 1), _p))
+
+        pages = pages_from_documents(sf_dir).map_batches(
+            pick, batch_format="pyarrow")
+        build_index(pages, d, cfg, resume=True)
+        halves.append(d)
+    merge_indexes(halves, out_dir, resume=True)
+    return out_dir
+
+
+def _dictionary_of_index(index_dir: str) -> rd.Dataset:
     import glob
 
-    index_dir = cached_index(sf_dir)
     files = sorted(glob.glob(f"{index_dir}/part=*/dict.parquet"))
     ds = rd.read_parquet(files)
 
@@ -128,6 +156,21 @@ def q_dictionary(sf_dir: str) -> rd.Dataset:
 
     return ds.map_batches(to_source, batch_format="pyarrow") \
         .groupby(["source", "term"]).aggregate(Sum("df", alias_name="df"))
+
+
+def q_dictionary(sf_dir: str) -> rd.Dataset:
+    """(source, term, df) per-site dictionary — read from the built index's
+    per-partition dict.parquet (reference ``lemmas`` table) and re-aggregated
+    across partitions."""
+    return _dictionary_of_index(cached_index(sf_dir))
+
+
+def q_dictionary_incremental(sf_dir: str) -> rd.Dataset:
+    """The SAME dictionary answered from the incrementally-built index
+    (two half-corpus builds compacted by pipelines/merge) — must
+    hash-match the one-shot build's oracle, witnessing the maintenance
+    path end to end."""
+    return _dictionary_of_index(cached_incremental_index(sf_dir))
 
 
 def q_doc_len(sf_dir: str) -> rd.Dataset:
