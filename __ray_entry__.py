@@ -1214,6 +1214,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n_matches": res["n_matches"].astype("int64"),
         })
 
+    def doc_linreg(sf_dir):
+        """Distributed closed-form regression via exact integer sufficient
+        statistics (stages/regression): predict text length from space and
+        'e' counts.  Each block collapses to ONE partial row of int64
+        normal-equation sums; Cramer's rule solves in a fixed float64
+        expression order, so both the 9 sums AND the coefficients are
+        bitwise-identical to the SQL oracle."""
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import ray.data as rd
+
+        from search_engine_ray.stages.regression import (
+            linreg_sufficient_stats, solve_ridge_3x3)
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["text"])
+
+        def feats(batch: pa.Table) -> pa.Table:
+            t = batch["text"]
+            return pa.table({
+                "spaces": pcm.count_substring(t, " ").cast(pa.int64()),
+                "e_count": pcm.count_substring(t, "e").cast(pa.int64()),
+                "n_chars_y": pcm.utf8_length(t).cast(pa.int64()),
+            })
+
+        stats = linreg_sufficient_stats(
+            docs.map_batches(feats, batch_format="pyarrow"),
+            x1="spaces", x2="e_count", y="n_chars_y")
+        det, b0, b1, b2 = solve_ridge_3x3(stats, lam=0)
+        row = {k: int(v) for k, v in stats.items()}
+        row.update({"det": det, "b0": b0, "b1": b1, "b2": b2})
+        return pd.DataFrame([row]).astype(
+            {k: "int64" for k in stats})
+
     def doc_cosine_pairs(sf_dir):
         """Sparse all-pairs cosine similarity over BIGRAM tf vectors
         (term-partitioned: one groupby(term) emits bounded pair partials +
@@ -1518,6 +1553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embed": kmeans_embed,
         "similar_docs": similar_docs,
         "doc_cosine_pairs": doc_cosine_pairs,
+        "doc_linreg": doc_linreg,
         "search_phrase": search_phrase,
         "search_phrase_idx": search_phrase_idx,
         "warc_roundtrip": warc_roundtrip,
@@ -2182,6 +2218,48 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
     sql["kmeans_embed"] = _kmeans_sql(k=8, iters=3, scale_bits=20)
 
     sql["search_phrase"] = _phrase_sql(["table", "hash"])
+
+    # Distributed regression via exact integer sufficient statistics:
+    # the oracle recomputes the 9 normal-equation sums (exact BIGINT) and
+    # evaluates the IDENTICAL fixed-order Cramer expressions in float64,
+    # so even the coefficients compare bitwise
+    sql["doc_linreg"] = """
+WITH f AS (
+    SELECT (length(text) - length(replace(text, ' ', '')))::BIGINT AS x1,
+           (length(text) - length(replace(text, 'e', '')))::BIGINT AS x2,
+           length(text)::BIGINT AS yv
+    FROM documents
+),
+s AS (
+    SELECT COUNT(*)::BIGINT AS n, SUM(x1)::BIGINT AS sx1,
+           SUM(x2)::BIGINT AS sx2, SUM(yv)::BIGINT AS sy,
+           SUM(x1 * x1)::BIGINT AS s11, SUM(x1 * x2)::BIGINT AS s12,
+           SUM(x2 * x2)::BIGINT AS s22, SUM(x1 * yv)::BIGINT AS sx1y,
+           SUM(x2 * yv)::BIGINT AS sx2y
+    FROM f
+),
+a AS (
+    SELECT *, n::DOUBLE AS a11, sx1::DOUBLE AS a12, sx2::DOUBLE AS a13,
+           s11::DOUBLE AS a22, s12::DOUBLE AS a23, s22::DOUBLE AS a33,
+           sy::DOUBLE AS v1, sx1y::DOUBLE AS v2, sx2y::DOUBLE AS v3
+    FROM s
+),
+c AS (
+    SELECT *,
+      (a11 * (a22 * a33 - a23 * a23) - a12 * (a12 * a33 - a23 * a13)
+           + a13 * (a12 * a23 - a22 * a13)) AS det,
+      (v1 * (a22 * a33 - a23 * a23) - a12 * (v2 * a33 - a23 * v3)
+           + a13 * (v2 * a23 - a22 * v3)) AS d0,
+      (a11 * (v2 * a33 - a23 * v3) - v1 * (a12 * a33 - a23 * a13)
+           + a13 * (a12 * v3 - v2 * a13)) AS d1,
+      (a11 * (a22 * v3 - v2 * a23) - a12 * (a12 * v3 - v2 * a13)
+           + v1 * (a12 * a23 - a22 * a13)) AS d2
+    FROM a
+)
+SELECT n, sx1, sx2, sy, s11, s12, s22, sx1y, sx2y,
+       det, d0 / det AS b0, d1 / det AS b1, d2 / det AS b2
+FROM c
+"""
 
     # Sparse bigram-tf cosine pairs: the positions CTE self-joins into
     # bigrams, the df cap is part of the spec, and the threshold test is

@@ -164,7 +164,8 @@ HEADLINE = [
     "events_rolling_time", "events_rank", "lineitem_cube", "kmeans_embed",
     "similar_docs", "search_phrase", "search_phrase_idx", "warc_roundtrip",
     "customer_orders_skew", "image_dhash", "audio_features",
-    "doc_cosine_pairs", "user_retention", "user_event_seq",
+    "doc_cosine_pairs", "user_retention", "user_event_seq", "doc_linreg",
+    "knn_pq", "dictionary_incremental", "jsonl_roundtrip", "csv_roundtrip",
 ]
 
 

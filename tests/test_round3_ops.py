@@ -353,6 +353,32 @@ def test_sparse_cosine_pairs_matches_duckdb(ray_session):
     assert {(0, 1), (0, 2)} <= set(zip(ref.id_a, ref.id_b))  # planted dups
 
 
+def test_linreg_sufficient_stats(ray_session):
+    from search_engine_ray.stages.regression import (linreg_sufficient_stats,
+                                                     solve_ridge_3x3)
+
+    rng = np.random.RandomState(12)
+    n = 2000
+    x1 = rng.randint(0, 50, n).astype(np.int64)
+    x2 = rng.randint(0, 30, n).astype(np.int64)
+    y = 7 + 3 * x1 + 2 * x2 + rng.randint(-2, 3, n)
+    df = pd.DataFrame({"x1": x1, "x2": x2, "y": y})
+    for nblocks in (1, 9):
+        stats = linreg_sufficient_stats(
+            rd.from_pandas(df).repartition(nblocks), x1="x1", x2="x2", y="y")
+        assert stats["n"] == n and stats["s11"] == int((x1 * x1).sum())
+        det, b0, b1, b2 = solve_ridge_3x3(stats)
+        # recover the planted coefficients (noise is +-2 uniform)
+        assert abs(b1 - 3) < 0.05 and abs(b2 - 2) < 0.05 and abs(b0 - 7) < 1
+    # numpy lstsq agrees
+    X = np.column_stack([np.ones(n), x1, x2]).astype(np.float64)
+    ref = np.linalg.lstsq(X, y.astype(np.float64), rcond=None)[0]
+    assert np.allclose([b0, b1, b2], ref, atol=1e-8)
+    # ridge shrinks the feature weights, not the intercept path blowing up
+    _, r0, r1, r2 = solve_ridge_3x3(stats, lam=10**6)
+    assert abs(r1) < abs(b1) and abs(r2) < abs(b2)
+
+
 def test_decode_audio_wav(ray_session):
     from search_engine_ray.stages.multimodal import DecodeAudio, encode_wav
 
