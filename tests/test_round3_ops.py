@@ -478,3 +478,68 @@ def test_edit_distance_pairs_matches_duckdb(ray_session):
     assert out["id_a"].tolist() == ref["id_a"].tolist()
     assert out["id_b"].tolist() == ref["id_b"].tolist()
     assert out["dist"].tolist() == ref["dist"].tolist()
+
+
+# --------------------------------------------------------------------------
+# property tests (no Ray session needed — pure per-batch functions)
+# --------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_word = st.text(alphabet="abcдеё", min_size=0, max_size=12)
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(_word, min_size=2, max_size=8))
+def test_levenshtein_pairs_fuzz_vs_duckdb(strings):
+    """Byte-level DP == DuckDB levenshtein on arbitrary (incl. multibyte)
+    strings — the oracle contract of stages/strings."""
+    from search_engine_ray.stages.strings import _codes, levenshtein_pairs
+
+    codes, lens = _codes(strings)
+    ia, ib = np.triu_indices(len(strings), k=1)
+    got = levenshtein_pairs(codes, lens, ia, ib)
+    con = duckdb.connect()
+    for x, y, d in zip(ia, ib, got):
+        ref = con.execute("SELECT levenshtein(?, ?)",
+                          [strings[x], strings[y]]).fetchone()[0]
+        assert d == ref, (strings[x], strings[y])
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2000),      # ts seconds (ties!)
+                          st.integers(-500, 500)),   # value cents
+                min_size=1, max_size=60),
+       st.integers(1, 300))
+def test_rolling_time_frame_fuzz(rows, window):
+    """The two-searchsorted frame == SQL RANGE BETWEEN (peer-inclusive),
+    checked directly on the per-key kernel against DuckDB."""
+    import pyarrow as pa
+
+    from search_engine_ray.pipelines.windows import rolling_time_agg
+
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(len(rows)), pa.int64()),
+        "user_id": pa.array(np.zeros(len(rows)), pa.int64()),
+        "ts": pa.array([r[0] * 1_000_000 for r in rows],
+                       pa.timestamp("us")),
+        "value": pa.array([r[1] / 100.0 for r in rows], pa.float64()),
+    })
+    # the operator itself on one key == the kernel
+    import ray.data as rd
+
+    out = rolling_time_agg(rd.from_arrow(tbl), window_sec=window) \
+        .to_pandas().sort_values("event_id").reset_index(drop=True)
+    df = tbl.to_pandas()
+    ref = duckdb.sql(f"""
+        SELECT event_id, (COUNT(*) OVER w)::BIGINT AS win_n,
+               (SUM(CAST(FLOOR(value*100) AS BIGINT)) OVER w)::BIGINT
+                   AS win_cents
+        FROM (SELECT event_id, value,
+                     epoch_us(ts) // 1000000 AS ts_sec FROM df)
+        WINDOW w AS (ORDER BY ts_sec
+                     RANGE BETWEEN {window} PRECEDING AND CURRENT ROW)
+        ORDER BY event_id""").fetchdf()
+    assert out["win_n"].tolist() == ref["win_n"].tolist()
+    assert out["win_cents"].tolist() == ref["win_cents"].tolist()
