@@ -751,6 +751,48 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cust, urgent, on=("c_custkey",), right_on=("o_custkey",),
             how="anti", num_partitions=8)
 
+    def orders_except_all(sf_dir):
+        """Multiset EXCEPT ALL (bag semantics): each custkey keeps
+        multiplicity = non-urgent order count; one all-to-all of per-block
+        (key, count) partials, result re-expanded statelessly."""
+        import pyarrow.compute as pcm
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import set_op_all
+
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_custkey", "o_orderpriority"])
+        urgent = orders.map_batches(
+            lambda b: b.filter(pcm.equal(b["o_orderpriority"],
+                                         "1-URGENT")),
+            batch_format="pyarrow")
+        return set_op_all(orders.select_columns(["o_custkey"]),
+                          urgent.select_columns(["o_custkey"]),
+                          op="except_all", columns=("o_custkey",))
+
+    def events_by_hour(sf_dir):
+        """Date-part scalar functions: per hour-of-day event count +
+        integer-cent sum (Arrow pc.hour == DuckDB hour())."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["ts", "value"])
+
+        def prep(batch: pa.Table) -> pa.Table:
+            v = batch["value"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "hour": pcm.hour(batch["ts"]).cast(pa.int64()),
+                "cents": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            })
+
+        return ds.map_batches(prep, batch_format="pyarrow") \
+            .groupby("hour").aggregate(Count(alias_name="n_events"),
+                                       Sum("cents", alias_name="sum_cents"))
+
     def pii_scrub(sf_dir):
         import ray.data as rd
 
@@ -1519,6 +1561,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_hist": event_value_hist,
         "lineitem_rollup": lineitem_rollup,
         "custkeys_negative_balance": custkeys_negative_balance,
+        "orders_except_all": orders_except_all,
+        "events_by_hour": events_by_hour,
         "urgent_lineitems_bloom": urgent_lineitems_bloom,
         "events_range_join": events_range_join,
         "customer_orders": customer_orders,
@@ -1886,6 +1930,18 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders
 SELECT o_custkey AS custkey FROM orders
 EXCEPT
 SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 0
+"""
+
+    sql["orders_except_all"] = """
+SELECT o_custkey FROM orders
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+"""
+
+    sql["events_by_hour"] = """
+SELECT hour(ts)::BIGINT AS hour, COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events GROUP BY 1
 """
 
     sql["events_range_join"] = """

@@ -527,6 +527,55 @@ def set_op(left: rd.Dataset, right: rd.Dataset, *, op: str,
     return merged.map_batches(keep, batch_format="pyarrow")
 
 
+def set_op_all(left: rd.Dataset, right: rd.Dataset, *, op: str,
+               columns: tuple[str, ...]) -> rd.Dataset:
+    """SQL set operations with BAG (ALL) semantics — ``INTERSECT ALL``
+    (min of multiplicities) and ``EXCEPT ALL`` (left multiplicity minus
+    right, floored at 0) — the multiset complements of :func:`set_op`.
+
+    Scale shape: identical ONE all-to-all — each side collapses blocks to
+    (key combo, count) partials with a vectorized ``pyarrow`` group_by, a
+    single groupby SUMs per side, and a stateless finalize re-expands the
+    result multiplicity with ``np.repeat`` (bounded by the answer size,
+    never the inputs).
+    """
+    from ray.data.aggregate import Sum
+
+    if op not in ("intersect_all", "except_all"):
+        raise ValueError(f"unsupported op: {op!r}")
+
+    def counted(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            t = pa.table({c: batch[c] for c in columns})
+            d = t.group_by(list(columns)).aggregate([([], "count_all")])
+            n = d.num_rows
+            zero = pa.array(np.zeros(n, np.int64))
+            cnt = d["count_all"].cast(pa.int64())
+            return pa.table(
+                {c: d[c] for c in columns}
+                | {"__nl": cnt if side == 0 else zero,
+                   "__nr": zero if side == 0 else cnt})
+        return fn
+
+    both = left.select_columns(list(columns)) \
+        .map_batches(counted(0), batch_format="pyarrow") \
+        .union(right.select_columns(list(columns))
+               .map_batches(counted(1), batch_format="pyarrow"))
+    merged = both.groupby(list(columns)).aggregate(
+        Sum("__nl", alias_name="__nl"), Sum("__nr", alias_name="__nr"))
+
+    def expand(batch: pa.Table) -> pa.Table:
+        nl = batch["__nl"].to_numpy()
+        nr = batch["__nr"].to_numpy()
+        mult = np.minimum(nl, nr) if op == "intersect_all" \
+            else np.maximum(nl - nr, 0)
+        idx = np.repeat(np.arange(batch.num_rows, dtype=np.int64), mult)
+        t = batch.select(list(columns)).take(pa.array(idx))
+        return t
+
+    return merged.map_batches(expand, batch_format="pyarrow")
+
+
 def _bloom_positions(keys: np.ndarray, num_bits: int, num_hashes: int,
                      seed: int) -> "list[np.ndarray]":
     """Double-hashed bit positions (splitmix64) for int64/uint64 keys."""

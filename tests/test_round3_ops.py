@@ -297,6 +297,24 @@ def test_retention_and_collect_match_duckdb(ray_session):
     assert seq["n_total"].tolist() == seq_ref["n_total"].tolist()
 
 
+def test_set_op_all_matches_duckdb(ray_session):
+    from search_engine_ray.stages.relational import set_op_all
+
+    rng = np.random.RandomState(9)
+    ltab = pd.DataFrame({"k": rng.randint(0, 12, 400).astype(np.int64)})
+    rtab = pd.DataFrame({"k": rng.randint(0, 12, 150).astype(np.int64)})
+    for op, sqlop in [("except_all", "EXCEPT ALL"),
+                      ("intersect_all", "INTERSECT ALL")]:
+        out = set_op_all(rd.from_pandas(ltab), rd.from_pandas(rtab),
+                         op=op, columns=("k",)) \
+            .to_pandas()["k"].sort_values().tolist()
+        ref = duckdb.sql(f"SELECT k FROM ltab {sqlop} SELECT k FROM rtab") \
+            .fetchdf()["k"].sort_values().tolist()
+        assert out == ref, op
+    # multiplicities are real (not DISTINCT): duplicates survive
+    assert len(out) > len(set(out))
+
+
 def test_sparse_cosine_pairs_matches_duckdb(ray_session):
     from search_engine_ray.pipelines.phrase import NgramTF
     from search_engine_ray.stages.dedup import sparse_cosine_pairs
