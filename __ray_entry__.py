@@ -751,6 +751,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cust, urgent, on=("c_custkey",), right_on=("o_custkey",),
             how="anti", num_partitions=8)
 
+    def events_profile(sf_dir):
+        """Column profiling pass (stages/profile): count/null/exact-NDV/
+        min/max/cent-sum per numeric column in one streaming pass + one
+        cardinality-bounded distinct groupby per column."""
+        from search_engine_ray.stages.profile import profile_numeric_columns
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "value"])
+        return profile_numeric_columns(ds, ["user_id", "value"])
+
     def orders_except_all(sf_dir):
         """Multiset EXCEPT ALL (bag semantics): each custkey keeps
         multiplicity = non-urgent order count; one all-to-all of per-block
@@ -1563,6 +1574,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "custkeys_negative_balance": custkeys_negative_balance,
         "orders_except_all": orders_except_all,
         "events_by_hour": events_by_hour,
+        "events_profile": events_profile,
         "urgent_lineitems_bloom": urgent_lineitems_bloom,
         "events_range_join": events_range_join,
         "customer_orders": customer_orders,
@@ -1930,6 +1942,34 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM orders
 SELECT o_custkey AS custkey FROM orders
 EXCEPT
 SELECT c_custkey AS custkey FROM customer WHERE c_acctbal >= 0
+"""
+
+    sql["events_profile"] = """
+SELECT c.column,
+       (SELECT COUNT(*) FROM events)::BIGINT AS n,
+       CASE c.column WHEN 'user_id'
+            THEN (SELECT COUNT(*) - COUNT(user_id) FROM events)
+            ELSE (SELECT COUNT(*) - COUNT(value) FROM events)
+       END::BIGINT AS n_null,
+       CASE c.column WHEN 'user_id'
+            THEN (SELECT COUNT(DISTINCT user_id) FROM events)
+            ELSE (SELECT COUNT(DISTINCT value) FROM events)
+       END::BIGINT AS n_distinct,
+       CASE c.column WHEN 'user_id'
+            THEN (SELECT MIN(user_id)::DOUBLE FROM events)
+            ELSE (SELECT MIN(value)::DOUBLE FROM events)
+       END AS min_v,
+       CASE c.column WHEN 'user_id'
+            THEN (SELECT MAX(user_id)::DOUBLE FROM events)
+            ELSE (SELECT MAX(value)::DOUBLE FROM events)
+       END AS max_v,
+       CASE c.column WHEN 'user_id'
+            THEN (SELECT SUM(CAST(FLOOR(user_id::DOUBLE * 100) AS BIGINT))
+                  FROM events)
+            ELSE (SELECT SUM(CAST(FLOOR(value * 100) AS BIGINT))
+                  FROM events)
+       END::BIGINT AS sum_cents
+FROM (SELECT 'user_id' AS column UNION ALL SELECT 'value') c
 """
 
     sql["orders_except_all"] = """

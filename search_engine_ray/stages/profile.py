@@ -1,0 +1,79 @@
+"""Column profiling — the data-quality pass every ingest pipeline runs
+before anything expensive touches the corpus.
+
+One streaming pass per table: each block emits ONE partial row per
+profiled column (count / nulls / min / max / integer-cent sum / per-block
+distincts), partials combine through Ray's tree aggregates, and the only
+exchange is the per-column distinct-count groupby (bounded by the
+column's cardinality — swap in the HLL sketch from ``pipelines/sketches``
+when a column's NDV itself is corpus-scale).  All emitted statistics are
+exact and SQL-mirrorable: counts are ints, min/max are element picks,
+the sum is floor-cents int64 (order-free).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data as rd
+
+__all__ = ["profile_numeric_columns"]
+
+
+def profile_numeric_columns(ds: rd.Dataset, columns: list[str]
+                            ) -> pd.DataFrame:
+    """(column, n, n_null, n_distinct, min_v, max_v, sum_cents) per
+    profiled numeric column (see module doc).  Returns a tiny DataFrame —
+    profiling output is metadata-scale by definition."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rows = {"column": [], "n": [], "n_null": [], "min_v": [],
+                "max_v": [], "sum_cents": []}
+        for col in columns:
+            c = batch[col]
+            valid = c.drop_null()
+            v = valid.to_numpy(zero_copy_only=False).astype(np.float64)
+            rows["column"].append(col)
+            rows["n"].append(len(c))
+            rows["n_null"].append(c.null_count)
+            rows["min_v"].append(float(v.min()) if len(v) else np.inf)
+            rows["max_v"].append(float(v.max()) if len(v) else -np.inf)
+            rows["sum_cents"].append(
+                int(np.floor(v * 100.0).astype(np.int64).sum()))
+        return pa.table({
+            "column": pa.array(rows["column"], pa.string()),
+            "n": pa.array(rows["n"], pa.int64()),
+            "n_null": pa.array(rows["n_null"], pa.int64()),
+            "min_v": pa.array(rows["min_v"], pa.float64()),
+            "max_v": pa.array(rows["max_v"], pa.float64()),
+            "sum_cents": pa.array(rows["sum_cents"], pa.int64()),
+        })
+
+    from ray.data.aggregate import Max, Min, Sum
+
+    agg = ds.select_columns(columns) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("column").aggregate(
+            Sum("n", alias_name="n"),
+            Sum("n_null", alias_name="n_null"),
+            Min("min_v", alias_name="min_v"),
+            Max("max_v", alias_name="max_v"),
+            Sum("sum_cents", alias_name="sum_cents")) \
+        .to_pandas()
+
+    # exact NDV per column: one distinct-shuffle each, cardinality-bounded
+    ndv = {}
+    for col in columns:
+        def distinct_block(batch: pa.Table, _c=col) -> pa.Table:
+            u = pc.unique(batch[_c].drop_null())
+            return pa.table({_c: u})
+
+        ndv[col] = ds.select_columns([col]) \
+            .map_batches(distinct_block, batch_format="pyarrow") \
+            .groupby(col).count().count()
+    agg["n_distinct"] = agg["column"].map(ndv).astype("int64")
+    cols = ["column", "n", "n_null", "n_distinct", "min_v", "max_v",
+            "sum_cents"]
+    return agg[cols].sort_values("column").reset_index(drop=True)

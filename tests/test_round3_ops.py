@@ -297,6 +297,24 @@ def test_retention_and_collect_match_duckdb(ray_session):
     assert seq["n_total"].tolist() == seq_ref["n_total"].tolist()
 
 
+def test_profile_numeric_columns(ray_session):
+    from search_engine_ray.stages.profile import profile_numeric_columns
+
+    rng = np.random.RandomState(5)
+    df = pd.DataFrame({"a": rng.randint(0, 9, 500).astype(np.float64),
+                       "b": rng.uniform(-3, 3, 500)})
+    df.loc[::7, "b"] = np.nan
+    out = profile_numeric_columns(rd.from_pandas(df).repartition(6),
+                                  ["a", "b"])
+    ra = out[out.column == "a"].iloc[0]
+    rb = out[out.column == "b"].iloc[0]
+    assert ra.n == 500 and ra.n_null == 0 and ra.n_distinct == 9
+    assert ra.min_v == df.a.min() and ra.max_v == df.a.max()
+    assert rb.n_null == int(df.b.isna().sum())
+    assert rb.n_distinct == df.b.nunique()
+    assert rb.sum_cents == int(np.floor(df.b.dropna() * 100).sum())
+
+
 def test_set_op_all_matches_duckdb(ray_session):
     from search_engine_ray.stages.relational import set_op_all
 
