@@ -734,6 +734,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             select=["o_orderkey", "o_custkey", "c_name", "c_mktsegment",
                     "o_totalprice"])
 
+    def customer_orders_full(sf_dir):
+        """FULL OUTER shuffle join coverage: every customer (with-order or
+        not) and every order row survive; unmatched sides carry NULLs —
+        the join type the semi/anti/inner/left entries don't witness."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import shuffle_hash_join
+
+        import pyarrow.compute as pcm
+
+        cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_acctbal"])
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderpriority"]) \
+            .map_batches(lambda b: b.filter(
+                pcm.equal(b["o_orderpriority"], "1-URGENT"))
+                .drop_columns(["o_orderpriority"]),
+                batch_format="pyarrow")
+        return shuffle_hash_join(
+            cust, orders, on=("c_custkey",), right_on=("o_custkey",),
+            how="full", num_partitions=8) \
+            .select_columns(["c_custkey", "c_acctbal", "o_orderkey"])
+
     def customers_no_urgent(sf_dir):
         import ray.data as rd
 
@@ -1579,6 +1603,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_range_join": events_range_join,
         "customer_orders": customer_orders,
         "customer_orders_skew": customer_orders_skew,
+        "customer_orders_full": customer_orders_full,
         "customers_no_urgent": customers_no_urgent,
         "pii_scrub": pii_scrub,
         "line_dedup": line_dedup,
@@ -2016,6 +2041,15 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 
     # the skew-aware plan must produce exactly the plain join's rows
     sql["customer_orders_skew"] = sql["customer_orders"]
+
+    # right side restricted to urgent orders so BOTH unmatched directions
+    # actually occur (customers with no urgent order -> NULL o_orderkey)
+    sql["customer_orders_full"] = """
+SELECT c.c_custkey, c.c_acctbal, o.o_orderkey
+FROM customer c
+FULL JOIN (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
+ON o.o_custkey = c.c_custkey
+"""
 
     sql["customers_no_urgent"] = """
 SELECT c.c_custkey, c.c_name, c.c_acctbal
