@@ -786,6 +786,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "value"])
         return profile_numeric_columns(ds, ["user_id", "value"])
 
+    def events_anomaly(sf_dir):
+        """Two-pass z-score outlier filter in exact integer arithmetic:
+        (n*x - S)^2 > z^2 (n*Q - S^2) over cents — boundary rows classify
+        identically in numpy and SQL (no float mean/variance anywhere)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.profile import zscore_outliers
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "value"])
+        return zscore_outliers(ds, value_col="value", id_col="event_id",
+                               z=2)
+
     def orders_except_all(sf_dir):
         """Multiset EXCEPT ALL (bag semantics): each custkey keeps
         multiplicity = non-urgent order count; one all-to-all of per-block
@@ -1599,6 +1612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_except_all": orders_except_all,
         "events_by_hour": events_by_hour,
         "events_profile": events_profile,
+        "events_anomaly": events_anomaly,
         "urgent_lineitems_bloom": urgent_lineitems_bloom,
         "events_range_join": events_range_join,
         "customer_orders": customer_orders,
@@ -1995,6 +2009,20 @@ SELECT c.column,
                   FROM events)
        END::BIGINT AS sum_cents
 FROM (SELECT 'user_id' AS column UNION ALL SELECT 'value') c
+"""
+
+    # exact-integer two-pass z-score filter (z = 2): the comparison is
+    # (n*x - S)^2 > 4 * (n*Q - S^2) over int cents, no float statistics
+    sql["events_anomaly"] = """
+WITH c AS (SELECT event_id,
+                  CAST(FLOOR(value * 100) AS BIGINT) AS cents
+           FROM events),
+s AS (SELECT COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS sm,
+             SUM(cents * cents)::BIGINT AS q FROM c)
+SELECT c.event_id, c.cents
+FROM c, s
+WHERE (s.n * c.cents - s.sm) * (s.n * c.cents - s.sm)
+      > 4 * (s.n * s.q - s.sm * s.sm)
 """
 
     sql["orders_except_all"] = """

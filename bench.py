@@ -166,7 +166,7 @@ HEADLINE = [
     "customer_orders_skew", "image_dhash", "audio_features",
     "doc_cosine_pairs", "user_retention", "user_event_seq", "doc_linreg",
     "knn_pq", "dictionary_incremental", "jsonl_roundtrip", "csv_roundtrip",
-    "orders_except_all", "events_by_hour", "events_profile", "customer_orders_full",
+    "orders_except_all", "events_by_hour", "events_profile", "customer_orders_full", "events_anomaly",
 ]
 
 

@@ -19,7 +19,52 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["profile_numeric_columns"]
+__all__ = ["profile_numeric_columns", "zscore_outliers"]
+
+
+def zscore_outliers(ds: rd.Dataset, *, value_col: str, id_col: str,
+                    z: int = 3) -> rd.Dataset:
+    """Rows whose value lies more than ``z`` standard deviations from the
+    global mean — the standard two-pass anomaly filter, in EXACT integer
+    arithmetic: with cents ``x``, ``S = sum(x)``, ``Q = sum(x^2)``,
+    ``n``, the test ``(x - mean)^2 > z^2 * var`` is equivalent to
+    ``(n*x - S)^2 > z^2 * (n*Q - S^2)`` — all int64, no float means, so
+    boundary rows classify identically in numpy and SQL.
+
+    Pass 1 collapses each block to one (n, S, Q) partial (tree
+    aggregate); pass 2 streams the stateless flag.  Int64 bounds: needs
+    ``(n * max|x|)^2 < 2^63`` — document ranges when reusing.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        x = np.floor(v * 100.0).astype(np.int64)
+        return pa.table({
+            "n": pa.array([len(x)], pa.int64()),
+            "s": pa.array([int(x.sum())], pa.int64()),
+            "q": pa.array([int((x * x).sum())], pa.int64()),
+        })
+
+    stats = ds.map_batches(partial, batch_format="pyarrow") \
+        .sum(["n", "s", "q"])
+    n, s, q = (int(stats["sum(n)"]), int(stats["sum(s)"]),
+               int(stats["sum(q)"]))
+    rhs = z * z * (n * q - s * s)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        v = batch[value_col].to_numpy(zero_copy_only=False)
+        x = np.floor(v * 100.0).astype(np.int64)
+        lhs = (n * x - s)
+        keep = lhs * lhs > rhs
+        t = batch.filter(pa.array(keep))
+        xt = np.floor(t[value_col].to_numpy(zero_copy_only=False)
+                      * 100.0).astype(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "cents": pa.array(xt, pa.int64()),
+        })
+
+    return ds.map_batches(flag, batch_format="pyarrow")
 
 
 def profile_numeric_columns(ds: rd.Dataset, columns: list[str]

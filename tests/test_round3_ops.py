@@ -315,6 +315,25 @@ def test_profile_numeric_columns(ray_session):
     assert rb.sum_cents == int(np.floor(df.b.dropna() * 100).sum())
 
 
+def test_zscore_outliers_exact(ray_session):
+    from search_engine_ray.stages.profile import zscore_outliers
+
+    rng = np.random.RandomState(3)
+    v = rng.normal(0, 1, 3000)
+    v[:15] += 40  # planted outliers
+    df = pd.DataFrame({"event_id": np.arange(3000, dtype=np.int64),
+                       "value": v})
+    out = zscore_outliers(rd.from_pandas(df).repartition(5),
+                          value_col="value", id_col="event_id", z=3) \
+        .to_pandas().sort_values("event_id")
+    # integer-spec reference
+    x = np.floor(v * 100).astype(np.int64)
+    n, s, q = len(x), x.sum(), (x * x).sum()
+    want = np.flatnonzero((n * x - s) ** 2 > 9 * (n * q - s * s))
+    assert out["event_id"].tolist() == want.tolist()
+    assert set(range(15)) <= set(out["event_id"])  # planted ones found
+
+
 def test_set_op_all_matches_duckdb(ray_session):
     from search_engine_ray.stages.relational import set_op_all
 
