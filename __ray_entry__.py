@@ -921,7 +921,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from search_engine_ray.stages.similarity import knn_bruteforce
 
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
         import numpy as np
         import pyarrow as pa
 
@@ -937,7 +938,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from search_engine_ray.stages.similarity import knn_ivf as _ivf
 
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
         return _ivf(ds, query_ids=list(range(8)), k=5,
                     n_centroids=16, n_probe=4)
 
@@ -950,7 +952,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from search_engine_ray.stages.similarity import knn_pq as _pq
 
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
         return _pq(ds, query_ids=list(range(8)), k=5, n_sub=8,
                    n_centroids=16, rerank=4)
 
@@ -959,7 +962,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from search_engine_ray.stages.similarity import knn_lsh_buckets
 
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
         return knn_lsh_buckets(ds, k=3, dim=64)
 
     def embedding_dup(sf_dir):
@@ -970,7 +974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import numpy as np
         import pandas as pd
 
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
         out = embedding_dup_pairs(ds, threshold=0.4).to_pandas()
         if out.empty:
             out = pd.DataFrame({"vec_a": pd.Series(dtype="int64"),
@@ -986,7 +991,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from search_engine_ray.stages.dedup import embedding_dup_pairs_blocked
 
-        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet")
+        ds = rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
         # small blocks on purpose: the test corpus must exercise the
         # multi-block-pair path, not collapse into one task
         out = embedding_dup_pairs_blocked(
@@ -1003,7 +1009,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from search_engine_ray.pipelines.windows import tumbling_window_agg
 
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"])
         out = tumbling_window_agg(ds, size_sec=300)
         import numpy as np
         import pyarrow as pa
@@ -1027,7 +1034,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from search_engine_ray.pipelines.windows import hopping_window_agg
 
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "ts", "value"])
         out = hopping_window_agg(ds, size_sec=600, hop_sec=300)
 
         def shape(batch: pa.Table) -> pa.Table:
@@ -1049,7 +1057,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from search_engine_ray.pipelines.joins import asof_join
 
-        events = rd.read_parquet(f"{sf_dir}/events.parquet")
+        events = rd.read_parquet(f"{sf_dir}/events.parquet",
+                                 columns=["event_id", "user_id", "ts",
+                                          "value"])
 
         def day_col(batch: pa.Table) -> pa.Table:
             day = (batch["ts"].cast(pa.int64()).to_numpy() // (86_400 * 1_000_000))
@@ -1069,7 +1079,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         from search_engine_ray.pipelines.windows import sessionize as _sess
 
-        ds = rd.read_parquet(f"{sf_dir}/events.parquet")
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "ts", "value"])
         return _sess(ds, gap_sec=1800).select_columns(
             ["user_id", "session_id", "n_events", "start_sec", "end_sec"])
 
@@ -1576,7 +1587,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stratified_sample(ds, strata_col="lang", key_col="doc_id",
                                  n_per_stratum=20)
 
-    return {
+    all_q = {
         "tf": tf,
         "term_df": term_df,
         "dictionary": dictionary,
@@ -1667,6 +1678,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_tokenize": bpe_tokenize,
         "heavy_hitters": heavy_hitters,
     }
+    # The driver's CORRECTNESS run caps at the FIRST 50 entries in dict
+    # order.  Front-load (a) entries never driver-witnessed in r01-r03,
+    # (b) entries whose only witness predates a fix (events_analytic was
+    # red in r02, fixed in r3), and (c) entries new this round — then fill
+    # the rest of the 50-window with representative already-green rows.
+    front = [
+        # (a) never witnessed r01-r03
+        "knn_pq", "events_rolling", "events_rolling_time", "events_rank",
+        "events_funnel", "user_retention", "user_event_seq", "lineitem_cube",
+        "kmeans_embed", "similar_docs", "doc_cosine_pairs", "doc_linreg",
+        "search_phrase", "search_phrase_idx", "warc_roundtrip",
+        "jsonl_roundtrip", "csv_roundtrip", "sample_bernoulli",
+        "sample_stratified", "decontaminate", "dup_ngrams",
+        "pagerank_suppliers", "doc_ppl", "tfidf_topk", "sample_weighted",
+        "user_event_pivot", "user_top_event", "bpe_tokenize",
+        "heavy_hitters",
+        # (b) witnessed only pre-fix
+        "events_analytic",
+        # (c) new this round
+        "image_dup_pairs", "search_phrase_scatter", "events_profile_hll",
+        "sparse_stop_pairs",
+        # representative already-green fill (flagship + each family)
+        "tf", "dictionary", "dictionary_incremental", "search_ref",
+        "search_bm25", "search_batch", "search_scatter", "customer_orders",
+        "customer_orders_full", "exact_dedup", "ngram_jaccard",
+        "lineitem_pricing", "events_profile", "events_range_join",
+        "image_meta_jpeg", "image_dhash", "audio_features", "users_daily",
+        "line_dedup", "urgent_lineitems_bloom",
+    ]
+    ordered = {k: all_q[k] for k in front if k in all_q}
+    ordered.update({k: v for k, v in all_q.items() if k not in ordered})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:
