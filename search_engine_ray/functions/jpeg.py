@@ -189,8 +189,10 @@ class _BitWriter:
         self.acc &= (1 << self.n) - 1
 
     def flush(self) -> None:
+        # T.81 F.1.2.3: fill the final byte with 1-bits (exactly 8-n of
+        # them) — an all-ones fill can never start a valid Huffman code
         if self.n:
-            self.put(0x7F, 7 - ((self.n - 1) % 8) + 1)  # pad with 1-bits
+            self.put((1 << (8 - self.n)) - 1, 8 - self.n)
         self.acc, self.n = 0, 0
 
 

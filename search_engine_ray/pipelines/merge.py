@@ -48,8 +48,12 @@ __all__ = ["merge_indexes"]
 
 
 def _read_postings_rows(path: str):
-    """Yield (term, EncodedPostings) rows from one segment file."""
+    """Yield (term, EncodedPostings, positions_blob_or_None) rows from one
+    segment file.  ``positions`` (varint gap stream, per-posting delta with
+    absolute first value — the layout stages/segments writes) rides along
+    so positional indexes merge losslessly."""
     t = pq.read_table(path)
+    has_pos = "positions" in t.column_names
     for row in t.to_pylist():
         yield row["term"], EncodedPostings(
             df=row["df"], doc_ids=row["doc_ids"], tfs=row["tfs"],
@@ -59,7 +63,7 @@ def _read_postings_rows(path: str):
             block_max_tf=np.array(row["block_max_tf"], np.int32),
             block_min_dl=np.array(row["block_min_dl"], np.int32),
             block_first_docid=np.array(row["block_first_docid"], np.int64),
-        )
+        ), (row["positions"] if has_pos else None)
 
 
 def _merge_one_part(part: int, source_dirs: list[str], out_dir: str,
@@ -119,18 +123,23 @@ def _merge_one_part(part: int, source_dirs: list[str], out_dir: str,
     dl_of_new[:] = new_doc_len
 
     # --- decode + remap postings per source, accumulate per term ---------
-    # The sources' block size is recovered from their own skip metadata
-    # (entry count of the first block of any multi-block term); if every
-    # term fits one block, any size >= max df re-encodes identically.
+    # Fallback block-size inference (pre-round-4 manifests lack the numeric
+    # setting in extra): entry count of the first block of any multi-block
+    # term; if every term fits one block, any size >= max df re-encodes
+    # identically.
     inferred_bs = 0
+    has_pos = False
     per_term_ids: dict[str, list[np.ndarray]] = {}
     per_term_tfs: dict[str, list[np.ndarray]] = {}
+    per_term_pos: dict[str, list[np.ndarray]] = {}
+    from ..functions.codec import varint_decode
+
     for si, src in enumerate(source_dirs):
         p = os.path.join(src, pdir, "postings.parquet")
         if not os.path.exists(p):
             continue
         m = maps[si]
-        for term, enc in _read_postings_rows(p):
+        for term, enc, pos_blob in _read_postings_rows(p):
             if not inferred_bs and len(enc.block_first_docid) > 1:
                 from ..functions.codec import decode_block_docids
 
@@ -138,25 +147,73 @@ def _merge_one_part(part: int, source_dirs: list[str], out_dir: str,
             ids, tfs = decode_postings(enc)
             nid = m[(ids - part_base).astype(np.int64)]
             keep = nid >= 0
+            if pos_blob is not None:
+                has_pos = True
+                # absolute per-posting positions from the flat gap stream
+                # (same reconstruction as pipelines/phrase._decode_term_row)
+                tfs64 = tfs.astype(np.int64)
+                gaps = varint_decode(pos_blob, count=int(tfs64.sum()))
+                pstarts = np.zeros(len(ids), np.int64)
+                np.cumsum(tfs64[:-1], out=pstarts[1:])
+                cs = np.cumsum(gaps)
+                carry = np.where(pstarts > 0, cs[pstarts - 1], 0)
+                pos_abs = cs - np.repeat(carry, tfs64)
+                if not keep.all():
+                    pos_abs = pos_abs[np.repeat(keep, tfs64)]
             if not keep.any():
                 continue
             per_term_ids.setdefault(term, []).append(nid[keep])
             per_term_tfs.setdefault(term, []).append(tfs[keep])
+            if pos_blob is not None:
+                per_term_pos.setdefault(term, []).append(pos_abs)
 
     # --- re-encode term-sorted (identical writer settings to the builder)
     rows_term, rows_df = [], []
     rows_docids, rows_tfs = [], []
     rows_blast, rows_boffd, rows_bofft = [], [], []
     rows_bmaxtf, rows_bmindl, rows_bfirst = [], [], []
+    rows_pos, rows_boffp = [], []
     bytes_postings = 0
     n_postings = 0
     site_arr = np.asarray(kept_docs["site"].to_pylist(), object)
-    block_size = inferred_bs or block_size
+    block_size = block_size or inferred_bs
+    if not block_size:
+        from ..config import IndexBuildConfig
+
+        block_size = IndexBuildConfig().block_size
     st_pairs: dict[tuple[str, str], int] = {}
+    from ..functions.codec import varint_encode_with_lengths
+
     for term in sorted(per_term_ids):
         ids = np.concatenate(per_term_ids[term])
         tfs = np.concatenate(per_term_tfs[term])
         ix = np.argsort(ids)
+        if has_pos:
+            # reorder the flat position stream into the new posting order,
+            # then re-delta + varint exactly like the builder (byte-identical
+            # for the same posting set)
+            pos_flat = np.concatenate(per_term_pos[term])
+            tfs64 = tfs.astype(np.int64)
+            src_starts = np.zeros(len(ids), np.int64)
+            np.cumsum(tfs64[:-1], out=src_starts[1:])
+            lens = tfs64[ix]
+            out_starts = np.zeros(len(ids), np.int64)
+            np.cumsum(lens[:-1], out=out_starts[1:])
+            gather = np.repeat(src_starts[ix] - out_starts, lens) \
+                + np.arange(pos_flat.size, dtype=np.int64)
+            pos_sorted = pos_flat[gather]
+            gaps = pos_sorted.copy()
+            if pos_sorted.size:
+                gaps[1:] -= pos_sorted[:-1]
+                gaps[out_starts] = pos_sorted[out_starts]
+            buf, lens_b = varint_encode_with_lengths(gaps)
+            cum = np.zeros(gaps.size + 1, np.int64)
+            np.cumsum(lens_b, out=cum[1:])
+            posting_byte_starts = cum[out_starts]
+            blk = np.arange(0, len(ids), block_size, dtype=np.int64)
+            rows_pos.append(bytes(buf))
+            rows_boffp.append(posting_byte_starts[blk].tolist())
+            bytes_postings += len(rows_pos[-1])
         ids, tfs = ids[ix], tfs[ix]
         local = (ids - part_base).astype(np.int64)
         enc = encode_postings(ids, tfs, dl_of_new[local],
@@ -187,6 +244,9 @@ def _merge_one_part(part: int, source_dirs: list[str], out_dir: str,
         "block_max_tf": pa.array(rows_bmaxtf, pa.list_(pa.int32())),
         "block_min_dl": pa.array(rows_bmindl, pa.list_(pa.int32())),
         "block_first_docid": pa.array(rows_bfirst, pa.list_(pa.int64())),
+        **({"positions": pa.array(rows_pos, pa.binary()),
+            "block_off_pos": pa.array(rows_boffp, pa.list_(pa.int64()))}
+           if has_pos else {}),
     })
 
     st_sorted = sorted(st_pairs)
@@ -219,6 +279,8 @@ def _merge_one_part(part: int, source_dirs: list[str], out_dir: str,
         total_tokens=int(new_doc_len.sum()),
         bytes_postings=bytes_postings, bytes_docs=docs_tbl.nbytes,
         wall_sec=time.monotonic() - t0, engine_version="merge-1",
+        extra={"block_size": int(block_size),
+               "store_positions": bool(has_pos)},
     ))
     commit_part_dir(tmp_dir, final_dir)
     return {"part": part, "n_docs": int(n_docs),
@@ -273,12 +335,19 @@ def merge_indexes(source_dirs: list[str], out_dir: str, *,
             finalize_index(out_dir)
             return {"parts": 0, "skipped": len(skipped),
                     "n_docs": sum(m.n_docs for m in skipped.values())}
-    # block size rides in the config hash; recover it from any source's
-    # postings metadata contract (the builder default) via config echo in
-    # manifests' extra, else the engine default
-    from ..config import IndexBuildConfig
-
-    block_size = IndexBuildConfig().block_size
+    # The numeric block size is persisted in part manifests' ``extra``
+    # (round 4+); sources share one config hash so any manifest's value
+    # stands for all.  Pre-round-4 sources lack it -> 0, and each part
+    # falls back to skip-metadata inference, then the engine default.
+    block_size = 0
+    for d in per_src:
+        for m in d.values():
+            bs = (m.extra or {}).get("block_size")
+            if bs:
+                block_size = int(bs)
+                break
+        if block_size:
+            break
     os.makedirs(out_dir, exist_ok=True)
 
     # clear stale/incomplete output dirs for the parts being rebuilt —

@@ -30,6 +30,7 @@ reader (one task per file / file group).  No whole-file buffering.
 from __future__ import annotations
 
 import gzip
+import hashlib
 import io
 from email.utils import parsedate_to_datetime
 
@@ -218,7 +219,9 @@ def write_warc(path: str, records, *, compress: bool | None = None) -> int:
                     f"Content-Type: text/html\r\n"
                     f"Content-Length: {len(html)}\r\n\r\n"
                     ).encode("latin-1") + bytes(html)
-            rec_id = f"<urn:fixture:{abs(hash(url)) & 0xFFFFFFFF:08x}>"
+            digest = hashlib.blake2b(str(url).encode("utf-8"),
+                                     digest_size=4).hexdigest()
+            rec_id = f"<urn:fixture:{digest}>"
             head = (
                 "WARC/1.0\r\n"
                 "WARC-Type: response\r\n"

@@ -214,9 +214,11 @@ def _line_dedup_shuffle(narrow: rd.Dataset, dup_ds: rd.Dataset, *,
         first = np.ones(ids_s.size, bool)
         first[1:] = ids_s[1:] != ids_s[:-1]
         starts = np.flatnonzero(first)
-        offsets = (np.concatenate([starts, [ids_s.size]]) * 8).astype(np.int32)
+        # int64 offsets (large_binary): a routing part can accumulate far
+        # more than 2^31 packed position bytes at corpus scale
+        offsets = (np.concatenate([starts, [ids_s.size]]) * 8).astype(np.int64)
         blob = pa.Array.from_buffers(
-            pa.binary(), starts.size,
+            pa.large_binary(), starts.size,
             [None, pa.py_buffer(offsets.tobytes()),
              pa.py_buffer(pos_s.tobytes())])
         return pa.table({id_col: pa.array(ids_s[starts], pa.int64()),
@@ -240,7 +242,7 @@ def _line_dedup_shuffle(narrow: rd.Dataset, dup_ds: rd.Dataset, *,
         removed.map_batches(add_part, batch_format="pyarrow")
         .groupby("dpart").map_groups(collect_part, batch_format="pyarrow"),
         empty_schema=pa.schema([(id_col, pa.int64()),
-                                ("removed_blob", pa.binary())]))
+                                ("removed_blob", pa.large_binary())]))
 
     joined = shuffle_hash_join(narrow, rem_lists, on=(id_col,), how="left")
 
@@ -249,13 +251,15 @@ def _line_dedup_shuffle(narrow: rd.Dataset, dup_ds: rd.Dataset, *,
         rp = batch["removed_blob"]
         if isinstance(rp, pa.ChunkedArray):
             rp = rp.combine_chunks()
+        if not pa.types.is_large_binary(rp.type):
+            rp = rp.cast(pa.large_binary())
         # decode the packed positions in one pass: per-row byte lengths give
         # the repeat counts; row slices are contiguous, so the value span is
         # one int64 view (nulls contribute zero bytes)
         n_rem = (pc.fill_null(pc.binary_length(rp), 0).to_numpy()
                  .astype(np.int64) // 8)
         rem_parent = np.repeat(np.arange(len(rp), dtype=np.int64), n_rem)
-        off = np.frombuffer(rp.buffers()[1], np.int32)[
+        off = np.frombuffer(rp.buffers()[1], np.int64)[
             rp.offset: rp.offset + len(rp) + 1]
         rem_pos = np.frombuffer(rp.buffers()[2], np.uint8)[
             off[0]: off[-1]].view(np.int64) if len(rp) else \

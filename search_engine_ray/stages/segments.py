@@ -226,7 +226,9 @@ def commit_empty_part(index_dir: str, part: int, cfg: IndexBuildConfig,
                      config_hash=config_hash, input_rows=0, n_docs=0,
                      n_terms=0, n_postings=0, total_tokens=0,
                      bytes_postings=0, bytes_docs=0, wall_sec=0.0,
-                     engine_version=__version__),
+                     engine_version=__version__,
+                     extra={"block_size": cfg.block_size,
+                            "store_positions": cfg.store_positions}),
     )
     commit_part_dir(tmp_dir, final_dir)
     from ..state.manifest import clear_failed_marker
@@ -556,6 +558,10 @@ def _build_segment_inner(group: pa.Table, part: int, index_dir: str,
                 bytes_docs=docs_tbl.nbytes,
                 wall_sec=round(wall, 4),
                 engine_version=__version__,
+                # numeric writer settings: merge_indexes re-encodes with the
+                # SAME block size instead of inferring it from skip metadata
+                extra={"block_size": cfg.block_size,
+                       "store_positions": cfg.store_positions},
             ),
         )
         commit_part_dir(tmp_dir, final_dir)

@@ -122,3 +122,54 @@ def test_merge_rejects_mixed_configs(ray_session, tmp_path):
     with pytest.raises(ValueError, match="different configs"):
         merge_indexes([str(tmp_path / "x"), str(tmp_path / "y")],
                       str(tmp_path / "z"))
+
+
+def test_merge_positional_byte_identity(ray_session, tmp_path):
+    """Positional indexes (store_positions=True) must merge losslessly:
+    merged segment files byte-identical to a fresh positional build, and
+    phrase search over the merged index returns the fresh build's rows
+    (regression: merge used to drop the positions columns silently)."""
+    from search_engine_ray.pipelines.phrase import phrase_search
+    from search_engine_ray.state.manifest import done_parts
+
+    cfg = IndexBuildConfig(morphology="simple", num_partitions=3,
+                           store_positions=True)
+    a, b = _corpus(0, 40), _corpus(40, 40)
+    build_index(_pages(a), str(tmp_path / "ia"), cfg, resume=False)
+    build_index(_pages(b), str(tmp_path / "ib"), cfg, resume=False)
+    build_index(_pages(a + b), str(tmp_path / "full"), cfg, resume=False)
+    merge_indexes([str(tmp_path / "ia"), str(tmp_path / "ib")],
+                  str(tmp_path / "merged"))
+    got = _seg_bytes(str(tmp_path / "merged"))
+    want = _seg_bytes(str(tmp_path / "full"))
+    assert got.keys() == want.keys()
+    for k in want:
+        assert got[k] == want[k], f"{k} differs"
+    # positions survived: a phrase hit exists and matches the fresh build
+    ph = ["banana", "cherry"]
+    rows_m = phrase_search(str(tmp_path / "merged"), ph).to_pandas()
+    rows_f = phrase_search(str(tmp_path / "full"), ph).to_pandas()
+    assert len(rows_f) > 0
+    cols = sorted(rows_f.columns)
+    assert rows_m[cols].sort_values(cols).reset_index(drop=True).equals(
+        rows_f[cols].sort_values(cols).reset_index(drop=True))
+    # manifests persist the numeric writer settings
+    for m in done_parts(str(tmp_path / "merged")).values():
+        assert m.extra.get("block_size") == cfg.block_size
+        assert m.extra.get("store_positions") is True
+
+
+def test_merge_uses_manifest_block_size(ray_session, tmp_path):
+    """A non-default block_size where no term spans >1 block used to be
+    re-encoded at the engine default; the manifest-persisted setting keeps
+    byte-identity."""
+    cfg = IndexBuildConfig(morphology="simple", num_partitions=2,
+                           block_size=256)
+    a, b = _corpus(0, 20), _corpus(20, 20)
+    build_index(_pages(a), str(tmp_path / "ia"), cfg, resume=False)
+    build_index(_pages(b), str(tmp_path / "ib"), cfg, resume=False)
+    build_index(_pages(a + b), str(tmp_path / "full"), cfg, resume=False)
+    merge_indexes([str(tmp_path / "ia"), str(tmp_path / "ib")],
+                  str(tmp_path / "merged"))
+    assert _seg_bytes(str(tmp_path / "merged")) == \
+        _seg_bytes(str(tmp_path / "full"))
