@@ -573,10 +573,65 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, n: int = 3, threshold: float = 0.5,
 # embedding cosine near-dup
 # --------------------------------------------------------------------------
 
+def drop_stop_terms(tf_ds: rd.Dataset, *, max_df: int,
+                    term_col: str = "term",
+                    max_broadcast_stop_terms: int = 5_000_000) -> rd.Dataset:
+    """Remove every (doc, term) row whose term's document frequency exceeds
+    ``max_df`` — BEFORE any term-keyed exchange sees those rows.
+
+    This is the skew shield for :func:`sparse_cosine_pairs`: a stopword's
+    posting set is corpus-sized, and routing it through ``groupby(term)``
+    just to discard it inside the group funnels the whole set through ONE
+    task.  The df table is vocab-scale (Ray's aggregate combines per block,
+    so the hot term itself costs one partial row per block, never a
+    co-located group), and the stop set — terms with df > max_df — is a
+    small suffix of it:
+
+    * stop set <= ``max_broadcast_stop_terms``: ``ray.put`` once, each
+      batch drops members via one vectorized ``is_in`` (zero exchange on
+      the tf stream);
+    * past the guard: hash-partitioned ANTI join against the stop set —
+      only then do tf rows shuffle, and the hot terms are on the SMALL
+      (stop) side, which hash-partitions evenly by term.
+    """
+    from ray.data.aggregate import Count
+
+    from .relational import drop_empty_blocks
+
+    stop = drop_empty_blocks(
+        tf_ds.groupby(term_col).aggregate(Count(alias_name="df"))
+        .map_batches(
+            lambda b: b.filter(pc.greater(b["df"], max_df))
+            .select([term_col]),
+            batch_format="pyarrow"),
+        empty_schema=pa.schema([(term_col, pa.string())]))
+
+    if stop.count() <= max_broadcast_stop_terms:
+        blocks = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
+                  for b in ray.get(stop.to_arrow_refs())]
+        st = pa.concat_tables(blocks, promote_options="permissive")
+        ref = ray.put(st[term_col].cast(pa.string()).combine_chunks())
+
+        def drop(batch: pa.Table) -> pa.Table:
+            stop_terms = ray.get(ref)
+            if len(stop_terms) == 0:
+                return batch
+            return batch.filter(pc.invert(pc.is_in(
+                batch[term_col], value_set=stop_terms)))
+
+        return tf_ds.map_batches(drop, batch_format="pyarrow")
+
+    from .relational import shuffle_hash_join
+
+    return shuffle_hash_join(tf_ds, stop, on=(term_col,), how="anti")
+
+
 def sparse_cosine_pairs(tf_ds: rd.Dataset, *, threshold: tuple[int, int],
                         max_df: int = 64, doc_col: str = "doc_id",
                         term_col: str = "term", tf_col: str = "tf",
-                        max_broadcast_docs: int = 5_000_000) -> rd.Dataset:
+                        max_broadcast_docs: int = 5_000_000,
+                        max_broadcast_stop_terms: int = 5_000_000
+                        ) -> rd.Dataset:
     """Document pairs whose raw-tf cosine similarity >= num/den — sparse
     all-pairs similarity over the INVERTED layout (a sixth dedup family:
     term-vector near-dup, the text analogue of ``embedding_dup_pairs``).
@@ -593,8 +648,11 @@ def sparse_cosine_pairs(tf_ds: rd.Dataset, *, threshold: tuple[int, int],
       order, identical in numpy and DuckDB:
       ``(numer * numer) * den^2 >= num^2 * (normsq_a * normsq_b)``.
 
-    Scale shape: ONE ``groupby(term)`` — each term group (<= max_df rows
-    by construction, so bounded quadratic) emits its pair partials AND its
+    Scale shape: stop terms are removed by :func:`drop_stop_terms` BEFORE
+    the term exchange (df pre-pass + broadcast/anti-join filter), so no
+    ``groupby(term)`` task ever receives a corpus-sized posting set; then
+    ONE ``groupby(term)`` — each term group (<= max_df rows by
+    construction, so bounded quadratic) emits its pair partials AND its
     diagonal (doc, doc, tf^2) rows into the SAME schema, so ONE further
     ``groupby(a, b)`` sums both numerators and norms; the diagonal splits
     off as the norms table, which joins back by broadcast below
@@ -602,6 +660,10 @@ def sparse_cosine_pairs(tf_ds: rd.Dataset, *, threshold: tuple[int, int],
     stage ever holds more than one term group + one batch.
     """
     num, den = threshold
+
+    tf_ds = drop_stop_terms(
+        tf_ds, max_df=max_df, term_col=term_col,
+        max_broadcast_stop_terms=max_broadcast_stop_terms)
 
     def per_term(group: pa.Table) -> pa.Table:
         m = group.num_rows

@@ -408,6 +408,42 @@ def test_sparse_cosine_pairs_matches_duckdb(ray_session):
     assert {(0, 1), (0, 2)} <= set(zip(ref.id_a, ref.id_b))  # planted dups
 
 
+def test_sparse_cosine_stop_terms_dropped_before_shuffle(ray_session):
+    """A forced hot term (df >> max_df) must never reach the term groupby:
+    drop_stop_terms removes it up front (both the broadcast and the
+    anti-join plan), no surviving term's group exceeds max_df rows, and
+    the pair output is identical to a run without the hot term at all."""
+    from search_engine_ray.stages.dedup import (drop_stop_terms,
+                                                sparse_cosine_pairs)
+
+    rng = np.random.RandomState(9)
+    pool = [f"t{i:02d}" for i in range(40)]  # cold terms: df ~ 4-5 << 8
+    rows = []
+    for d in range(60):
+        for t in rng.choice(pool, 3, replace=False):
+            rows.append((d, t, int(rng.randint(1, 5))))
+        rows.append((d, "the", 7))  # hot term: df=60 > max_df=8
+    tf_pd = pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
+    tf = rd.from_pandas(tf_pd).repartition(6)
+    cold = rd.from_pandas(tf_pd[tf_pd.term != "the"]).repartition(6)
+
+    for max_bt in (5_000_000, 0):  # broadcast plan, then anti-join plan
+        kept = drop_stop_terms(tf, max_df=8,
+                               max_broadcast_stop_terms=max_bt).to_pandas()
+        dfc = kept.groupby("term").size()
+        assert (dfc <= 8).all(), (max_bt, dfc[dfc > 8])
+        assert "the" not in set(kept.term), max_bt
+        assert len(kept) == len(tf_pd) - 60, max_bt
+
+        got = sparse_cosine_pairs(
+            tf, threshold=(1, 2), max_df=8,
+            max_broadcast_stop_terms=max_bt) \
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        want = sparse_cosine_pairs(cold, threshold=(1, 2), max_df=8) \
+            .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        assert got.equals(want), max_bt
+
+
 def test_linreg_sufficient_stats(ray_session):
     from search_engine_ray.stages.regression import (linreg_sufficient_stats,
                                                      solve_ridge_3x3)
