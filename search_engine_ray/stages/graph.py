@@ -212,17 +212,28 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "src",
             num_iters=num_iters, damping_num=damping_num,
             damping_den=damping_den, mass0=mass0, num_parts=num_parts)
 
-    rows = deg_ds.take_all()
-    nodes_sorted = np.array([r["node"] for r in rows], np.int64)
-    outdeg = np.array([r["deg"] for r in rows], np.int64)
-    order = np.argsort(nodes_sorted)
-    nodes_sorted, outdeg = nodes_sorted[order], outdeg[order]
+    # vertex table assembled task-side (one remote task, refs only on the
+    # driver) — even at the 100M-node guard the driver stays control-plane
+    # sized; prep/iter tasks read the two arrays straight from the store
+    @ray.remote(num_returns=2)
+    def assemble_vertices(*blocks):
+        nodes_l, deg_l = [], []
+        for b in blocks:  # aggregate() emits pandas OR arrow blocks
+            cols = (b.column_names if isinstance(b, pa.Table)
+                    else list(b.columns))
+            if "node" in cols and len(b):
+                nodes_l.append(np.asarray(b["node"].to_numpy(), np.int64))
+                deg_l.append(np.asarray(b["deg"].to_numpy(), np.int64))
+        nodes = (np.concatenate(nodes_l) if nodes_l
+                 else np.zeros(0, np.int64))
+        deg = np.concatenate(deg_l) if deg_l else np.zeros(0, np.int64)
+        order = np.argsort(nodes)
+        return nodes[order], deg[order]
+
+    nodes_ref, outdeg_ref = assemble_vertices.remote(*deg_ds.to_arrow_refs())
 
     base = (mass0 * (damping_den - damping_num)) // damping_den
-    n = nodes_sorted.size
-
-    nodes_ref = ray.put(nodes_sorted)
-    outdeg_ref = ray.put(outdeg)
+    n = n_nodes
 
     @ray.remote
     def prep_block(tbl: pa.Table, ns: np.ndarray, od: np.ndarray):
@@ -275,10 +286,12 @@ def pagerank(edges: rd.Dataset, *, src_col: str = "src",
                      for i in range(0, len(parts), fan_in)]
         pr_ref = next_pr.remote(*parts)
 
-    return rd.from_arrow(pa.table({
-        "node": pa.array(nodes_sorted, pa.int64()),
-        "pr": pa.array(ray.get(pr_ref), pa.int64()),
-    }))
+    @ray.remote
+    def to_table(ns: np.ndarray, pr: np.ndarray) -> pa.Table:
+        return pa.table({"node": pa.array(ns, pa.int64()),
+                         "pr": pa.array(pr, pa.int64())})
+
+    return rd.from_arrow_refs([to_table.remote(nodes_ref, pr_ref)])
 
 
 def _vertex_part(nodes: np.ndarray, num_parts: int) -> np.ndarray:
