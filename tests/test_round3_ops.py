@@ -315,6 +315,35 @@ def test_profile_numeric_columns(ray_session):
     assert rb.sum_cents == int(np.floor(df.b.dropna() * 100).sum())
 
 
+def test_profile_ndv_approx_accuracy(ray_session):
+    """HLL NDV mode: within 5% of the exact distinct count on a
+    high-cardinality column, exact-mode-identical everywhere else, and
+    invariant to block layout (register merge is associative)."""
+    from search_engine_ray.stages.profile import profile_numeric_columns
+
+    rng = np.random.RandomState(11)
+    df = pd.DataFrame({
+        "hi": rng.randint(0, 1 << 40, 20_000).astype(np.float64),
+        "lo": rng.randint(0, 7, 20_000).astype(np.float64),
+    })
+    out4 = profile_numeric_columns(rd.from_pandas(df).repartition(4),
+                                   ["hi", "lo"], ndv="approx")
+    out9 = profile_numeric_columns(rd.from_pandas(df).repartition(9),
+                                   ["hi", "lo"], ndv="approx")
+    # parallelism-invariant: same registers regardless of block layout
+    assert out4.n_distinct.tolist() == out9.n_distinct.tolist()
+    hi_est = int(out4[out4.column == "hi"].iloc[0].n_distinct)
+    hi_true = df.hi.nunique()
+    assert abs(hi_est - hi_true) / hi_true < 0.05
+    # the non-NDV stats are the exact aggregate either way
+    exact = profile_numeric_columns(rd.from_pandas(df).repartition(4),
+                                    ["hi", "lo"])
+    for c in ("n", "n_null", "min_v", "max_v", "sum_cents"):
+        assert out4[c].tolist() == exact[c].tolist()
+    # low-cardinality columns are near-exact under HLL
+    assert int(out4[out4.column == "lo"].iloc[0].n_distinct) == 7
+
+
 def test_zscore_outliers_exact(ray_session):
     from search_engine_ray.stages.profile import zscore_outliers
 
