@@ -347,6 +347,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          batch_format="pyarrow", batch_size=256,
                          concurrency=(1, 4), num_cpus=1)
 
+    def image_dup_pairs(sf_dir):
+        """Image NEAR-dup pairs end-to-end, composed the same way the text
+        dedup families end: real PNG decode -> frozen dHash fingerprint ->
+        16-bit band buckets -> in-bucket exact hamming verify ->
+        (doc_a, doc_b, hamming) pairs.  The corpus is built to CONTAIN
+        near-dups: four variants per group id (gid = doc_id // 4) share
+        dims and the quadratic fill pixel(x,y) = (x^2 + 3x + 7y + 5y^2
+        + gid*(x + 2y + 1)) mod 256 (quadratic, not a smooth gradient —
+        a plain gradient makes UNRELATED images collide at hamming<=2 and
+        the pair set degenerates to ~all pairs; measured 80,826 vs the
+        intended 750 at 500 docs), and each variant v = doc_id % 4
+        perturbs ONLY pixel (0,0) by 37*v — so group members differ in at
+        most one dHash bit (the (0,0) sample cell feeds exactly bit
+        j=0,i=0) while unrelated images differ in ~32.
+        The SQL oracle replays pixel formula, 9x8 integer sample
+        grid, bit packing, band split, self-join and popcount literal-for-
+        literal, so decode, hash, bucketing and verify all hash-match
+        exactly (recall is EXACT here by pigeonhole: <=2 differing bits
+        cannot touch all four 16-bit bands)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.functions.png import encode_png
+        from search_engine_ray.stages.dedup import dhash_pairs
+        from search_engine_ray.stages.multimodal import DHashImage
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+
+        def attach(batch: pa.Table) -> pa.Table:
+            payloads = []
+            for did in batch["doc_id"].to_pylist():
+                gid, v = did // 4, did % 4
+                w, h = 8 + gid % 24, 8 + (5 * gid) % 24
+                x = np.arange(w, dtype=np.int64)
+                y = np.arange(h, dtype=np.int64)
+                xx, yy = x[None, :], y[:, None]
+                px = (xx * xx + 3 * xx + 7 * yy + 5 * yy * yy
+                      + gid * (xx + 2 * yy + 1))
+                px[0, 0] += 37 * v
+                payloads.append(encode_png((px % 256).astype(np.uint8)))
+            return batch.append_column("payload",
+                                       pa.array(payloads, pa.binary()))
+
+        sig = ds.map_batches(attach, batch_format="pyarrow",
+                             batch_size=256) \
+            .map_batches(DHashImage, fn_constructor_kwargs={"decoder": "png"},
+                         batch_format="pyarrow", batch_size=256,
+                         concurrency=(1, 4), num_cpus=1)
+        # max_bucket far above the sf0.01/sf0.1 corpus: the entry witnesses
+        # the EXACT pair semantics (the SQL oracle has no cap); production
+        # callers keep the default cap and accept logged drops
+        return dhash_pairs(sig, max_hamming=2, max_bucket=100_000)
+
     def audio_features(sf_dir):
         """REAL WAV decode (stdlib RIFF PCM16) + integer-exact signal
         features: synthetic deterministic waveforms (sample i =
@@ -1604,6 +1659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_png": image_meta_png,
         "image_meta_jpeg": image_meta_jpeg,
         "image_dhash": image_dhash,
+        "image_dup_pairs": image_dup_pairs,
         "audio_features": audio_features,
         "site_stats": site_stats,
         "lang_distribution": lang_distribution,
@@ -1851,6 +1907,67 @@ SELECT doc_id,
        SUM(CASE WHEN j < 4 THEN bit << (j * 8 + i) ELSE 0 END)::BIGINT
            AS dhash_lo
 FROM b GROUP BY doc_id
+"""
+
+    # image near-dup pairs: replay pixel formula (incl. the per-variant
+    # (0,0) perturbation), sample grid, bit packing, band split, band
+    # self-join and popcount verify literal-for-literal
+    sql["image_dup_pairs"] = """
+WITH dm AS (
+    SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v,
+           (8 + (doc_id // 4) % 24)::BIGINT AS w,
+           (8 + (5 * (doc_id // 4)) % 24)::BIGINT AS h
+    FROM documents
+),
+g AS (
+    -- sampled gray value at grid column xs, grid row ys (the quadratic
+    -- fill + the variant-v perturbation of pixel (0,0))
+    SELECT dm.doc_id, j.j, i.i,
+           ((i.i * dm.w) // 9) AS xs, ((j.j * dm.h) // 8) AS ys,
+           dm.gid, dm.v
+    FROM dm, range(8) j(j), range(9) i(i)
+),
+gv AS (
+    SELECT doc_id, j, i,
+           (xs * xs + 3 * xs + 7 * ys + 5 * ys * ys
+            + gid * (xs + 2 * ys + 1)
+            + CASE WHEN xs = 0 AND ys = 0 THEN 37 * v ELSE 0 END) % 256
+               AS val
+    FROM g
+),
+b AS (
+    SELECT a.doc_id, a.j, a.i,
+           CASE WHEN r.val > a.val THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+    FROM gv a JOIN gv r
+      ON r.doc_id = a.doc_id AND r.j = a.j AND r.i = a.i + 1
+    WHERE a.i < 8
+),
+hsh AS (
+    SELECT doc_id,
+           SUM(CASE WHEN j >= 4 THEN bit << ((j - 4) * 8 + i) ELSE 0 END)::BIGINT
+               AS hi,
+           SUM(CASE WHEN j < 4 THEN bit << (j * 8 + i) ELSE 0 END)::BIGINT
+               AS lo
+    FROM b GROUP BY doc_id
+),
+bands AS (
+    SELECT doc_id, hi, lo, k.k,
+           CASE k.k WHEN 0 THEN lo & 65535
+                    WHEN 1 THEN (lo >> 16) & 65535
+                    WHEN 2 THEN hi & 65535
+                    ELSE (hi >> 16) & 65535 END AS val
+    FROM hsh, range(4) k(k)
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b,
+           a.hi AS ha, a.lo AS la, c.hi AS hb, c.lo AS lb
+    FROM bands a JOIN bands c
+      ON a.k = c.k AND a.val = c.val AND a.doc_id < c.doc_id
+)
+SELECT doc_a, doc_b,
+       (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::INTEGER AS hamming
+FROM cand
+WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 2
 """
 
     # WAV round trip: the oracle recomputes the synthetic waveform's

@@ -387,16 +387,32 @@ def simhash_pairs(ds: rd.Dataset, *, max_hamming: int = 8,
     sig_ds = ds.map_batches(_SimHashStage,
                             fn_constructor_kwargs=dict(text_col=text_col, id_col=id_col),
                             batch_format="pyarrow", concurrency=(1, 8))
+    return sig_hamming_pairs(sig_ds, sig_col="simhash",
+                             max_hamming=max_hamming, max_bucket=max_bucket)
+
+
+def sig_hamming_pairs(sig_ds: rd.Dataset, *, sig_col: str,
+                      max_hamming: int = 8,
+                      max_bucket: int = 500) -> rd.Dataset:
+    """Generic banded-LSH hamming-pair stage over ANY 64-bit fingerprint
+    column (``doc_id:int64, sig_col:uint64``): explode each signature into
+    its four 16-bit bands, hash-partition by (band, band value) — coarse
+    parts, see ``_shuffle_parts`` — and verify exact hamming distance inside
+    each band bucket.  Pigeonhole recall: a pair differing in <= 15 bits
+    whose differing bits all avoid one band is always found; buckets wider
+    than ``max_bucket`` (degenerate/constant fingerprints) are dropped with
+    a logged count, bounding the quadratic verify.  Shared by SimHash text
+    dedup and dHash image dedup."""
 
     def explode_bands(batch: pa.Table) -> pa.Table:
         ids = batch["doc_id"].to_numpy()
-        sigs = batch["simhash"].to_numpy()
+        sigs = batch[sig_col].to_numpy()
         n = len(ids)
         out_id = np.repeat(ids, 4)
         out_sig = np.repeat(sigs, 4)
         band = np.tile(np.arange(4, dtype=np.int32), n)
         band_val = (out_sig >> (band.astype(np.uint64) * np.uint64(16))) & np.uint64(0xFFFF)
-        return pa.table({"doc_id": pa.array(out_id), "simhash": pa.array(out_sig),
+        return pa.table({"doc_id": pa.array(out_id), "sig": pa.array(out_sig),
                          "band": pa.array(band), "band_val": pa.array(band_val)})
 
     banded = sig_ds.map_batches(explode_bands, batch_format="pyarrow")
@@ -413,7 +429,7 @@ def simhash_pairs(ds: rd.Dataset, *, max_hamming: int = 8,
         bandc = group["band"].to_numpy().astype(np.uint64)
         bvc = group["band_val"].to_numpy()
         idsc = group["doc_id"].to_numpy()
-        sigc = group["simhash"].to_numpy().astype(np.uint64)
+        sigc = group["sig"].to_numpy().astype(np.uint64)
         order, starts, ends = _key_runs(bandc, bvc)
         a_out, b_out, h_out = [], [], []
         dropped_buckets = dropped_rows = 0
@@ -440,9 +456,9 @@ def simhash_pairs(ds: rd.Dataset, *, max_hamming: int = 8,
                     h_out.append(int(hs[off]))
         if dropped_buckets:
             logging.getLogger(__name__).warning(
-                "simhash: dropped %d over-full band buckets "
+                "sig_hamming_pairs(%s): dropped %d over-full band buckets "
                 "(> max_bucket=%d; %d member rows) in this part",
-                dropped_buckets, max_bucket, dropped_rows)
+                sig_col, dropped_buckets, max_bucket, dropped_rows)
         return pa.table({"doc_a": pa.array(a_out, pa.int64()),
                          "doc_b": pa.array(b_out, pa.int64()),
                          "hamming": pa.array(h_out, pa.int32())})
@@ -451,6 +467,31 @@ def simhash_pairs(ds: rd.Dataset, *, max_hamming: int = 8,
         .groupby("bpart").map_groups(part_bucket_pairs, batch_format="pyarrow")
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
+
+
+def dhash_pairs(sig_ds: rd.Dataset, *, max_hamming: int = 2,
+                max_bucket: int = 500) -> rd.Dataset:
+    """Image near-dup pairs from dHash fingerprints: input is the
+    ``DHashImage`` output (``doc_id:int64, dhash_hi:int64, dhash_lo:int64``
+    — the two signed-int32-range halves of the 64-bit difference hash);
+    pack the halves back into one uint64 and run the shared banded
+    hamming-pair stage (``sig_hamming_pairs``).  Completes the image story
+    the same way the text families end: fingerprint -> bucket -> verify ->
+    ``(doc_a, doc_b, hamming)`` pairs, optionally fed to
+    ``connected_components`` for clusters.  The decode+dHash upstream is
+    the expensive actor-pool stage; this stage moves 16 bytes per image."""
+
+    def pack(batch: pa.Table) -> pa.Table:
+        hi = batch["dhash_hi"].to_numpy().astype(np.uint64)
+        lo = batch["dhash_lo"].to_numpy().astype(np.uint64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "sig64": pa.array((hi << np.uint64(32)) | lo, pa.uint64()),
+        })
+
+    packed = sig_ds.map_batches(pack, batch_format="pyarrow")
+    return sig_hamming_pairs(packed, sig_col="sig64",
+                             max_hamming=max_hamming, max_bucket=max_bucket)
 
 
 # --------------------------------------------------------------------------

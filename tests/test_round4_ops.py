@@ -1,0 +1,91 @@
+"""Round-4 operator tests: generic fingerprint hamming pairs (shared by
+SimHash text dedup and dHash image dedup), HLL profile NDV (see
+test_round3_ops for the accuracy test), and scatter-path phrase search."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def test_sig_hamming_pairs_exact(ray_session):
+    """Known 64-bit signatures -> exact pair set: pigeonhole recall is
+    EXACT for hamming <= 15 with four 16-bit bands, so every qualifying
+    pair must appear, with its true distance, exactly once."""
+    from search_engine_ray.stages.dedup import sig_hamming_pairs
+
+    base = 0x0123456789ABCDEF
+    sigs = {
+        1: base,
+        2: base ^ 0x1,                  # hamming 1 from base
+        3: base ^ 0x3,                  # hamming 2 from base, 1 from #2
+        4: base ^ (1 << 63),            # hamming 1, in the top band
+        5: 0xFEDCBA9876543210,          # far from everything
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(sigs), pa.int64()),
+        "sig": pa.array([np.uint64(v) for v in sigs.values()], pa.uint64()),
+    }))
+    out = sig_hamming_pairs(ds, sig_col="sig", max_hamming=2) \
+        .to_pandas().sort_values(["doc_a", "doc_b"]).reset_index(drop=True)
+    got = {(int(r.doc_a), int(r.doc_b)): int(r.hamming)
+           for r in out.itertuples()}
+    # exact expected set, distances verified by hand:
+    #   1-2: 1 bit; 1-3: 2 bits; 2-3: 1 bit; 1-4: 1 bit; 2-4: 2 bits;
+    #   3-4: 3 bits (> max) -> absent; 5 pairs with nothing
+    assert got == {(1, 2): 1, (1, 3): 2, (2, 3): 1, (1, 4): 1, (2, 4): 2}
+
+
+def test_sig_hamming_pairs_bucket_cap(ray_session):
+    """Over-full band buckets are dropped (bounded quadratic verify):
+    constant signatures exceed max_bucket and yield no pairs, while a
+    small distinct group still pairs."""
+    from search_engine_ray.stages.dedup import sig_hamming_pairs
+
+    n = 30
+    ids = np.arange(n, dtype=np.int64)
+    sigs = np.full(n, 0xAAAAAAAAAAAAAAAA, np.uint64)
+    # two extra docs whose shared-band buckets stay small
+    ids = np.concatenate([ids, [100, 101]])
+    sigs = np.concatenate(
+        [sigs, np.array([0x5555000012340000, 0x5555000012340001], np.uint64)])
+    ds = rd.from_arrow(pa.table({"doc_id": pa.array(ids, pa.int64()),
+                                 "sig": pa.array(sigs, pa.uint64())}))
+    out = sig_hamming_pairs(ds, sig_col="sig", max_hamming=2,
+                            max_bucket=10).to_pandas()
+    got = {(int(r.doc_a), int(r.doc_b)): int(r.hamming)
+           for r in out.itertuples()}
+    assert got == {(100, 101): 1}
+
+
+def test_dhash_pairs_groups_images(ray_session):
+    """dHash -> band bucket -> hamming verify finds perturbed variants of
+    the same base image and nothing else."""
+    from search_engine_ray.functions.png import encode_png
+    from search_engine_ray.stages.dedup import dhash_pairs
+    from search_engine_ray.stages.multimodal import DHashImage
+
+    rng = np.random.RandomState(7)
+    imgs, ids = [], []
+    for g in range(5):
+        base = (rng.randint(0, 64, (24, 32)).astype(np.int64) * 4) \
+            .astype(np.uint8)
+        for v in range(3):
+            im = base.copy()
+            im[0, 0] ^= v  # off-grid tweak: <= 2 dHash bits
+            imgs.append(encode_png(im))
+            ids.append(g * 10 + v)
+    tbl = pa.table({"doc_id": pa.array(ids, pa.int64()),
+                    "payload": pa.array(imgs, pa.binary())})
+    sig = rd.from_arrow(tbl).map_batches(
+        DHashImage, fn_constructor_kwargs={"decoder": "png"},
+        batch_format="pyarrow", concurrency=1)
+    out = dhash_pairs(sig, max_hamming=2).to_pandas()
+    for r in out.itertuples():
+        assert int(r.doc_a) // 10 == int(r.doc_b) // 10, \
+            f"cross-group pair {r.doc_a}-{r.doc_b}"
+    # every group's (v0, v1, v2) trio collapses to >= 1 found pair
+    groups_with_pairs = {int(r.doc_a) // 10 for r in out.itertuples()}
+    assert groups_with_pairs == set(range(5))
