@@ -841,6 +841,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["user_id", "value"])
         return profile_numeric_columns(ds, ["user_id", "value"])
 
+    def events_profile_hll(sf_dir):
+        """Profiling with the HLL approx-NDV plan (``ndv='approx'``): each
+        block folds values into one 4 KB register row per column, registers
+        merge by element-wise max — NOTHING cardinality-proportional moves,
+        the corpus-scale NDV path for id/hash columns.  Probabilistic
+        family: no SQL oracle (rows-only driver check, like
+        ``approx_users_daily``); the ±2% accuracy and parallelism
+        invariance are pytest-gated (test_round3_ops)."""
+        from search_engine_ray.stages.profile import profile_numeric_columns
+        import ray.data as rd
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["user_id", "value"])
+        return profile_numeric_columns(ds, ["user_id", "value"],
+                                       ndv="approx")
+
     def events_anomaly(sf_dir):
         """Two-pass z-score outlier filter in exact integer arithmetic:
         (n*x - S)^2 > z^2 (n*Q - S^2) over cents — boundary rows classify
@@ -1370,6 +1386,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "n_matches": res["n_matches"].astype("int64"),
         })
 
+    def search_phrase_scatter(sf_dir):
+        """The same phrase query through the SCATTER/GATHER searcher pool
+        (pipelines/scatter): phrase, AND, and BM25 now share the
+        PartRangeSearcher actors — each actor runs the positional
+        intersection over its partition range in parallel, the gather is a
+        concat (disjoint doc ranges).  Must hash-match search_phrase,
+        search_phrase_idx AND the SQL oracle."""
+        import pandas as pd
+
+        from search_engine_ray.pipelines.docqueries import (_src_ids_of,
+                                                            cached_index)
+        from search_engine_ray.pipelines.scatter import ScatterIndex
+
+        idx = cached_index(sf_dir, store_positions=True)
+        with ScatterIndex(idx, preload=False) as sc:
+            res = sc.phrase(["table", "hash"]).to_pandas()
+        if not len(res):
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "n_matches": pd.Series(dtype="int64")})
+        res = res.sort_values("doc_id").reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": _src_ids_of(idx, res["doc_id"].tolist()),
+            "n_matches": res["n_matches"].astype("int64"),
+        })
+
     def doc_linreg(sf_dir):
         """Distributed closed-form regression via exact integer sufficient
         statistics (stages/regression): predict text length from space and
@@ -1421,6 +1462,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         tf = docs.map_batches(NgramTF, fn_constructor_kwargs={"n": 2},
                               batch_format="pyarrow", concurrency=(1, 8))
         return sparse_cosine_pairs(tf, threshold=(2, 5), max_df=128)
+
+    def sparse_stop_pairs(sf_dir):
+        """``sparse_cosine_pairs`` under a LOW df cap (16) over the same
+        bigram vectors as ``doc_cosine_pairs``: at sf0.1 ~900 hot bigrams
+        (df > 128) are removed by the ``drop_stop_terms`` pre-pass BEFORE
+        the term shuffle ever sees them — the end-to-end witness for the
+        round-3 skew fix (no ``groupby(term)`` task receives a
+        corpus-sized posting set).  Threshold 3/5; the SQL oracle replays
+        the df filter and the same fixed-order IEEE comparison."""
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.phrase import NgramTF
+        from search_engine_ray.stages.dedup import sparse_cosine_pairs
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        tf = docs.map_batches(NgramTF, fn_constructor_kwargs={"n": 2},
+                              batch_format="pyarrow", concurrency=(1, 8))
+        return sparse_cosine_pairs(tf, threshold=(3, 5), max_df=16)
 
     def similar_docs(sf_dir):
         """Levenshtein similarity self-join over 24-char text prefixes,
@@ -1679,6 +1739,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_except_all": orders_except_all,
         "events_by_hour": events_by_hour,
         "events_profile": events_profile,
+        "events_profile_hll": events_profile_hll,
         "events_anomaly": events_anomaly,
         "urgent_lineitems_bloom": urgent_lineitems_bloom,
         "events_range_join": events_range_join,
@@ -1715,9 +1776,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_embed": kmeans_embed,
         "similar_docs": similar_docs,
         "doc_cosine_pairs": doc_cosine_pairs,
+        "sparse_stop_pairs": sparse_stop_pairs,
         "doc_linreg": doc_linreg,
         "search_phrase": search_phrase,
         "search_phrase_idx": search_phrase_idx,
+        "search_phrase_scatter": search_phrase_scatter,
         "warc_roundtrip": warc_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
         "csv_roundtrip": csv_roundtrip,
@@ -2581,8 +2644,11 @@ FROM c
 
     # Sparse bigram-tf cosine pairs: the positions CTE self-joins into
     # bigrams, the df cap is part of the spec, and the threshold test is
-    # the identical IEEE float64 expression the engine evaluates
-    sql["doc_cosine_pairs"] = f"""
+    # the identical IEEE float64 expression the engine evaluates.
+    # Parameterized over (df cap, num^2, den^2) so the low-cap
+    # stop-drop witness (sparse_stop_pairs) shares the CTE verbatim.
+    def _sparse_cosine_sql(cap: int, num: int, den: int) -> str:
+        return f"""
 WITH toks AS (
     SELECT doc_id,
            regexp_extract(tok, '{TOKEN_RE_SQL}', 1) AS term,
@@ -2607,7 +2673,7 @@ big AS (
 tfb AS (SELECT doc_id, term, COUNT(*)::BIGINT AS tf FROM big
         GROUP BY doc_id, term),
 df AS (SELECT term, COUNT(*) AS n FROM tfb GROUP BY term),
-tf2 AS (SELECT tfb.* FROM tfb JOIN df USING (term) WHERE df.n <= 128),
+tf2 AS (SELECT tfb.* FROM tfb JOIN df USING (term) WHERE df.n <= {cap}),
 norms AS (SELECT doc_id, SUM(tf * tf)::BIGINT AS normsq FROM tf2
           GROUP BY doc_id),
 pairs AS (
@@ -2621,11 +2687,17 @@ SELECT p.id_a, p.id_b, p.numer,
 FROM pairs p
 JOIN norms na ON na.doc_id = p.id_a
 JOIN norms nb ON nb.doc_id = p.id_b
-WHERE (p.numer::DOUBLE * p.numer::DOUBLE) * 25.0
-      >= 4.0 * (na.normsq::DOUBLE * nb.normsq::DOUBLE)
+WHERE (p.numer::DOUBLE * p.numer::DOUBLE) * {float(den * den)}
+      >= {float(num * num)} * (na.normsq::DOUBLE * nb.normsq::DOUBLE)
 """
+
+    sql["doc_cosine_pairs"] = _sparse_cosine_sql(128, 2, 5)
+    sql["sparse_stop_pairs"] = _sparse_cosine_sql(16, 3, 5)
+
     # the positional-postings path must answer identically
     sql["search_phrase_idx"] = sql["search_phrase"]
+    # ... and so must the scatter-pool phrase path
+    sql["search_phrase_scatter"] = sql["search_phrase"]
 
     # Byte-level Levenshtein (DuckDB's levenshtein measures UTF-8 bytes);
     # the engine's prefilters are loss-free necessary conditions, so the

@@ -167,6 +167,9 @@ HEADLINE = [
     "doc_cosine_pairs", "user_retention", "user_event_seq", "doc_linreg",
     "knn_pq", "dictionary_incremental", "jsonl_roundtrip", "csv_roundtrip",
     "orders_except_all", "events_by_hour", "events_profile", "customer_orders_full", "events_anomaly",
+    # round-4 operators
+    "image_dup_pairs", "sparse_stop_pairs", "events_profile_hll",
+    "search_phrase_scatter",
 ]
 
 

@@ -72,6 +72,19 @@ class PartRangeSearcher:
     def site_term_sets(self, lemmas: list[str]) -> dict[str, set[str]]:
         return self.ix._site_term_sets(lemmas)
 
+    def phrase_counts(self, terms: list[str]):
+        """(doc_id, n_matches) for the normalized phrase over THIS actor's
+        partition range — the positional-postings intersection kernel
+        (pipelines/phrase._phrase_part), one pruned read per owned part.
+        Ranges hold disjoint documents, so the driver just concatenates."""
+        import pyarrow as pa
+
+        from .phrase import _phrase_part
+
+        outs = [_phrase_part(self.ix.index_dir, f"part={p:05d}", terms)
+                for p in self.ix.parts]
+        return pa.concat_tables(outs)
+
     def assemble(self, doc_ids: list[int], scores: list[float],
                  lemmas: list[str], morphology: str, with_snippets: bool,
                  settings: SearchSettings | None) -> list[dict]:
@@ -187,6 +200,23 @@ class ScatterIndex:
         data = self._assemble_scatter(page_ids, page_scores, lemmas,
                                       morphology, with_snippets, settings)
         return SearchResponse(result=True, count=count, data=data)
+
+    def phrase(self, phrase, *, morphology: str = "simple"):
+        """Phrase query through the SAME searcher pool as AND/BM25 (ST5):
+        each actor intersects positional postings over its partition range
+        in parallel; disjoint doc ranges mean the gather is a concat, no
+        merge logic.  Returns a pyarrow Table (doc_id, n_matches),
+        identical to ``pipelines.phrase.phrase_search`` on the same index
+        (requires an index built with ``store_positions=True``)."""
+        import pyarrow as pa
+
+        from .phrase import normalize_phrase
+
+        terms = normalize_phrase(phrase, morphology)
+        if not terms:
+            raise ValueError("phrase normalizes to no terms")
+        tabs = ray.get([a.phrase_counts.remote(terms) for a in self.actors])
+        return pa.concat_tables(tabs)
 
     def _bm25_scatter(self, lemmas: list[str], k: int, site: str | None,
                       params: Bm25Params) -> list[tuple[float, int]]:

@@ -60,6 +60,47 @@ def test_sig_hamming_pairs_bucket_cap(ray_session):
     assert got == {(100, 101): 1}
 
 
+def test_scatter_phrase_matches_phrase_search(ray_session, tmp_path):
+    """Phrase through the PartRangeSearcher pool must equal the
+    per-partition phrase_search path row-for-row (disjoint ranges ->
+    concat gather), on a 3-partition positional index split across
+    2 actors."""
+    from search_engine_ray.config import IndexBuildConfig
+    from search_engine_ray.pipelines.build import build_index
+    from search_engine_ray.pipelines.phrase import phrase_search
+    from search_engine_ray.pipelines.scatter import ScatterIndex
+
+    rng = np.random.RandomState(11)
+    words = ["apple", "banana", "cherry", "date", "elder"]
+    rows = []
+    for i in range(40):
+        toks = [words[t] for t in rng.randint(0, len(words), 10)]
+        if i % 3 == 0:
+            toks[2:2] = ["apple", "banana"]
+        rows.append((f"http://s{i % 2}.example/p{i}", 1_000_000 * (i + 1),
+                     " ".join(toks)))
+    pages = rd.from_arrow(pa.table({
+        "url": pa.array([r[0] for r in rows]),
+        "warc_ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+        "html": pa.array(
+            [f"<html><title>t</title><body>{r[2]}</body></html>".encode()
+             for r in rows], pa.binary()),
+    }))
+    idx = str(tmp_path / "idx")
+    build_index(pages, idx,
+                IndexBuildConfig(morphology="simple", num_partitions=3,
+                                 store_positions=True, block_size=4),
+                resume=False)
+
+    direct = phrase_search(idx, ["apple", "banana"]).to_pandas() \
+        .sort_values("doc_id").reset_index(drop=True)
+    with ScatterIndex(idx, num_searchers=2, preload=False) as sc:
+        pooled = sc.phrase(["apple", "banana"]).to_pandas() \
+            .sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(direct, pooled)
+    assert len(direct) >= 13  # every i%3==0 doc matches
+
+
 def test_dhash_pairs_groups_images(ray_session):
     """dHash -> band bucket -> hamming verify finds perturbed variants of
     the same base image and nothing else."""
