@@ -64,12 +64,27 @@ def make_run_writer(runs_dir: str, exchange_group: int = 1):
 
     def write_runs(batch: pa.Table) -> pa.Table:
         parts = batch["part"].to_numpy(zero_copy_only=False)
+        # ONE stable part-sort + zero-copy slices replace the old
+        # per-group filter scans (k full mask passes over the batch), and
+        # — the real win — every run file's rows arrive PART-SORTED, so
+        # the phase-B reader splits them with zero-copy slices instead of
+        # a full materializing argsort+take of every byte (phase B is the
+        # DRAM-bound side; the writer runs in phase A, which scales).
+        if parts.size > 1 and np.any(np.diff(parts) < 0):
+            order = np.argsort(parts, kind="stable")
+            batch = batch.take(pa.array(order, pa.int64()))
+            parts = parts[order]
         grps = parts // np.int32(exchange_group)
-        uniq = np.unique(grps)
+        bounds = np.flatnonzero(np.diff(grps)) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [grps.size]))
         rows = []
-        for g in uniq:
-            sub = batch.filter(pa.array(grps == g))
-            d = os.path.join(runs_dir, f"grp={int(g)}")
+        for s, e in zip(starts, ends):
+            if e <= s:
+                continue
+            g = int(grps[s])
+            sub = batch.slice(s, e - s)
+            d = os.path.join(runs_dir, f"grp={g}")
             os.makedirs(d, exist_ok=True)
             tmp = os.path.join(d, f".tmp-run-{uuid.uuid4().hex}.parquet")
             # snappy+dictionary (parquet defaults) measured FASTER end-to-end
@@ -80,7 +95,7 @@ def make_run_writer(runs_dir: str, exchange_group: int = 1):
             # bytes through tmpfs beats saving codec CPU
             pq.write_table(sub, tmp)
             os.rename(tmp, tmp.replace(".tmp-run-", "run-"))
-            rows.append((int(g), sub.num_rows))
+            rows.append((g, sub.num_rows))
         return pa.table({
             "grp": pa.array([r[0] for r in rows], pa.int32()),
             "rows": pa.array([r[1] for r in rows], pa.int64()),
@@ -168,10 +183,18 @@ def make_runs_segment_builder(runs_dir: str, index_dir: str,
                 if uniq.size == 1:
                     chunks.setdefault(int(uniq[0]), []).append(t)
                     continue
-                order = np.argsort(parts, kind="stable")
-                tt = t.take(pa.array(order, pa.int64()))
-                ps = parts[order]
-                bounds = np.flatnonzero(np.diff(ps)) + 1
+                diffs = np.diff(parts)
+                if np.all(diffs >= 0):
+                    # run files are written part-sorted (make_run_writer):
+                    # the split is pure zero-copy slices — no materializing
+                    # take, no extra DRAM pass over the heavy columns
+                    tt, ps = t, parts
+                else:  # legacy / externally-written unsorted run
+                    order = np.argsort(parts, kind="stable")
+                    tt = t.take(pa.array(order, pa.int64()))
+                    ps = parts[order]
+                    diffs = np.diff(ps)
+                bounds = np.flatnonzero(diffs) + 1
                 starts = np.concatenate(([0], bounds))
                 ends = np.concatenate((bounds, [ps.size]))
                 for s, e in zip(starts, ends):
