@@ -312,6 +312,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def image_meta_jpeg(sf_dir):
         return dq.q_image_meta_jpeg(sf_dir)
 
+    def image_meta_jpeg420(sf_dir):
+        """The same decoded-pixel oracle over 4:2:0 CHROMA-SUBSAMPLED
+        MCU-interleaved JPEG streams (the dominant real-Common-Crawl
+        encoding): constant-fill chroma survives the frozen box-downsample
+        + replication-upsample exactly, so a wrong MCU interleave order,
+        chroma grid, or upsample all hash-mismatch the 4:4:4 oracle."""
+        return dq.q_image_meta_jpeg(sf_dir, subsampling="420")
+
     def image_dhash(sf_dir):
         """Perceptual image fingerprint (dHash) over REAL decoded pixels:
         gradient-fill PNGs (pixel(x,y) = (3x+7y+doc_id) mod 256, dims from
@@ -1718,6 +1726,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta": image_meta,
         "image_meta_png": image_meta_png,
         "image_meta_jpeg": image_meta_jpeg,
+        "image_meta_jpeg420": image_meta_jpeg420,
         "image_dhash": image_dhash,
         "image_dup_pairs": image_dup_pairs,
         "audio_features": audio_features,
@@ -1817,7 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_analytic",
         # (c) new this round
         "image_dup_pairs", "search_phrase_scatter", "events_profile_hll",
-        "sparse_stop_pairs",
+        "sparse_stop_pairs", "image_meta_jpeg420",
         # representative already-green fill (flagship + each family)
         "tf", "dictionary", "dictionary_incremental", "search_ref",
         "search_bm25", "search_batch", "search_scatter", "customer_orders",
@@ -1935,6 +1944,8 @@ SELECT d.doc_id,
             ELSE (u.rr + u.gg + u.bb) / 3.0 END AS mean_luma
 FROM documents d JOIN u ON u.doc_id = d.doc_id
 """
+    # 4:2:0 streams decode to the SAME pixels for constant fills
+    sql["image_meta_jpeg420"] = sql["image_meta_jpeg"]
 
     sql["site_stats"] = f"""
 WITH {_TF_CTE}

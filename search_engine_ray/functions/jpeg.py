@@ -8,12 +8,18 @@ Common-Crawl-style image pipeline needs a built-in decode path the same way
 Scope (documented subset, raises loudly outside it):
 
 * **baseline sequential DCT** (SOF0), 8-bit precision;
-* 1 component (grayscale) or 3 components (YCbCr 4:4:4 — no chroma
-  subsampling; every sampling factor must be 1);
+* 1 component (grayscale) or 3 components (YCbCr), sampling factors up
+  to 2x2 — i.e. 4:4:4, 4:2:0 (the dominant real-Common-Crawl encoding),
+  4:2:2 and 4:4:0 all decode; the encoder writes 4:4:4 (default) or
+  4:2:0 MCU-interleaved streams;
+* chroma resampling contract (frozen, SQL-replayable): downsample is the
+  2x2 box mean with ``floor(x + 0.5)`` rounding (= ``(a+b+c+d+2)//4`` on
+  integer samples), upsample is plain sample replication;
 * standard JFIF byte stream: SOI/APP0/DQT/SOF0/DHT/SOS/EOI with the
   ITU-T T.81 Annex-K quantization and Huffman tables on the encode side
   (the decoder builds its tables from the file's DHT/DQT segments, so it
-  reads any conforming baseline 4:4:4 stream, not just our own);
+  reads any conforming baseline stream within the subset, not just our
+  own);
 * no progressive (SOF2), no arithmetic coding, no restart intervals.
 
 Determinism contract (what makes an SQL oracle possible, mirroring the
@@ -248,10 +254,23 @@ def _encode_plane_blocks(qcoef: np.ndarray, prev_dc: int, dc_codes, ac_codes,
     return dc
 
 
-def encode_jpeg(arr: np.ndarray, *, quality: int = 100) -> bytes:
+def _box_down2(plane: np.ndarray) -> np.ndarray:
+    """Frozen 2x2 box downsample: floor(mean + 0.5) on integer samples
+    (== (a+b+c+d+2)//4).  Input dims must be even."""
+    s = plane[0::2, 0::2] + plane[1::2, 0::2] \
+        + plane[0::2, 1::2] + plane[1::2, 1::2]
+    return np.floor(s / 4.0 + 0.5)
+
+
+def encode_jpeg(arr: np.ndarray, *, quality: int = 100,
+                subsampling: str = "444") -> bytes:
     """Encode (h, w) or (h, w, 1) grayscale / (h, w, 3) RGB uint8 to
     baseline JFIF.  ``quality=100`` (all-ones quant tables) round-trips
-    constant-fill images exactly — the oracle contract."""
+    constant-fill images exactly — the oracle contract (it holds for
+    ``subsampling="420"`` too: a constant plane box-downsamples and
+    replication-upsamples to itself)."""
+    if subsampling not in ("444", "420"):
+        raise ValueError("subsampling must be '444' or '420'")
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -260,10 +279,24 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 100) -> bytes:
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
     color = nc == 3
-    planes = _rgb_to_ycbcr(arr) if color \
-        else [arr[:, :, 0].astype(np.float64)]
+    sub420 = color and subsampling == "420"
     if color:
-        planes = [planes[..., i] for i in range(3)]
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., i] for i in range(3)]
+    else:
+        planes = [arr[:, :, 0].astype(np.float64)]
+    # per-component sampling factors (hi, vi); 4:2:0 = luma 2x2, chroma 1x1
+    samps = [(1, 1)] * len(planes) if not sub420 \
+        else [(2, 2), (1, 1), (1, 1)]
+    if sub420:
+        # pad full-res planes to the 16x16 MCU grid FIRST (edge-replicate),
+        # then box-downsample chroma — every chroma sample is the mean of a
+        # complete 2x2 cell, and all block grids align exactly
+        ph, pw = -h % 16, -w % 16
+        if ph or pw:
+            planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge")
+                      for p in planes]
+        planes = [planes[0], _box_down2(planes[1]), _box_down2(planes[2])]
 
     qtables = [_scaled_quant(_QUANT_LUMA, quality)]
     if color:
@@ -277,8 +310,9 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 100) -> bytes:
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
             + bytes(int(x) for x in qt.reshape(-1)[_ZIG])
     # SOF0
-    comps = [(1, 0x11, 0)] if not color else \
-        [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    samp_byte = [(hi << 4) | vi for hi, vi in samps]
+    comps = [(1, samp_byte[0], 0)] if not color else \
+        [(1, samp_byte[0], 0), (2, samp_byte[1], 1), (3, samp_byte[2], 1)]
     out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * len(comps), 8, h, w,
                                      len(comps))
     for cid, samp, tq in comps:
@@ -304,22 +338,38 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 100) -> bytes:
         ac_tabs.append(_huff_codes(*_AC_CHROMA))
 
     # DCT + quantize each plane up front (vectorized over blocks)
-    qplanes = []
+    qplanes, nbxs = [], []
     for ci, plane in enumerate(planes):
         blk, nby, nbx = _blocks(plane - 128.0)
         coef = np.einsum("ij,njk,lk->nil", _C, blk, _C, optimize=True)
         qt = qtables[min(ci, len(qtables) - 1)].astype(np.float64)
         q = np.floor(coef / qt + 0.5).astype(np.int32)
         qplanes.append(q.reshape(-1, 64)[:, _ZIG])
+        nbxs.append(nbx)
 
     bw = _BitWriter()
-    n_mcu = qplanes[0].shape[0]
     prev = [0] * len(planes)
-    for m in range(n_mcu):
-        for ci in range(len(planes)):
-            ti = min(ci, len(dc_tabs) - 1)
-            prev[ci] = _encode_plane_blocks(
-                qplanes[ci][m], prev[ci], dc_tabs[ti], ac_tabs[ti], bw)
+    if not sub420:
+        n_mcu = qplanes[0].shape[0]
+        for m in range(n_mcu):
+            for ci in range(len(planes)):
+                ti = min(ci, len(dc_tabs) - 1)
+                prev[ci] = _encode_plane_blocks(
+                    qplanes[ci][m], prev[ci], dc_tabs[ti], ac_tabs[ti], bw)
+    else:
+        # MCU-interleaved: per MCU, the luma's hi*vi blocks in T.81 raster
+        # order (v outer, h inner), then one Cb and one Cr block
+        mcux, mcuy = nbxs[1], qplanes[1].shape[0] // nbxs[1]
+        for my in range(mcuy):
+            for mx in range(mcux):
+                for ci, (hi, vi) in enumerate(samps):
+                    ti = min(ci, len(dc_tabs) - 1)
+                    for v in range(vi):
+                        for u in range(hi):
+                            bidx = (my * vi + v) * nbxs[ci] + (mx * hi + u)
+                            prev[ci] = _encode_plane_blocks(
+                                qplanes[ci][bidx], prev[ci],
+                                dc_tabs[ti], ac_tabs[ti], bw)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"                                   # EOI
@@ -381,9 +431,11 @@ def _extend(v: int, cat: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline 4:4:4 JFIF to (h, w, channels) uint8 (channels 1 or
-    3).  Raises NotImplementedError on progressive/subsampled/restart
-    streams (outside the documented subset)."""
+    """Decode baseline JFIF (sampling factors up to 2x2: 4:4:4, 4:2:0,
+    4:2:2, 4:4:0) to (h, w, channels) uint8 (channels 1 or 3); subsampled
+    chroma upsamples by sample replication (the frozen contract).  Raises
+    NotImplementedError on progressive/restart/>2x sampling streams
+    (outside the documented subset)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -421,9 +473,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps = []
             for i in range(nc):
                 cid, samp, tq = body[6 + 3 * i: 9 + 3 * i]
-                if samp != 0x11:
+                hi, vi = samp >> 4, samp & 0xF
+                if not (1 <= hi <= 2 and 1 <= vi <= 2):
                     raise NotImplementedError(
-                        "chroma subsampling not supported (4:4:4 only)")
+                        f"sampling factors {hi}x{vi} not supported "
+                        "(1..2 each)")
                 comps.append((cid, samp, tq))
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
@@ -461,44 +515,68 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     if not comps or not scan_data:
         raise ValueError("truncated JPEG (no SOF/SOS)")
     nc = len(comps)
-    nby, nbx = (h + 7) // 8, (w + 7) // 8
-    planes = [np.zeros((nby * 8, nbx * 8), np.float64) for _ in range(nc)]
+    samps = [((s >> 4), (s & 0xF)) for _, s, _ in comps]
+    hmax = max(hi for hi, _ in samps)
+    vmax = max(vi for _, vi in samps)
+    # MCU grid covers the image at full resolution; component ci owns a
+    # (mcuy*vi, mcux*hi) block grid
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    planes = [np.zeros((mcuy * vi * 8, mcux * hi * 8), np.float64)
+              for hi, vi in samps]
     br = _BitReader(scan_data)
     prev = [0] * nc
-    for m in range(nby * nbx):
-        by, bx = divmod(m, nbx)
-        for ci in range(nc):
-            dc_t = huff[(0, scan_tabs[ci][0])]
-            ac_t = huff[(1, scan_tabs[ci][1])]
-            zz = np.zeros(64, np.int64)
-            cat = _read_symbol(br, dc_t)
-            diff = _extend(br.read_bits(cat), cat) if cat else 0
-            prev[ci] += diff
-            zz[0] = prev[ci]
-            k = 1
-            while k < 64:
-                sym = _read_symbol(br, ac_t)
-                if sym == 0x00:              # EOB
-                    break
-                run, cat = sym >> 4, sym & 0xF
-                if cat == 0:
-                    if run != 15:
-                        raise ValueError("bad AC symbol")
-                    k += 16                  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC index overflow")
-                zz[k] = _extend(br.read_bits(cat), cat)
-                k += 1
-            qt = qtables[comps[ci][2]].astype(np.float64)
-            block = np.zeros(64, np.float64)
-            block[_ZIG] = zz
-            coef = block.reshape(8, 8) * qt
-            pix = _C.T @ coef @ _C + 128.0
-            planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = pix
-    planes = [np.clip(np.floor(p + 0.5), 0, 255)[:h, :w] for p in planes]
+
+    def _decode_block(ci: int) -> np.ndarray:
+        dc_t = huff[(0, scan_tabs[ci][0])]
+        ac_t = huff[(1, scan_tabs[ci][1])]
+        zz = np.zeros(64, np.int64)
+        cat = _read_symbol(br, dc_t)
+        diff = _extend(br.read_bits(cat), cat) if cat else 0
+        prev[ci] += diff
+        zz[0] = prev[ci]
+        k = 1
+        while k < 64:
+            sym = _read_symbol(br, ac_t)
+            if sym == 0x00:              # EOB
+                break
+            run, cat = sym >> 4, sym & 0xF
+            if cat == 0:
+                if run != 15:
+                    raise ValueError("bad AC symbol")
+                k += 16                  # ZRL
+                continue
+            k += run
+            if k > 63:
+                raise ValueError("AC index overflow")
+            zz[k] = _extend(br.read_bits(cat), cat)
+            k += 1
+        qt = qtables[comps[ci][2]].astype(np.float64)
+        block = np.zeros(64, np.float64)
+        block[_ZIG] = zz
+        coef = block.reshape(8, 8) * qt
+        return _C.T @ coef @ _C + 128.0
+
+    for m in range(mcuy * mcux):
+        my, mx = divmod(m, mcux)
+        for ci, (hi, vi) in enumerate(samps):
+            # T.81 interleave order within the MCU: v outer, h inner
+            for v in range(vi):
+                for u in range(hi):
+                    by, bx = my * vi + v, mx * hi + u
+                    planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
+                        _decode_block(ci)
+    # integer samples first, then replication-upsample subsampled
+    # components to full resolution (the frozen contract), then crop
+    full = []
+    for ci, (hi, vi) in enumerate(samps):
+        p = np.clip(np.floor(planes[ci] + 0.5), 0, 255)
+        if vi < vmax:
+            p = np.repeat(p, vmax // vi, axis=0)
+        if hi < hmax:
+            p = np.repeat(p, hmax // hi, axis=1)
+        full.append(p[:h, :w])
     if nc == 1:
-        return planes[0].astype(np.uint8)[:, :, None]
-    rgb = _ycbcr_to_rgb(np.stack(planes, axis=-1))
+        return full[0].astype(np.uint8)[:, :, None]
+    rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
     return rgb.astype(np.uint8)

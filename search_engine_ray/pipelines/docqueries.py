@@ -410,7 +410,7 @@ def q_image_meta(sf_dir: str) -> rd.Dataset:
     return meta.map_batches(shape, batch_format="pyarrow")
 
 
-def q_image_meta_jpeg(sf_dir: str) -> rd.Dataset:
+def q_image_meta_jpeg(sf_dir: str, subsampling: str = "444") -> rd.Dataset:
     """Real-JPEG multimodal entry: deterministic baseline-JFIF payloads
     (pure-numpy codec, functions/jpeg) decoded back by the DecodeImage
     actor pool with ``decoder="jpeg"``.  Constant-fill pixels at
@@ -418,7 +418,10 @@ def q_image_meta_jpeg(sf_dir: str) -> rd.Dataset:
     tables); the only lossy step for color is the frozen floor(x+0.5)
     YCbCr transform pair, which the SQL oracle replays literal-for-literal
     — so DuckDB verifies the DECODED PIXELS of a real entropy-coded JPEG
-    stream, not just the header."""
+    stream, not just the header.  With ``subsampling="420"`` the color
+    payloads are MCU-interleaved 4:2:0 streams — constant chroma
+    box-downsamples and replication-upsamples to itself, so the SAME
+    oracle must hash-match, witnessing the subsampled decode path."""
     import numpy as np
 
     from ..functions.jpeg import encode_jpeg
@@ -435,7 +438,8 @@ def q_image_meta_jpeg(sf_dir: str) -> rd.Dataset:
             else:
                 arr = np.zeros((h, w, 3), np.uint8)
                 arr[:, :] = (did % 256, (3 * did) % 256, (7 * did) % 256)
-            payloads.append(encode_jpeg(arr, quality=100))
+            payloads.append(encode_jpeg(arr, quality=100,
+                                        subsampling=subsampling))
         return batch.append_column("payload", pa.array(payloads, pa.binary()))
 
     meta = ds.map_batches(attach_payload, batch_format="pyarrow",

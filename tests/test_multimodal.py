@@ -292,6 +292,39 @@ def test_jpeg_rejects_out_of_subset():
         encode_jpeg(np.zeros((4, 4, 2), np.uint8))
 
 
+def test_jpeg_420_tiled_exact_and_lossy():
+    """4:2:0 MCU-interleaved encode/decode: 16x16-constant-tile images are
+    EXACT at quality=100 (each luma block and each downsampled chroma
+    block is constant, and replication upsampling is the identity on
+    constant tiles) — a wrong MCU interleave order, wrong chroma grid, or
+    wrong upsample all corrupt tiles.  Odd dims exercise edge padding."""
+    from search_engine_ray.functions.jpeg import (_rgb_to_ycbcr,
+                                                  _ycbcr_to_rgb,
+                                                  decode_jpeg, encode_jpeg)
+
+    rng = np.random.RandomState(3)
+    for (h, w) in [(16, 16), (17, 23), (32, 48), (40, 33)]:
+        ty, tx = (h + 15) // 16, (w + 15) // 16
+        colors = rng.randint(0, 256, (ty, tx, 3))
+        arr = np.zeros((h, w, 3), np.uint8)
+        for i in range(ty):
+            for j in range(tx):
+                arr[i * 16:(i + 1) * 16, j * 16:(j + 1) * 16] = colors[i, j]
+        dec = decode_jpeg(encode_jpeg(arr, quality=100, subsampling="420"))
+        exp = _ycbcr_to_rgb(_rgb_to_ycbcr(arr)).astype(np.uint8)
+        assert np.array_equal(dec, exp), (h, w)
+    # lossy sanity at default tables
+    grad = (np.arange(32 * 32 * 3).reshape(32, 32, 3) % 256).astype(np.uint8)
+    d = decode_jpeg(encode_jpeg(grad, quality=75, subsampling="420"))
+    assert np.abs(d.astype(int) - grad.astype(int)).mean() < 20
+    # >2x sampling factors still rejected loudly
+    data = bytearray(encode_jpeg(grad, quality=75, subsampling="420"))
+    i = data.find(b"\xff\xc0")
+    data[i + 11] = 0x33  # comp 0's sampling byte (FFC0+len+prec+h+w+nc+cid)
+    with pytest.raises(NotImplementedError, match="sampling"):
+        decode_jpeg(bytes(data))
+
+
 def test_decode_image_jpeg_actor_pool(ray_session):
     import ray.data as rd
 
