@@ -169,7 +169,7 @@ HEADLINE = [
     "orders_except_all", "events_by_hour", "events_profile", "customer_orders_full", "events_anomaly",
     # round-4 operators
     "image_dup_pairs", "sparse_stop_pairs", "events_profile_hll",
-    "search_phrase_scatter",
+    "search_phrase_scatter", "image_meta_jpeg420",
 ]
 
 
