@@ -101,6 +101,99 @@ def test_scatter_phrase_matches_phrase_search(ray_session, tmp_path):
     assert len(direct) >= 13  # every i%3==0 doc matches
 
 
+def test_vectorized_postings_encode_matches_per_term_reference(tmp_path):
+    """The whole-part vectorized postings encode (round 4) must be
+    byte-identical, cell for cell, to the per-term encode_postings
+    reference on the SAME input — blobs, block metadata, positions.
+    Exercises small block_size (many blocks per term), single-posting
+    terms, and the positions path.  ``_build_segment_inner`` is a plain
+    function: no Ray needed."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import IndexBuildConfig
+    from search_engine_ray.functions.codec import (encode_postings,
+                                                   varint_encode)
+    from search_engine_ray.stages.segments import (DOC_ID_PART_SHIFT,
+                                                   _build_segment_inner)
+
+    rng = np.random.RandomState(21)
+    words = [f"w{i:02d}" for i in range(17)]
+    n_docs = 40
+    urls = [f"http://s{i % 3}.example/p{i:03d}" for i in range(n_docs)]
+    terms_l, tfs_l, poss_l, dls = [], [], [], []
+    for i in range(n_docs):
+        k = rng.randint(1, 9)
+        t = sorted(rng.choice(len(words), k, replace=False).tolist())
+        tf = rng.randint(1, 4, k).tolist()
+        terms_l.append([words[j] for j in t])
+        tfs_l.append(tf)
+        # positions: tf[j] ascending ints, delta+varint packed (first abs)
+        blobs = []
+        for f in tf:
+            pos = np.sort(rng.choice(50, f, replace=False)).astype(np.int64)
+            gaps = np.diff(np.concatenate(([0], pos)))
+            gaps[0] = pos[0]
+            blobs.append(varint_encode(gaps))
+        poss_l.append(blobs)
+        dls.append(int(sum(tf)))
+    part = 3
+    group = pa.table({
+        "url": pa.array(urls),
+        "warc_ts": pa.array([1_000_000 * (i + 1) for i in range(n_docs)],
+                            pa.timestamp("us")),
+        "title": pa.array([f"t{i}" for i in range(n_docs)]),
+        "site": pa.array([f"http://s{i % 3}.example" for i in range(n_docs)]),
+        "path": pa.array([f"/p{i:03d}" for i in range(n_docs)]),
+        "doc_len": pa.array(dls, pa.int32()),
+        "part": pa.array([part] * n_docs, pa.int32()),
+        "terms": pa.array(terms_l, pa.list_(pa.string())),
+        "tfs": pa.array(tfs_l, pa.list_(pa.int32())),
+        "poss": pa.array(poss_l, pa.list_(pa.binary())),
+    })
+    cfg = IndexBuildConfig(morphology="simple", num_partitions=4,
+                           block_size=2, store_positions=True,
+                           store_doc_text=False)
+    idx = str(tmp_path / "idx")
+    _build_segment_inner(group, part, idx, cfg, "deadbeef")
+    got = pq.read_table(f"{idx}/part={part:05d}/postings.parquet") \
+        .sort_by("term").to_pylist()
+
+    # independent per-term reference (urls unique => doc order = url rank)
+    order = np.argsort(np.array(urls))
+    rank_of = np.empty(n_docs, np.int64)
+    rank_of[order] = np.arange(n_docs)
+    base = np.int64(part) << DOC_ID_PART_SHIFT
+    ref: dict[str, list] = {}
+    for i in range(n_docs):
+        for t, f, b in zip(terms_l[i], tfs_l[i], poss_l[i]):
+            ref.setdefault(t, []).append((int(base + rank_of[i]), f,
+                                          dls[i], b))
+    assert len(got) == len(ref)
+    for row in got:
+        postings = sorted(ref[row["term"]])
+        ids = np.array([p[0] for p in postings], np.int64)
+        tfs = np.array([p[1] for p in postings], np.int64)
+        dl = np.array([p[2] for p in postings], np.int64)
+        enc = encode_postings(ids, tfs, dl, block_size=cfg.block_size)
+        assert row["df"] == enc.df
+        assert row["doc_ids"] == enc.doc_ids
+        assert row["tfs"] == enc.tfs
+        assert row["block_last_docid"] == enc.block_last_docid.tolist()
+        assert row["block_off_docs"] == enc.block_off_docs.tolist()
+        assert row["block_off_tfs"] == enc.block_off_tfs.tolist()
+        assert row["block_max_tf"] == enc.block_max_tf.tolist()
+        assert row["block_min_dl"] == enc.block_min_dl.tolist()
+        assert row["block_first_docid"] == enc.block_first_docid.tolist()
+        # positions: concatenation of per-posting blobs in doc order,
+        # block byte offsets at every block_size-th posting
+        blob = b"".join(p[3] for p in postings)
+        assert row["positions"] == blob
+        lens = np.array([len(p[3]) for p in postings], np.int64)
+        cum = np.concatenate(([0], np.cumsum(lens)))
+        expect_off = cum[:-1][::cfg.block_size]  # one per block, exact count
+        assert row["block_off_pos"] == expect_off.tolist()
+
+
 def test_dhash_pairs_groups_images(ray_session):
     """dHash -> band bucket -> hamming verify finds perturbed variants of
     the same base image and nothing else."""
