@@ -639,13 +639,17 @@ def drop_stop_terms(tf_ds: rd.Dataset, *, max_df: int,
 
     from .relational import drop_empty_blocks
 
+    # materialize ONCE: the stop set is vocab-scale (stop terms only) and
+    # is consumed twice below (count + gather / join side) — without this
+    # the whole df pre-pass (and its upstream tf computation) re-executes
+    # per consumer
     stop = drop_empty_blocks(
         tf_ds.groupby(term_col).aggregate(Count(alias_name="df"))
         .map_batches(
             lambda b: b.filter(pc.greater(b["df"], max_df))
             .select([term_col]),
             batch_format="pyarrow"),
-        empty_schema=pa.schema([(term_col, pa.string())]))
+        empty_schema=pa.schema([(term_col, pa.string())])).materialize()
 
     if stop.count() <= max_broadcast_stop_terms:
         blocks = [b if isinstance(b, pa.Table) else pa.Table.from_pandas(b)
