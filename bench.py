@@ -216,6 +216,25 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             timings[name] = round(time.perf_counter() - t0, 4)
 
         total = time.perf_counter() - t_all
+
+        # same-window host-delivery probe (pure-register spin): BENCH_rN
+        # files are compared ACROSS rounds, and the hypervisor's cycle
+        # delivery drifts 15-30% window to window (BASELINE.md) — this
+        # one number lets a reader normalize round-over-round walls
+        @ray.remote
+        def _spin(n: int) -> float:
+            t0 = time.perf_counter()
+            x = 0
+            for _ in range(n):
+                x = (x * 1103515245 + 12345) & 0x7FFFFFFF
+            return time.perf_counter() - t0
+
+        n_spin = 20_000_000
+        ray.get([_spin.remote(n_spin) for _ in range(num_cpus)])  # warm
+        base = min(ray.get(_spin.remote(n_spin)) for _ in range(3))
+        ts = ray.get([_spin.remote(n_spin) for _ in range(num_cpus)])
+        eff_cores = round(num_cpus * base / (sum(ts) / len(ts)), 2)
+
         return {
             "metric": "headline_pipelines_wall",
             "value": round(total, 3),
@@ -225,6 +244,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             "num_cpus": num_cpus,
             "index_docs_per_s": round(b["docs_per_s"], 1),
             "index_n_docs": b["n_docs"],
+            "spin_effective_cores": eff_cores,
         }
     finally:
         ray.shutdown()
