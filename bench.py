@@ -235,17 +235,40 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
         ts = ray.get([_spin.remote(n_spin) for _ in range(num_cpus)])
         eff_cores = round(num_cpus * base / (sum(ts) / len(ts)), 2)
 
-        return {
+        # The driver's BENCH capture truncates long stdout (r3 and r4 both
+        # recorded "parsed": null with the headline walls cut off), so the
+        # ONE stdout line stays compact: headline metrics + a dozen flagship
+        # walls.  The full per-entry map goes to a committed repo artifact.
+        payload = {
             "metric": "headline_pipelines_wall",
             "value": round(total, 3),
             "unit": "sec",
-            "queries": timings,
             "sf": _sf_of(sf_dir),
             "num_cpus": num_cpus,
             "index_docs_per_s": round(b["docs_per_s"], 1),
             "index_n_docs": b["n_docs"],
             "spin_effective_cores": eff_cores,
+            # cross-round comparability: value covers THIS headline set
+            # (ADVICE r4: the set grows each round, readers must detect it)
+            "headline_set": "r5",
+            "headline_n": len(HEADLINE),
+            "detail_file": "BENCH_QUERIES.json",
         }
+        try:
+            with open(os.path.join(REPO, "BENCH_QUERIES.json"), "w") as f:
+                json.dump({**payload, "queries": timings}, f, indent=1,
+                          sort_keys=True)
+                f.write("\n")
+        except OSError:
+            pass  # read-only checkout: stdout still carries the headline
+        compact = [
+            "index_build", "query_bm25_p50", "query_bm25_p95",
+            "query_ref_p50", "query_scatter_p50", "tf", "dictionary",
+            "search_bm25", "search_batch", "exact_dedup", "minhash_lsh",
+            "doc_cosine_pairs", "events_analytic", "events_rolling",
+        ]
+        payload["queries"] = {k: timings[k] for k in compact if k in timings}
+        return payload
     finally:
         ray.shutdown()
 

@@ -60,6 +60,22 @@ class PartRangeSearcher:
                          ) -> tuple[np.ndarray, np.ndarray]:
         return self.ix._reference_scores(lemmas, site)
 
+    def reference_partials(self, lemmas: list[str], site: str | None,
+                           k: int) -> tuple[int, float, np.ndarray,
+                                            np.ndarray]:
+        """Driver-side-bounded reference scoring: ``(match_count,
+        local_max_score, top_k_ids, top_k_raw_scores)`` with the top-k
+        ordered by ``(-score, id)``.  Reference semantics only need the
+        global count, the global max (for normalization) and the top
+        ``offset+limit`` rows, so the gather stays O(actors x k) on the
+        driver even when a stopword query matches millions of docs."""
+        ids, scores = self.ix._reference_scores(lemmas, site)
+        n = int(ids.size)
+        if n == 0:
+            return 0, 0.0, ids, scores
+        order = np.lexsort((ids, -scores))[:k]
+        return n, float(scores.max()), ids[order], scores[order]
+
     def bm25_topk(self, lemmas: list[str], k: int, site: str | None,
                   params: Bm25Params | None, floor: float,
                   pruned: bool) -> list[tuple[float, int]]:
@@ -174,15 +190,23 @@ class ScatterIndex:
             return SearchResponse(result=True, count=0, data=[])
 
         if scorer == "reference":
-            parts = ray.get([a.reference_scores.remote(lemmas, site)
+            # per-actor (count, max, top-(offset+limit)) partials: the
+            # driver reduces two scalars and merges candidate lists, never
+            # the full (doc, score) match set (O(actors x k), not
+            # O(matches) — a stopword query at 100x stays k-scale here)
+            k = offset + limit
+            parts = ray.get([a.reference_partials.remote(lemmas, site, k)
                              for a in self.actors])
-            ids = np.concatenate([p[0] for p in parts]) if parts else np.empty(0, np.int64)
-            scores = np.concatenate([p[1] for p in parts]) if parts else np.empty(0, np.float64)
-            count = int(ids.size)
+            count = int(sum(p[0] for p in parts))
             if count == 0:
                 return SearchResponse(result=True, count=0, data=[])
-            rel = scores / scores.max()
-            order = np.lexsort((ids, -rel))
+            gmax = max(p[1] for p in parts if p[0])
+            ids = np.concatenate([p[2] for p in parts])
+            scores = np.concatenate([p[3] for p in parts])
+            # normalize candidates by the GLOBAL max, then rank exactly as
+            # the single-node path does: (-relevance, id)
+            rel = scores / gmax
+            order = np.lexsort((ids, -rel))[:k]
             ranked_ids, ranked_scores = ids[order], rel[order]
         elif scorer == "bm25":
             k = offset + limit

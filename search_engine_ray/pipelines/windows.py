@@ -126,14 +126,17 @@ def rolling_agg(events: rd.Dataset, *, k: int = 4, key_col: str = "user_id",
                 value_col: str = "value") -> rd.Dataset:
     """Per-key rolling-window aggregates over the last ``k`` rows
     (``ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW``): rolling integer-cent
-    sum, rolling row count, rolling max.
+    sum, rolling row count, rolling integer-cent max.
 
     Scale shape: ONE shuffle (``groupby(key)``), then vectorized numpy per
     group (prefix-sum difference for the sum, ``sliding_window_view`` max
     for the max) — same one-key-fits-a-worker contract as
-    :func:`analytic_per_key`.  The sum is over ``floor(value*100)`` int64
-    cents so it is bit-exact vs the SQL windowed SUM regardless of
-    association order; the max is a comparison, exact on raw doubles.
+    :func:`analytic_per_key`.  All value-derived outputs are
+    ``floor(value*100)`` int64 cents, bit-exact vs the SQL windowed
+    SUM/MAX regardless of association order or float formatting; NULL
+    values are skipped exactly like SQL aggregates (a frame with no valid
+    value yields NULL, COUNT(*) still counts its rows), and the bytes
+    under every null bit are zeroed so the physical buffers are canonical.
     """
 
     def per_key(group: pa.Table) -> pa.Table:
@@ -141,31 +144,39 @@ def rolling_agg(events: rd.Dataset, *, k: int = 4, key_col: str = "user_id",
                                                   (order_col, "ascending")])
         g = group.take(order)
         n = g.num_rows
-        v = g[value_col].to_numpy(zero_copy_only=False)
+        vcol = g[value_col]
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(vcol, 0.0).to_numpy(zero_copy_only=False)
         cents = np.floor(v * 100.0).astype(np.int64)
+        cents[~valid] = 0  # NULL contributes nothing to the windowed SUM
         cum = np.concatenate([[0], np.cumsum(cents)])
-        lo = np.maximum(np.arange(1, n + 1) - k, 0)
-        roll_cents = cum[1:] - cum[lo]
-        roll_n = np.arange(1, n + 1, dtype=np.int64) - lo
-        if n:
-            if n >= k:
-                from numpy.lib.stride_tricks import sliding_window_view
+        cum_valid = np.concatenate([[0], np.cumsum(valid.astype(np.int64))])
+        pos = np.arange(1, n + 1)
+        lo = np.maximum(pos - k, 0)
+        frame_valid = cum_valid[pos] - cum_valid[lo]
+        null_frame = frame_valid == 0  # SQL: SUM/MAX over all-NULL is NULL
+        roll_cents = cum[pos] - cum[lo]
+        roll_n = pos.astype(np.int64) - lo
+        ninf = np.iinfo(np.int64).min
+        m = np.where(valid, cents, ninf)
+        if n >= k:
+            from numpy.lib.stride_tricks import sliding_window_view
 
-                full = sliding_window_view(v, k).max(axis=1)
-                head = np.maximum.accumulate(v[:k - 1]) if k > 1 \
-                    else np.empty(0, v.dtype)
-                roll_max = np.concatenate([head, full])
-            else:
-                roll_max = np.maximum.accumulate(v)
+            full = sliding_window_view(m, k).max(axis=1)
+            head = np.maximum.accumulate(m[:k - 1]) if k > 1 \
+                else np.empty(0, m.dtype)
+            roll_max = np.concatenate([head, full])
         else:
-            roll_max = v
+            roll_max = np.maximum.accumulate(m) if n else m
+        roll_cents[null_frame] = 0
+        roll_max = np.where(null_frame, 0, roll_max)
         return pa.table({
             order_col: g[order_col],
             key_col: g[key_col],
-            "rn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
-            "roll_cents": pa.array(roll_cents, pa.int64()),
+            "rn": pa.array(pos.astype(np.int64)),
+            "roll_cents": pa.array(roll_cents, pa.int64(), mask=null_frame),
             "roll_n": pa.array(roll_n, pa.int64()),
-            "roll_max": pa.array(roll_max, pa.float64()),
+            "roll_max_cents": pa.array(roll_max, pa.int64(), mask=null_frame),
         })
 
     return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
@@ -396,11 +407,16 @@ def analytic_per_key(events: rd.Dataset, key_col: str = "user_id",
     history must fit in a worker — true for per-user event logs at any corpus
     size, because the shuffle spreads *keys*, not time.
 
-    The cumulative column is integer cents (``floor(value*100)`` summed as
-    int64) rather than a float running sum: DuckDB's windowed ``SUM`` uses
-    tree aggregation whose float association order differs from a sequential
-    ``np.cumsum`` (observed ~1e-12 drift), so the SQL-parity contract is only
-    exact over integers.  ``lag``/``lead`` copy raw doubles — exact.
+    Every value-derived column is integer cents (``floor(value*100)`` as
+    int64): DuckDB's windowed ``SUM`` uses tree aggregation whose float
+    association order differs from a sequential ``np.cumsum`` (observed
+    ~1e-12 drift), and float columns expose the hash to formatting /
+    signed-zero / null-payload encoding differences, so the SQL-parity
+    contract is integers-only.  NULL handling mirrors SQL exactly:
+    ``LAG``/``LEAD`` of a NULL value is NULL, the windowed ``SUM`` skips
+    NULLs and is NULL until the key's first valid value, ``gap_sec`` is
+    NULL when either timestamp is NULL.  Bytes under every null bit are
+    zeroed so the physical buffers are canonical.
     """
 
     def per_key(group: pa.Table) -> pa.Table:
@@ -408,30 +424,43 @@ def analytic_per_key(events: rd.Dataset, key_col: str = "user_id",
                                                   (order_col, "ascending")])
         g = group.take(order)
         n = g.num_rows
-        v = g[value_col].to_numpy(zero_copy_only=False)
-        ts = g[ts_col].cast(pa.int64()).to_numpy() // 1_000_000
+        vcol = g[value_col]
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(vcol, 0.0).to_numpy(zero_copy_only=False)
+        tcol = g[ts_col].cast(pa.int64())
+        ts_valid = pc.is_valid(tcol).to_numpy(zero_copy_only=False)
+        ts = pc.fill_null(tcol, 0).to_numpy(zero_copy_only=False) // 1_000_000
         cents = np.floor(v * 100.0).astype(np.int64)
-        zero1 = np.array([0.0])
-        prev = np.concatenate([zero1, v[:-1]]) if n else v
-        nxt = np.concatenate([v[1:], zero1]) if n else v
-        gap = np.concatenate([[0], np.diff(ts)]) if n else ts
-        gap_mask = np.zeros(n, bool)
-        first_mask = np.zeros(n, bool)
-        last_mask = np.zeros(n, bool)
-        if n:
-            gap_mask[0] = True  # first event of a key has no predecessor
-            first_mask[0] = True
-            last_mask[-1] = True
-        # LAG/LEAD boundary cells must be NULL (not NaN) to hash-match the
-        # DuckDB oracle — masked exactly like gap_sec below.
+        cents[~valid] = 0  # NULL value: no contribution to the running sum
+        zero1 = np.zeros(1, np.int64)
+        one_true = np.ones(1, bool)
+        prev = np.concatenate([zero1, cents[:-1]]) if n else cents
+        nxt = np.concatenate([cents[1:], zero1]) if n else cents
+        # LAG/LEAD of a NULL value is NULL, as is the missing boundary cell
+        prev_mask = np.concatenate([one_true, ~valid[:-1]]) if n \
+            else np.zeros(0, bool)
+        next_mask = np.concatenate([~valid[1:], one_true]) if n \
+            else np.zeros(0, bool)
+        gap = np.concatenate([zero1, np.diff(ts)]) if n else ts
+        prev_ts_valid = np.concatenate([[False], ts_valid[:-1]]) if n \
+            else ts_valid
+        gap_mask = ~(ts_valid & prev_ts_valid)
+        # SQL windowed SUM over an all-NULL prefix is NULL, not 0
+        cum_mask = np.cumsum(valid.astype(np.int64)) == 0
+        cum = np.cumsum(cents)
+        # zero the bytes under every null bit: canonical physical buffers
+        prev[prev_mask] = 0
+        nxt[next_mask] = 0
+        gap[gap_mask] = 0
+        cum[cum_mask] = 0
         return pa.table({
             order_col: g[order_col],
             key_col: g[key_col],
             "rn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
-            "prev_value": pa.array(prev, pa.float64(), mask=first_mask),
-            "next_value": pa.array(nxt, pa.float64(), mask=last_mask),
+            "prev_cents": pa.array(prev, pa.int64(), mask=prev_mask),
+            "next_cents": pa.array(nxt, pa.int64(), mask=next_mask),
             "gap_sec": pa.array(gap, pa.int64(), mask=gap_mask),
-            "cum_cents": pa.array(np.cumsum(cents), pa.int64()),
+            "cum_cents": pa.array(cum, pa.int64(), mask=cum_mask),
         })
 
     return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -616,7 +616,8 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, n: int = 3, threshold: float = 0.5,
 
 def drop_stop_terms(tf_ds: rd.Dataset, *, max_df: int,
                     term_col: str = "term",
-                    max_broadcast_stop_terms: int = 5_000_000) -> rd.Dataset:
+                    max_broadcast_stop_terms: int = 5_000_000,
+                    df_ds: rd.Dataset | None = None) -> rd.Dataset:
     """Remove every (doc, term) row whose term's document frequency exceeds
     ``max_df`` — BEFORE any term-keyed exchange sees those rows.
 
@@ -634,18 +635,29 @@ def drop_stop_terms(tf_ds: rd.Dataset, *, max_df: int,
     * past the guard: hash-partitioned ANTI join against the stop set —
       only then do tf rows shuffle, and the hot terms are on the SMALL
       (stop) side, which hash-partitions evenly by term.
+
+    ``df_ds`` (columns ``(term_col, df)``) lets a caller that already owns
+    a document-frequency table (the index build's ``term_df`` / dictionary
+    aggregate) skip the internal df pre-pass entirely — then ``tf_ds`` is
+    consumed exactly once, by the filter.  Without it the tf stream is
+    materialized first so its upstream (the tokenize) runs ONCE even though
+    two passes (df groupby + filter) read it — r4's measured 2x-tokenize
+    regression on ``doc_cosine_pairs``; at a scale where the tf stream
+    cannot fit the object store, pass ``df_ds``.
     """
     from ray.data.aggregate import Count
 
     from .relational import drop_empty_blocks
 
+    if df_ds is None:
+        tf_ds = tf_ds.materialize()
+        df_ds = tf_ds.groupby(term_col).aggregate(Count(alias_name="df"))
+
     # materialize ONCE: the stop set is vocab-scale (stop terms only) and
     # is consumed twice below (count + gather / join side) — without this
-    # the whole df pre-pass (and its upstream tf computation) re-executes
-    # per consumer
+    # the whole df pre-pass re-executes per consumer
     stop = drop_empty_blocks(
-        tf_ds.groupby(term_col).aggregate(Count(alias_name="df"))
-        .map_batches(
+        df_ds.map_batches(
             lambda b: b.filter(pc.greater(b["df"], max_df))
             .select([term_col]),
             batch_format="pyarrow"),
@@ -675,8 +687,8 @@ def sparse_cosine_pairs(tf_ds: rd.Dataset, *, threshold: tuple[int, int],
                         max_df: int = 64, doc_col: str = "doc_id",
                         term_col: str = "term", tf_col: str = "tf",
                         max_broadcast_docs: int = 5_000_000,
-                        max_broadcast_stop_terms: int = 5_000_000
-                        ) -> rd.Dataset:
+                        max_broadcast_stop_terms: int = 5_000_000,
+                        df_ds: rd.Dataset | None = None) -> rd.Dataset:
     """Document pairs whose raw-tf cosine similarity >= num/den — sparse
     all-pairs similarity over the INVERTED layout (a sixth dedup family:
     term-vector near-dup, the text analogue of ``embedding_dup_pairs``).
@@ -708,7 +720,7 @@ def sparse_cosine_pairs(tf_ds: rd.Dataset, *, threshold: tuple[int, int],
 
     tf_ds = drop_stop_terms(
         tf_ds, max_df=max_df, term_col=term_col,
-        max_broadcast_stop_terms=max_broadcast_stop_terms)
+        max_broadcast_stop_terms=max_broadcast_stop_terms, df_ds=df_ds)
 
     def per_term(group: pa.Table) -> pa.Table:
         m = group.num_rows

@@ -57,8 +57,10 @@ def test_analytic_per_key(ray_session):
     u7 = out[out.user_id == 7]
     assert list(u7.event_id) == [1, 3, 2]
     assert list(u7.rn) == [1, 2, 3]
-    assert u7.prev_value.tolist()[1:] == [1.0, 0.5]
-    assert u7.next_value.tolist()[:2] == [0.5, 2.5]
+    assert u7.prev_cents.tolist()[1:] == [100, 50]
+    assert u7.prev_cents.isna().tolist() == [True, False, False]
+    assert u7.next_cents.tolist()[:2] == [50, 250]
+    assert u7.next_cents.isna().tolist() == [False, False, True]
     assert u7.gap_sec.tolist()[1:] == [10, 20]
     assert u7.gap_sec.isna().tolist() == [True, False, False]
     assert list(u7.cum_cents) == [100, 150, 400]

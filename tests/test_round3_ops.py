@@ -473,6 +473,33 @@ def test_sparse_cosine_stop_terms_dropped_before_shuffle(ray_session):
         assert got.equals(want), max_bt
 
 
+def test_sparse_cosine_precomputed_df_parity(ray_session):
+    """Threading a precomputed df table (df_ds) must skip the internal df
+    pre-pass and produce identical pairs — the r4 fix for the
+    double-tokenize regression (tf_ds consumed once, not twice)."""
+    from ray.data.aggregate import Count
+
+    from search_engine_ray.stages.dedup import sparse_cosine_pairs
+
+    rng = np.random.RandomState(12)
+    pool = [f"t{i:02d}" for i in range(30)]
+    rows = []
+    for d in range(50):
+        for t in rng.choice(pool, 4, replace=False):
+            rows.append((d, t, int(rng.randint(1, 5))))
+        rows.append((d, "the", 3))  # hot term, df=50 > max_df=8
+    tf_pd = pd.DataFrame(rows, columns=["doc_id", "term", "tf"])
+    tf = rd.from_pandas(tf_pd).repartition(5)
+    df_ds = tf.groupby("term").aggregate(Count(alias_name="df"))
+
+    want = sparse_cosine_pairs(tf, threshold=(1, 2), max_df=8) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    got = sparse_cosine_pairs(tf, threshold=(1, 2), max_df=8, df_ds=df_ds) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    assert got.equals(want)
+    assert len(want)  # non-degenerate witness
+
+
 def test_linreg_sufficient_stats(ray_session):
     from search_engine_ray.stages.regression import (linreg_sufficient_stats,
                                                      solve_ridge_3x3)

@@ -37,7 +37,7 @@ def test_rolling_agg_matches_bruteforce(ray_session):
             lo = max(0, i - 3)
             assert sub.roll_cents[i] == cents[lo:i + 1].sum()
             assert sub.roll_n[i] == i + 1 - lo
-            assert sub.roll_max[i] == v[lo:i + 1].max()
+            assert sub.roll_max_cents[i] == cents[lo:i + 1].max()
 
 
 def test_rolling_agg_short_group(ray_session):
@@ -45,7 +45,7 @@ def test_rolling_agg_short_group(ray_session):
     out = rolling_agg(rd.from_arrow(_events(rows)), k=4).to_pandas() \
         .sort_values("rn").reset_index(drop=True)
     assert out.roll_n.tolist() == [1, 2]
-    assert out.roll_max.tolist() == [2.5, 2.5]
+    assert out.roll_max_cents.tolist() == [250, 250]
 
 
 def test_funnel_basic_and_window_boundary(ray_session):
@@ -70,3 +70,66 @@ def test_funnel_basic_and_window_boundary(ray_session):
     assert out.completed.tolist() == [True, False, False, True]
     assert out.n_step1.tolist() == [1, 1, 1, 2]
     assert out.n_step3.tolist() == [1, 1, 1, 1]
+
+
+def test_window_kernels_null_guard_vs_duckdb(ray_session):
+    """NULL-bearing inputs (value and ts) must match DuckDB's windowed
+    SQL exactly — SUM/MAX skip NULLs (NULL result when the frame has no
+    valid value), LAG/LEAD of NULL is NULL, gap is NULL when either ts
+    is NULL.  Guards the driver-red r2/r4 scenario where the driver's
+    events data may carry NULLs the local testdata does not."""
+    import duckdb
+    import pandas as pd
+
+    from search_engine_ray.pipelines.windows import analytic_per_key
+
+    rng = np.random.default_rng(11)
+    n = 80
+    vals = rng.normal(size=n) * 10
+    v_null = rng.random(n) < 0.25
+    ts_sec = rng.integers(0, 500, n)
+    ts_null = rng.random(n) < 0.1
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
+        "user_id": pa.array(rng.integers(0, 4, n), pa.int64()),
+        "ts": pa.array([None if tn else int(s) * 1_000_000
+                        for s, tn in zip(ts_sec, ts_null)],
+                       pa.timestamp("us")),
+        "value": pa.array([None if vn else float(x)
+                           for x, vn in zip(vals, v_null)], pa.float64()),
+    })
+    con = duckdb.connect()
+    con.register("events", tbl)
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns), kind="stable") \
+                 .reset_index(drop=True)
+
+    got = canon(analytic_per_key(rd.from_arrow(tbl)).to_pandas())
+    exp = canon(con.execute("""
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER w AS rn,
+       LAG(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS prev_cents,
+       LEAD(CAST(FLOOR(value * 100) AS BIGINT)) OVER w AS next_cents,
+       date_diff('second', LAG(ts) OVER w, ts)::BIGINT AS gap_sec,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""").df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+    got_r = canon(rolling_agg(rd.from_arrow(tbl), k=4).to_pandas())
+    exp_r = canon(con.execute("""
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER w AS rn,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_cents,
+       COUNT(*) OVER (
+           w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)::BIGINT AS roll_n,
+       MAX(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+           w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_max_cents
+FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""").df())
+    pd.testing.assert_frame_equal(got_r, exp_r, check_dtype=False)
