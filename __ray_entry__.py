@@ -405,10 +405,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(DHashImage, fn_constructor_kwargs={"decoder": "png"},
                          batch_format="pyarrow", batch_size=256,
                          concurrency=(1, 4), num_cpus=1)
-        # max_bucket far above the sf0.01/sf0.1 corpus: the entry witnesses
-        # the EXACT pair semantics (the SQL oracle has no cap); production
-        # callers keep the default cap and accept logged drops
-        return dhash_pairs(sig, max_hamming=2, max_bucket=100_000)
+        # the SQL oracle is uncapped, so the cap must provably never bind:
+        # a (band, value) bucket holds at most one row per document, so
+        # max_bucket = n_docs makes drops impossible AT ANY SCALE FACTOR
+        # (ADVICE r4: a fixed 100k cap would silently break parity on a
+        # bigger corpus).  Production callers keep the default cap and
+        # accept logged drops.
+        import pyarrow.parquet as pq
+
+        n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+        return dhash_pairs(sig, max_hamming=2, max_bucket=n_docs)
 
     def audio_features(sf_dir):
         """REAL WAV decode (stdlib RIFF PCM16) + integer-exact signal
@@ -1816,33 +1822,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": heavy_hitters,
     }
     # The driver's CORRECTNESS run caps at the FIRST 50 entries in dict
-    # order.  Front-load (a) entries never driver-witnessed in r01-r03,
-    # (b) entries whose only witness predates a fix (events_analytic was
-    # red in r02, fixed in r3), and (c) entries new this round — then fill
-    # the rest of the 50-window with representative already-green rows.
+    # order.  Round-5 window: (a) the two r4-red rows FIRST (integer-cent
+    # rework must get its driver verdict), (b) every entry whose code path
+    # changed this round, (c) the r4-touched rotation the verdict asked
+    # for, (d) the entries whose last witness is oldest (r2, then r3).
     front = [
-        # (a) never witnessed r01-r03
-        "knn_pq", "events_rolling", "events_rolling_time", "events_rank",
-        "events_funnel", "user_retention", "user_event_seq", "lineitem_cube",
-        "kmeans_embed", "similar_docs", "doc_cosine_pairs", "doc_linreg",
-        "search_phrase", "search_phrase_idx", "warc_roundtrip",
-        "jsonl_roundtrip", "csv_roundtrip", "sample_bernoulli",
-        "sample_stratified", "decontaminate", "dup_ngrams",
-        "pagerank_suppliers", "doc_ppl", "tfidf_topk", "sample_weighted",
-        "user_event_pivot", "user_top_event", "bpe_tokenize",
-        "heavy_hitters",
-        # (b) witnessed only pre-fix
-        "events_analytic",
-        # (c) new this round
-        "image_dup_pairs", "search_phrase_scatter", "events_profile_hll",
-        "sparse_stop_pairs", "image_meta_jpeg420",
-        # representative already-green fill (flagship + each family)
+        # (a) r4-red rows, reworked this round
+        "events_analytic", "events_rolling",
+        # (b) r5-touched paths (stop-term df threading, banded verify,
+        # scatter reference gather, dhash bucket cap)
+        "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
+        "image_dup_pairs", "simhash_dedup", "image_dhash",
+        "search_phrase_scatter",
+        # (c) r4-touched rotation (verdict #1)
         "tf", "dictionary", "dictionary_incremental", "search_ref",
-        "search_bm25", "search_batch", "search_scatter", "customer_orders",
-        "customer_orders_full", "exact_dedup", "ngram_jaccard",
-        "lineitem_pricing", "events_profile", "events_range_join",
-        "image_meta_jpeg", "image_dhash", "audio_features", "users_daily",
-        "line_dedup", "urgent_lineitems_bloom",
+        "search_bm25", "search_batch", "search_phrase", "search_phrase_idx",
+        "line_dedup", "pagerank_suppliers", "image_meta_jpeg",
+        "image_meta_jpeg420", "image_meta_png",
+        # (d) oldest witnesses first: all nine r2-last entries
+        "knn_cosine", "knn_ivf", "knn_lsh", "embedding_dup",
+        "embedding_dup_blocked", "events_window", "events_hopping",
+        "events_asof", "sessionize",
+        # then r3-last representatives across families
+        "term_df", "doc_len", "corpus_stats", "top_terms",
+        "search_ref_multi", "image_meta", "site_stats", "lang_distribution",
+        "langid_simple", "doc_quality", "fingerprint", "token_count",
+        "approx_users_daily", "users_daily", "orders_by_nation",
+        "top_docs_per_lang", "event_value_quantiles", "lineitem_rollup",
+        "custkeys_negative_balance", "minhash_lsh",
     ]
     ordered = {k: all_q[k] for k in front if k in all_q}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})

@@ -516,6 +516,15 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         raise ValueError("truncated JPEG (no SOF/SOS)")
     nc = len(comps)
     samps = [((s >> 4), (s & 0xF)) for _, s, _ in comps]
+    # T.81 A.2: a SINGLE-component scan is non-interleaved — raster order
+    # over ceil(w/8) x ceil(h/8) blocks with NO MCU padding, regardless of
+    # the declared sampling factors.  With 1x1 sampling the MCU loop below
+    # degenerates to exactly that order; any other grayscale sampling
+    # would decode garbled, so raise loudly (the subset contract).
+    if nc == 1 and samps[0] != (1, 1):
+        raise NotImplementedError(
+            "single-component (grayscale) JPEG with sampling factors "
+            f"{samps[0]} != 1x1: non-interleaved block order not supported")
     hmax = max(hi for hi, _ in samps)
     vmax = max(vi for _, vi in samps)
     # MCU grid covers the image at full resolution; component ci owns a

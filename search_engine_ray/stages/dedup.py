@@ -450,18 +450,23 @@ def sig_hamming_pairs(sig_ds: rd.Dataset, *, sig_col: str,
                 hs = hamming64(sigs[i + 1:], int(sigs[i]))
                 hits = np.flatnonzero((hs <= max_hamming)
                                       & (ids[i + 1:] != ids[i]))
-                for off in hits:
-                    a_out.append(int(ids[i]))
-                    b_out.append(int(ids[i + 1 + off]))
-                    h_out.append(int(hs[off]))
+                if hits.size:
+                    # array-segment appends: no per-hit Python in the
+                    # verify (the last row-at-a-time loop in this family)
+                    a_out.append(np.full(hits.size, ids[i], np.int64))
+                    b_out.append(ids[i + 1 + hits])
+                    h_out.append(hs[hits].astype(np.int32))
         if dropped_buckets:
             logging.getLogger(__name__).warning(
                 "sig_hamming_pairs(%s): dropped %d over-full band buckets "
                 "(> max_bucket=%d; %d member rows) in this part",
                 sig_col, dropped_buckets, max_bucket, dropped_rows)
-        return pa.table({"doc_a": pa.array(a_out, pa.int64()),
-                         "doc_b": pa.array(b_out, pa.int64()),
-                         "hamming": pa.array(h_out, pa.int32())})
+        a_np = np.concatenate(a_out) if a_out else np.empty(0, np.int64)
+        b_np = np.concatenate(b_out) if b_out else np.empty(0, np.int64)
+        h_np = np.concatenate(h_out) if h_out else np.empty(0, np.int32)
+        return pa.table({"doc_a": pa.array(a_np, pa.int64()),
+                         "doc_b": pa.array(b_np, pa.int64()),
+                         "hamming": pa.array(h_np, pa.int32())})
 
     pairs = banded.map_batches(add_part, batch_format="pyarrow") \
         .groupby("bpart").map_groups(part_bucket_pairs, batch_format="pyarrow")

@@ -357,3 +357,25 @@ def test_resize_jpeg_roundtrip():
     r = decode_jpeg(out["payload"][0].as_py())
     assert r.shape == (5, 4, 3)
     assert (r == r[0, 0]).all()
+
+
+def test_jpeg_grayscale_nonstandard_sampling_raises():
+    """T.81 A.2: a single-component scan is NON-interleaved, so a grayscale
+    stream declaring 2x2 sampling must raise loudly instead of decoding
+    MCU-interleaved garbage (ADVICE r4).  Built by flipping the SOF
+    sampling byte of a valid 1x1 grayscale stream."""
+    import pytest
+
+    from search_engine_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    img = (np.arange(64, dtype=np.uint8).reshape(8, 8))[:, :, None]
+    data = bytearray(encode_jpeg(img))
+    pos = bytes(data).find(b"\xff\xc0")
+    assert pos >= 0
+    # SOF0 payload: precision(1) h(2) w(2) nc(1) cid(1) samp(1)
+    samp_at = pos + 4 + 7
+    assert data[samp_at] == 0x11
+    decode_jpeg(bytes(data))  # sane before the flip
+    data[samp_at] = 0x22
+    with pytest.raises(NotImplementedError, match="grayscale"):
+        decode_jpeg(bytes(data))
