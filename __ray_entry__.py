@@ -416,6 +416,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n_docs = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
         return dhash_pairs(sig, max_hamming=2, max_bucket=n_docs)
 
+    def image_dup_clusters(sf_dir):
+        """Image near-dup CLUSTERS end-to-end: decode -> dHash -> banded
+        hamming pairs -> connected components — the image family ends the
+        same way every text dedup family does (pairs -> clusters).  The
+        oracle replays the pixel/hash/band pipeline in SQL and closes the
+        pair graph with a recursive CTE."""
+        from search_engine_ray.stages.graph import connected_components
+
+        return connected_components(image_dup_pairs(sf_dir))
+
     def audio_features(sf_dir):
         """REAL WAV decode (stdlib RIFF PCM16) + integer-exact signal
         features: synthetic deterministic waveforms (sample i =
@@ -1744,6 +1754,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_jpeg420": image_meta_jpeg420,
         "image_dhash": image_dhash,
         "image_dup_pairs": image_dup_pairs,
+        "image_dup_clusters": image_dup_clusters,
         "audio_features": audio_features,
         "site_stats": site_stats,
         "lang_distribution": lang_distribution,
@@ -1832,8 +1843,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
-        "image_dup_pairs", "simhash_dedup", "image_dhash",
-        "search_phrase_scatter",
+        "image_dup_pairs", "image_dup_clusters", "simhash_dedup",
+        "image_dhash", "search_phrase_scatter",
         # (c) r4-touched rotation (verdict #1)
         "tf", "dictionary", "dictionary_incremental", "search_ref",
         "search_bm25", "search_batch", "search_phrase", "search_phrase_idx",
@@ -1849,7 +1860,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_simple", "doc_quality", "fingerprint", "token_count",
         "approx_users_daily", "users_daily", "orders_by_nation",
         "top_docs_per_lang", "event_value_quantiles", "lineitem_rollup",
-        "custkeys_negative_balance", "minhash_lsh",
+        "custkeys_negative_balance",
     ]
     ordered = {k: all_q[k] for k in front if k in all_q}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
@@ -2001,9 +2012,9 @@ FROM b GROUP BY doc_id
 
     # image near-dup pairs: replay pixel formula (incl. the per-variant
     # (0,0) perturbation), sample grid, bit packing, band split, band
-    # self-join and popcount verify literal-for-literal
-    sql["image_dup_pairs"] = """
-WITH dm AS (
+    # self-join and popcount verify literal-for-literal; shared CTE block
+    # so image_dup_clusters builds its transitive closure on the same pairs
+    _IMG_PAIR_CTES = """dm AS (
     SELECT doc_id, doc_id // 4 AS gid, doc_id % 4 AS v,
            (8 + (doc_id // 4) % 24)::BIGINT AS w,
            (8 + (5 * (doc_id // 4)) % 24)::BIGINT AS h
@@ -2053,11 +2064,40 @@ cand AS (
            a.hi AS ha, a.lo AS la, c.hi AS hb, c.lo AS lb
     FROM bands a JOIN bands c
       ON a.k = c.k AND a.val = c.val AND a.doc_id < c.doc_id
-)
-SELECT doc_a, doc_b,
-       (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::INTEGER AS hamming
-FROM cand
-WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 2
+),
+ipairs AS (
+    SELECT doc_a, doc_b,
+           (bit_count(xor(ha, hb)) + bit_count(xor(la, lb)))::INTEGER
+               AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) + bit_count(xor(la, lb)) <= 2
+)"""
+
+    sql["image_dup_pairs"] = f"""
+WITH {_IMG_PAIR_CTES}
+SELECT doc_a, doc_b, hamming FROM ipairs
+"""
+
+    # image dup clusters: transitive closure of the dHash pair graph via a
+    # recursive CTE (min reachable node id = cluster id) — the image family
+    # now ends the same way every text dedup family ends
+    sql["image_dup_clusters"] = f"""
+WITH RECURSIVE {_IMG_PAIR_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM ipairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM ipairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+clusters AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node)
+SELECT node AS doc_id, cluster::BIGINT AS cluster,
+       (node = cluster) AS is_canonical
+FROM clusters
 """
 
     # WAV round trip: the oracle recomputes the synthetic waveform's

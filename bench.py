@@ -170,6 +170,8 @@ HEADLINE = [
     # round-4 operators
     "image_dup_pairs", "sparse_stop_pairs", "events_profile_hll",
     "search_phrase_scatter", "image_meta_jpeg420",
+    # round-5 operators
+    "image_dup_clusters",
 ]
 
 
