@@ -320,6 +320,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         chroma grid, or upsample all hash-mismatch the 4:4:4 oracle."""
         return dq.q_image_meta_jpeg(sf_dir, subsampling="420")
 
+    def image_meta_jpeg_prog(sf_dir):
+        """Decoded-pixel oracle over PROGRESSIVE (SOF2) JPEG streams —
+        spectral-selection + successive-approximation DC/AC first and
+        refinement scans, per-scan DHT redefinition, EOB runs.  Coefficient
+        accumulation is exact, so the 4:4:4 oracle must hash-match; a wrong
+        refinement-bit protocol, EOB-run length, or scan-table snapshot all
+        diverge."""
+        return dq.q_image_meta_jpeg(sf_dir, progressive=True)
+
     def image_dhash(sf_dir):
         """Perceptual image fingerprint (dHash) over REAL decoded pixels:
         gradient-fill PNGs (pixel(x,y) = (3x+7y+doc_id) mod 256, dims from
@@ -1752,6 +1761,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_png": image_meta_png,
         "image_meta_jpeg": image_meta_jpeg,
         "image_meta_jpeg420": image_meta_jpeg420,
+        "image_meta_jpeg_prog": image_meta_jpeg_prog,
         "image_dhash": image_dhash,
         "image_dup_pairs": image_dup_pairs,
         "image_dup_clusters": image_dup_clusters,
@@ -1849,7 +1859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tf", "dictionary", "dictionary_incremental", "search_ref",
         "search_bm25", "search_batch", "search_phrase", "search_phrase_idx",
         "line_dedup", "pagerank_suppliers", "image_meta_jpeg",
-        "image_meta_jpeg420", "image_meta_png",
+        "image_meta_jpeg420", "image_meta_jpeg_prog", "image_meta_png",
         # (d) oldest witnesses first: all nine r2-last entries
         "knn_cosine", "knn_ivf", "knn_lsh", "embedding_dup",
         "embedding_dup_blocked", "events_window", "events_hopping",
@@ -1860,7 +1870,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_simple", "doc_quality", "fingerprint", "token_count",
         "approx_users_daily", "users_daily", "orders_by_nation",
         "top_docs_per_lang", "event_value_quantiles", "lineitem_rollup",
-        "custkeys_negative_balance",
     ]
     ordered = {k: all_q[k] for k in front if k in all_q}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
@@ -1973,6 +1982,9 @@ FROM documents d JOIN u ON u.doc_id = d.doc_id
 """
     # 4:2:0 streams decode to the SAME pixels for constant fills
     sql["image_meta_jpeg420"] = sql["image_meta_jpeg"]
+    # progressive streams accumulate to the same coefficients, so the same
+    # decoded-pixel oracle must hash-match
+    sql["image_meta_jpeg_prog"] = sql["image_meta_jpeg"]
 
     sql["site_stats"] = f"""
 WITH {_TF_CTE}

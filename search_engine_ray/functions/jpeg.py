@@ -7,20 +7,25 @@ Common-Crawl-style image pipeline needs a built-in decode path the same way
 
 Scope (documented subset, raises loudly outside it):
 
-* **baseline sequential DCT** (SOF0), 8-bit precision;
+* **baseline sequential DCT** (SOF0) and **progressive DCT** (SOF2,
+  spectral selection + successive approximation, DC/AC first and
+  refinement passes — the second-most-common real-Common-Crawl encoding),
+  8-bit precision;
 * 1 component (grayscale) or 3 components (YCbCr), sampling factors up
   to 2x2 — i.e. 4:4:4, 4:2:0 (the dominant real-Common-Crawl encoding),
   4:2:2 and 4:4:0 all decode; the encoder writes 4:4:4 (default) or
-  4:2:0 MCU-interleaved streams;
+  4:2:0 MCU-interleaved baseline streams, and 4:4:4 progressive streams
+  (``encode_jpeg_progressive``, arbitrary scan scripts);
 * chroma resampling contract (frozen, SQL-replayable): downsample is the
   2x2 box mean with ``floor(x + 0.5)`` rounding (= ``(a+b+c+d+2)//4`` on
   integer samples), upsample is plain sample replication;
-* standard JFIF byte stream: SOI/APP0/DQT/SOF0/DHT/SOS/EOI with the
+* standard JFIF byte stream: SOI/APP0/DQT/SOF/DHT/SOS/EOI with the
   ITU-T T.81 Annex-K quantization and Huffman tables on the encode side
-  (the decoder builds its tables from the file's DHT/DQT segments, so it
-  reads any conforming baseline stream within the subset, not just our
-  own);
-* no progressive (SOF2), no arithmetic coding, no restart intervals.
+  (the decoder builds its tables from the file's DHT/DQT segments —
+  snapshotted per scan, since progressive files redefine DHT between
+  scans — so it reads any conforming stream within the subset, not just
+  our own);
+* no arithmetic coding, no restart intervals, no 12-bit precision.
 
 Determinism contract (what makes an SQL oracle possible, mirroring the
 PNG path's ``mean_luma`` check): every rounding step uses
@@ -39,7 +44,7 @@ import struct
 
 import numpy as np
 
-__all__ = ["encode_jpeg", "decode_jpeg"]
+__all__ = ["encode_jpeg", "decode_jpeg", "encode_jpeg_progressive"]
 
 # --------------------------------------------------------------------------
 # constants
@@ -431,11 +436,14 @@ def _extend(v: int, cat: int) -> int:
 
 
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode baseline JFIF (sampling factors up to 2x2: 4:4:4, 4:2:0,
-    4:2:2, 4:4:0) to (h, w, channels) uint8 (channels 1 or 3); subsampled
-    chroma upsamples by sample replication (the frozen contract).  Raises
-    NotImplementedError on progressive/restart/>2x sampling streams
-    (outside the documented subset)."""
+    """Decode baseline (SOF0) or progressive (SOF2) JFIF (sampling factors
+    up to 2x2: 4:4:4, 4:2:0, 4:2:2, 4:4:0) to (h, w, channels) uint8
+    (channels 1 or 3); subsampled chroma upsamples by sample replication
+    (the frozen contract).  Progressive streams accumulate coefficients
+    over every scan (spectral selection + successive approximation, DC/AC
+    first and refinement passes) and IDCT once.  Raises
+    NotImplementedError on restart-interval / >2x-sampling / arithmetic
+    streams (outside the documented subset)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -445,6 +453,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     comps: list[tuple[int, int, int]] = []   # (cid, sampling, tq)
     scan_tabs: list[tuple[int, int]] = []    # (dc table id, ac table id)
     scan_data = b""
+    progressive = False
+    # every SOS of a progressive stream: (component ids, table ids, Ss, Se,
+    # Ah, Al, entropy bytes, huff-table snapshot — DHT may be redefined
+    # between scans, so each scan decodes with the tables live at ITS SOS)
+    scans: list[tuple] = []
     while pos < len(data):
         if data[pos] != 0xFF:
             raise ValueError("marker expected")
@@ -468,7 +481,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 tbl[_ZIG] = vals
                 qtables[tq] = tbl.reshape(8, 8)
                 off += 65
-        elif marker == 0xC0:                 # SOF0 baseline
+        elif marker in (0xC0, 0xC2):         # SOF0 baseline / SOF2 progressive
+            progressive = marker == 0xC2
             _prec, h, w, nc = struct.unpack_from(">BHHB", body, 0)
             comps = []
             for i in range(nc):
@@ -479,11 +493,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         f"sampling factors {hi}x{vi} not supported "
                         "(1..2 each)")
                 comps.append((cid, samp, tq))
-        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7,
                         0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
-                f"only baseline sequential (SOF0) supported, got SOF "
-                f"marker 0x{marker:02x}")
+                f"only baseline (SOF0) and progressive (SOF2) supported, "
+                f"got SOF marker 0x{marker:02x}")
         elif marker == 0xC4:                 # DHT
             off = 0
             while off < len(body):
@@ -498,9 +512,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         elif marker == 0xDA:                 # SOS
             ns = body[0]
             scan_tabs = []
+            scan_cids = []
             for i in range(ns):
-                _cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                cid, tabs = body[1 + 2 * i], body[2 + 2 * i]
+                scan_cids.append(cid)
                 scan_tabs.append((tabs >> 4, tabs & 0xF))
+            ss, se = body[1 + 2 * ns], body[2 + 2 * ns]
+            ahl = body[3 + 2 * ns]
             # entropy data runs to the next real marker (unstuff FF00)
             end = pos
             while end < len(data) - 1:
@@ -510,6 +528,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 end += 1
             scan_data = data[pos:end].replace(b"\xff\x00", b"\xff")
             pos = end
+            scans.append((scan_cids, scan_tabs, ss, se, ahl >> 4, ahl & 0xF,
+                          scan_data, dict(huff)))
         # APPn/COM and anything else: skipped via seglen
 
     if not comps or not scan_data:
@@ -566,15 +586,19 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         coef = block.reshape(8, 8) * qt
         return _C.T @ coef @ _C + 128.0
 
-    for m in range(mcuy * mcux):
-        my, mx = divmod(m, mcux)
-        for ci, (hi, vi) in enumerate(samps):
-            # T.81 interleave order within the MCU: v outer, h inner
-            for v in range(vi):
-                for u in range(hi):
-                    by, bx = my * vi + v, mx * hi + u
-                    planes[ci][by * 8:(by + 1) * 8, bx * 8:(bx + 1) * 8] = \
-                        _decode_block(ci)
+    if progressive:
+        planes = _decode_progressive_planes(
+            comps, samps, scans, qtables, h, w, mcux, mcuy, hmax, vmax)
+    else:
+        for m in range(mcuy * mcux):
+            my, mx = divmod(m, mcux)
+            for ci, (hi, vi) in enumerate(samps):
+                # T.81 interleave order within the MCU: v outer, h inner
+                for v in range(vi):
+                    for u in range(hi):
+                        by, bx = my * vi + v, mx * hi + u
+                        planes[ci][by * 8:(by + 1) * 8,
+                                   bx * 8:(bx + 1) * 8] = _decode_block(ci)
     # integer samples first, then replication-upsample subsampled
     # components to full resolution (the frozen contract), then crop
     full = []
@@ -589,3 +613,381 @@ def decode_jpeg(data: bytes) -> np.ndarray:
         return full[0].astype(np.uint8)[:, :, None]
     rgb = _ycbcr_to_rgb(np.stack(full, axis=-1))
     return rgb.astype(np.uint8)
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) decoding — T.81 G.1.2: spectral selection +
+# successive approximation, DC/AC first and refinement passes
+# --------------------------------------------------------------------------
+
+def _decode_progressive_planes(comps, samps, scans, qtables, h, w,
+                               mcux, mcuy, hmax, vmax) -> list[np.ndarray]:
+    """Accumulate dequantization-domain coefficients over every scan, then
+    dequantize + IDCT once.  Interleaved scans (DC, multi-component) walk
+    the MCU grid; single-component scans are NON-interleaved (T.81 A.2):
+    raster order over the component's OWN ceil(dim/8) block grid, no MCU
+    padding — blocks land in the top-left of the padded grid."""
+    nc = len(comps)
+    nbx = [mcux * hi for hi, _ in samps]
+    nby = [mcuy * vi for _, vi in samps]
+    # zigzag-order coefficient accumulator, one row per padded-grid block
+    coefs = [np.zeros((nby[ci] * nbx[ci], 64), np.int32) for ci in range(nc)]
+    # non-interleaved grids: ceil(ceil(dim * sampling / max) / 8)
+    sbx = [(-(-(w * hi) // hmax) + 7) // 8 for hi, _ in samps]
+    sby = [(-(-(h * vi) // vmax) + 7) // 8 for _, vi in samps]
+    cid_to_ix = {cid: i for i, (cid, _, _) in enumerate(comps)}
+
+    for scan_cids, stabs, ss, se, ah, al, sdata, tabs in scans:
+        cix = [cid_to_ix[c] for c in scan_cids]
+        br = _BitReader(sdata)
+        if ss == 0:                                   # DC scan
+            if se != 0:
+                raise ValueError("DC scan must have Se == 0")
+            if len(cix) > 1:                          # interleaved MCU walk
+                order = []
+                for m in range(mcuy * mcux):
+                    my, mx = divmod(m, mcux)
+                    for j, ci in enumerate(cix):
+                        hi, vi = samps[ci]
+                        for v in range(vi):
+                            for u in range(hi):
+                                order.append(
+                                    (j, ci,
+                                     (my * vi + v) * nbx[ci] + mx * hi + u))
+            else:                                     # non-interleaved
+                ci = cix[0]
+                order = [(0, ci, by * nbx[ci] + bx)
+                         for by in range(sby[ci]) for bx in range(sbx[ci])]
+            if ah == 0:                               # first DC pass
+                pred = [0] * len(cix)
+                for j, ci, b in order:
+                    dc_t = tabs[(0, stabs[j][0])]
+                    cat = _read_symbol(br, dc_t)
+                    diff = _extend(br.read_bits(cat), cat) if cat else 0
+                    pred[j] += diff
+                    coefs[ci][b, 0] = pred[j] << al
+            else:                                     # DC refinement: 1 bit
+                p1 = np.int32(1 << al)
+                for _j, ci, b in order:
+                    if br.read_bit():
+                        coefs[ci][b, 0] |= p1
+            continue
+
+        # AC scan: T.81 G.1.1 — always single-component, non-interleaved
+        if len(cix) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        ci = cix[0]
+        ac_t = tabs[(1, stabs[0][1])]
+        eobrun = 0
+        p1, m1 = 1 << al, -(1 << al)
+        for by in range(sby[ci]):
+            for bx in range(sbx[ci]):
+                cf = coefs[ci][by * nbx[ci] + bx]
+                if ah == 0:                           # first AC pass
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = _read_symbol(br, ac_t)
+                        r, s = rs >> 4, rs & 0xF
+                        if s == 0:
+                            if r == 15:               # ZRL
+                                k += 16
+                                continue
+                            eobrun = (1 << r) - 1     # EOBn: this block done
+                            if r:
+                                eobrun += br.read_bits(r)
+                            break
+                        k += r
+                        if k > se:
+                            raise ValueError("AC index overflow")
+                        cf[k] = _extend(br.read_bits(s), s) << al
+                        k += 1
+                else:                                 # AC refinement pass
+                    k = ss
+                    if eobrun == 0:
+                        while k <= se:
+                            rs = _read_symbol(br, ac_t)
+                            r, s = rs >> 4, rs & 0xF
+                            s_val = 0
+                            if s == 0:
+                                if r != 15:           # EOBn (rest via tail)
+                                    eobrun = 1 << r
+                                    if r:
+                                        eobrun += br.read_bits(r)
+                                    break
+                                # r == 15: ZRL — skip 16 zero-history coefs
+                            else:
+                                if s != 1:
+                                    raise ValueError(
+                                        "refinement coefficient must be +-1")
+                                s_val = p1 if br.read_bit() else m1
+                            # advance over coefficients: correction bit for
+                            # each nonzero-history coef passed; r counts
+                            # zero-history skips
+                            while k <= se:
+                                if cf[k]:
+                                    if br.read_bit() and not (cf[k] & p1):
+                                        cf[k] += p1 if cf[k] >= 0 else m1
+                                else:
+                                    if r == 0:
+                                        break
+                                    r -= 1
+                                k += 1
+                            if s_val and k <= se:
+                                cf[k] = s_val
+                            k += 1
+                    if eobrun > 0:                    # EOB-run tail: only
+                        while k <= se:                # correction bits
+                            if cf[k]:
+                                if br.read_bit() and not (cf[k] & p1):
+                                    cf[k] += p1 if cf[k] >= 0 else m1
+                            k += 1
+                        eobrun -= 1
+
+    # dequantize + IDCT every component in one vectorized pass
+    planes = []
+    for ci, (hi, vi) in enumerate(samps):
+        qt = qtables[comps[ci][2]].astype(np.float64)
+        zz = coefs[ci].astype(np.float64)
+        bl = np.zeros((zz.shape[0], 64), np.float64)
+        bl[:, _ZIG] = zz
+        coef = bl.reshape(-1, 8, 8) * qt
+        px = np.einsum("ji,njk,kl->nil", _C, coef, _C, optimize=True) + 128.0
+        plane = px.reshape(nby[ci], nbx[ci], 8, 8).transpose(0, 2, 1, 3) \
+            .reshape(nby[ci] * 8, nbx[ci] * 8)
+        planes.append(plane)
+    return planes
+
+
+# --------------------------------------------------------------------------
+# progressive (SOF2) encoder — T.81 G.1.2 first + refinement passes.
+# Validates the decoder (and documents the scan protocol); scope is
+# 4:4:4 / grayscale with per-scan generated Huffman tables.
+# --------------------------------------------------------------------------
+
+def _canonical_table(symbols: set[int]) -> tuple[list[int], list[int]]:
+    """Equal-length canonical Huffman table over the given symbol set:
+    every symbol gets length L = bit_length(n), so n < 2**L and the
+    all-ones code stays unassigned (never collides with byte-pad 1s).
+    Compression is not the goal — spec-conformance is."""
+    syms = sorted(symbols)
+    n = len(syms)
+    if not n:
+        return [0] * 16, []
+    ln = max(1, n.bit_length())
+    bits = [0] * 16
+    bits[ln - 1] = n
+    return bits, syms
+
+
+def _sig_shift(v: int, al: int) -> int:
+    """T.81 G.1.2.2 AC point transform: magnitude shift, sign kept."""
+    return (v >> al) if v >= 0 else -((-v) >> al)
+
+
+def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 100,
+                            script: list[tuple] | None = None) -> bytes:
+    """Encode grayscale / RGB uint8 to PROGRESSIVE JFIF (SOF2): spectral
+    selection + successive approximation, 4:4:4 sampling.  ``script`` is a
+    list of ``(component_indexes, Ss, Se, Ah, Al)`` scans; the default
+    exercises interleaved DC first+refine and AC first+refine passes (the
+    shape libjpeg emits).  Huffman tables are generated per scan (DHT
+    between scans, as real progressive files do)."""
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, nc = arr.shape
+    if nc not in (1, 3):
+        raise ValueError("encode_jpeg_progressive supports 1 or 3 channels")
+    if arr.dtype != np.uint8:
+        raise ValueError("encode_jpeg_progressive expects uint8")
+    color = nc == 3
+    if color:
+        ycc = _rgb_to_ycbcr(arr)
+        planes = [ycc[..., i] for i in range(3)]
+    else:
+        planes = [arr[:, :, 0].astype(np.float64)]
+    qtables = [_scaled_quant(_QUANT_LUMA, quality)]
+    if color:
+        qtables.append(_scaled_quant(_QUANT_CHROMA, quality))
+    qplanes = []
+    for ci, plane in enumerate(planes):
+        blk, _nby, _nbx = _blocks(plane - 128.0)
+        coef = np.einsum("ij,njk,lk->nil", _C, blk, _C, optimize=True)
+        qt = qtables[min(ci, len(qtables) - 1)].astype(np.float64)
+        q = np.floor(coef / qt + 0.5).astype(np.int32)
+        qplanes.append(q.reshape(-1, 64)[:, _ZIG])
+    n_blocks = qplanes[0].shape[0]
+
+    if script is None:
+        script = [(list(range(nc)), 0, 0, 0, 1)]          # DC first
+        script += [([0], 1, 5, 0, 2), ([0], 6, 63, 0, 2)]  # luma AC coarse
+        if color:
+            script += [([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1)]
+        script += [([0], 1, 63, 2, 1)]                    # luma AC refine 2->1
+        script += [(list(range(nc)), 0, 0, 1, 0)]         # DC refine
+        script += [([0], 1, 63, 1, 0)]                    # luma AC refine 1->0
+        if color:
+            script += [([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)]
+
+    out = bytearray()
+    out += b"\xff\xd8"
+    out += b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" \
+        + bytes([1, 1, 0]) + struct.pack(">HH", 1, 1) + bytes([0, 0])
+    for tid, qt in enumerate(qtables):
+        out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
+            + bytes(int(x) for x in qt.reshape(-1)[_ZIG])
+    comps = [(1, 0x11, 0)] if not color else \
+        [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
+    for cid, samp, tq in comps:
+        out += bytes([cid, samp, tq])
+
+    for comp_ix, ss, se, ah, al in script:
+        ops = _encode_prog_scan(qplanes, comp_ix, ss, se, ah, al, n_blocks)
+        # per-scan tables: one DC (tc=0) + one AC (tc=1), th=0, from the
+        # union of symbols this scan emits
+        for tc in (0, 1):
+            syms = {sym for kind, a, b in ops if kind == "s" and a == tc
+                    for sym in (b,)}
+            if not syms:
+                continue
+            bits, symbols = _canonical_table(syms)
+            out += b"\xff\xc4" + struct.pack(">H", 19 + len(symbols)) \
+                + bytes([tc << 4]) + bytes(bits) + bytes(symbols)
+            if tc == 0:
+                dc_codes = _huff_codes(bits, symbols)
+            else:
+                ac_codes = _huff_codes(bits, symbols)
+        out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ix),
+                                         len(comp_ix))
+        for ci in comp_ix:
+            out += bytes([comps[ci][0], 0x00])
+        out += bytes([ss, se, (ah << 4) | al])
+        bw = _BitWriter()
+        for kind, a, b in ops:
+            if kind == "s":
+                code, ln = (dc_codes if a == 0 else ac_codes)[b]
+                bw.put(code, ln)
+            else:
+                bw.put(a, b)
+        bw.flush()
+        out += bw.out
+    out += b"\xff\xd9"
+    return bytes(out)
+
+
+def _encode_prog_scan(qplanes, comp_ix, ss, se, ah, al,
+                      n_blocks) -> list[tuple]:
+    """One scan's entropy stream as ops: ("s", tc, symbol) huffman symbol,
+    ("b", value, nbits) raw bits.  Mirrors T.81 G.1.2 (the libjpeg
+    encode_mcu_DC/AC first/refine structure)."""
+    ops: list[tuple] = []
+    if ss == 0:                                           # DC scan
+        if ah == 0:
+            pred = [0] * len(comp_ix)
+            for m in range(n_blocks):
+                for j, ci in enumerate(comp_ix):
+                    v = int(qplanes[ci][m][0]) >> al      # arithmetic shift
+                    diff = v - pred[j]
+                    pred[j] = v
+                    cat = _category(diff)
+                    ops.append(("s", 0, cat))
+                    if cat:
+                        ops.append(("b", _amplitude(diff, cat), cat))
+        else:                                             # DC refine: raw bit
+            for m in range(n_blocks):
+                for ci in comp_ix:
+                    ops.append(("b", (int(qplanes[ci][m][0]) >> al) & 1, 1))
+        return ops
+
+    (ci,) = comp_ix                                       # AC: one component
+    if ah == 0:                                           # AC first pass
+        eobrun = 0
+
+        def flush_eob():
+            nonlocal eobrun
+            if eobrun:
+                r = eobrun.bit_length() - 1
+                ops.append(("s", 1, r << 4))
+                if r:
+                    ops.append(("b", eobrun - (1 << r), r))
+                eobrun = 0
+
+        for m in range(n_blocks):
+            band = [_sig_shift(int(v), al)
+                    for v in qplanes[ci][m][ss:se + 1]]
+            if not any(band):
+                eobrun += 1
+                if eobrun == 0x7FFF:
+                    flush_eob()
+                continue
+            flush_eob()
+            r = 0
+            for t in band:
+                if t == 0:
+                    r += 1
+                    continue
+                while r > 15:
+                    ops.append(("s", 1, 0xF0))            # ZRL
+                    r -= 16
+                cat = _category(t)
+                ops.append(("s", 1, (r << 4) | cat))
+                ops.append(("b", _amplitude(t, cat), cat))
+                r = 0
+            if r:                                         # trailing zeros
+                eobrun += 1
+        flush_eob()
+        return ops
+
+    # AC refinement pass (Ah = Al + 1): newly-nonzero coefs have |v|>>Al == 1
+    eobrun = 0
+    bbuf: list[int] = []                                  # bits behind EOBn
+
+    def flush_eob_r():
+        nonlocal eobrun, bbuf
+        if eobrun:
+            r = eobrun.bit_length() - 1
+            ops.append(("s", 1, r << 4))
+            if r:
+                ops.append(("b", eobrun - (1 << r), r))
+            eobrun = 0
+        for bit in bbuf:
+            ops.append(("b", bit, 1))
+        bbuf = []
+
+    for m in range(n_blocks):
+        vals = [int(v) for v in qplanes[ci][m][ss:se + 1]]
+        absv = [abs(v) >> al for v in vals]
+        eob = max((i for i, t in enumerate(absv) if t == 1), default=-1)
+        r = 0
+        br_bits: list[int] = []                           # this block's
+        for i, t in enumerate(absv):                      # pending corrections
+            if t == 0:
+                r += 1
+                continue
+            while r > 15 and i <= eob:
+                flush_eob_r()
+                ops.append(("s", 1, 0xF0))                # ZRL
+                r -= 16
+                for bit in br_bits:
+                    ops.append(("b", bit, 1))
+                br_bits = []
+            if t > 1:                                     # history coef:
+                br_bits.append(t & 1)                     # correction bit
+                continue
+            flush_eob_r()                                 # newly nonzero
+            ops.append(("s", 1, (r << 4) | 1))
+            ops.append(("b", 1 if vals[i] >= 0 else 0, 1))
+            for bit in br_bits:
+                ops.append(("b", bit, 1))
+            br_bits = []
+            r = 0
+        if r > 0 or br_bits:                              # block joins EOB run
+            eobrun += 1
+            bbuf.extend(br_bits)
+            if eobrun == 0x7FFF or len(bbuf) > 900:
+                flush_eob_r()
+    flush_eob_r()
+    return ops

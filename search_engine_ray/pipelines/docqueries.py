@@ -410,7 +410,8 @@ def q_image_meta(sf_dir: str) -> rd.Dataset:
     return meta.map_batches(shape, batch_format="pyarrow")
 
 
-def q_image_meta_jpeg(sf_dir: str, subsampling: str = "444") -> rd.Dataset:
+def q_image_meta_jpeg(sf_dir: str, subsampling: str = "444",
+                      progressive: bool = False) -> rd.Dataset:
     """Real-JPEG multimodal entry: deterministic baseline-JFIF payloads
     (pure-numpy codec, functions/jpeg) decoded back by the DecodeImage
     actor pool with ``decoder="jpeg"``.  Constant-fill pixels at
@@ -421,10 +422,14 @@ def q_image_meta_jpeg(sf_dir: str, subsampling: str = "444") -> rd.Dataset:
     stream, not just the header.  With ``subsampling="420"`` the color
     payloads are MCU-interleaved 4:2:0 streams — constant chroma
     box-downsamples and replication-upsamples to itself, so the SAME
-    oracle must hash-match, witnessing the subsampled decode path."""
+    oracle must hash-match, witnessing the subsampled decode path.  With
+    ``progressive=True`` the payloads are SOF2 streams (spectral selection
+    + successive approximation, DC/AC first + refinement scans): the
+    coefficient accumulation is exact, so the same oracle hash-matches —
+    witnessing the multi-scan entropy decode of a real progressive file."""
     import numpy as np
 
-    from ..functions.jpeg import encode_jpeg
+    from ..functions.jpeg import encode_jpeg, encode_jpeg_progressive
     from ..stages.multimodal import DecodeImage
 
     ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
@@ -438,8 +443,11 @@ def q_image_meta_jpeg(sf_dir: str, subsampling: str = "444") -> rd.Dataset:
             else:
                 arr = np.zeros((h, w, 3), np.uint8)
                 arr[:, :] = (did % 256, (3 * did) % 256, (7 * did) % 256)
-            payloads.append(encode_jpeg(arr, quality=100,
-                                        subsampling=subsampling))
+            if progressive:
+                payloads.append(encode_jpeg_progressive(arr, quality=100))
+            else:
+                payloads.append(encode_jpeg(arr, quality=100,
+                                            subsampling=subsampling))
         return batch.append_column("payload", pa.array(payloads, pa.binary()))
 
     meta = ds.map_batches(attach_payload, batch_format="pyarrow",

@@ -282,11 +282,13 @@ def test_jpeg_rejects_out_of_subset():
 
     with pytest.raises(ValueError, match="not a JPEG"):
         decode_jpeg(b"\x00\x01nonsense")
-    # progressive SOF2 marker in an otherwise valid prefix
+    # arithmetic-coded SOF9 marker in an otherwise valid prefix (SOF2
+    # progressive is SUPPORTED since round 5, so the out-of-subset probe
+    # uses a frame type that stays out: arithmetic coding)
     data = bytearray(encode_jpeg(np.zeros((8, 8, 1), np.uint8)))
     i = data.find(b"\xff\xc0")
-    data[i + 1] = 0xC2
-    with pytest.raises(NotImplementedError, match="baseline"):
+    data[i + 1] = 0xC9
+    with pytest.raises(NotImplementedError, match="SOF"):
         decode_jpeg(bytes(data))
     with pytest.raises(ValueError, match="channels"):
         encode_jpeg(np.zeros((4, 4, 2), np.uint8))
@@ -379,3 +381,61 @@ def test_jpeg_grayscale_nonstandard_sampling_raises():
     data[samp_at] = 0x22
     with pytest.raises(NotImplementedError, match="grayscale"):
         decode_jpeg(bytes(data))
+
+
+def test_jpeg_progressive_matches_baseline_decode():
+    """Progressive (SOF2) streams carry the same quantized coefficients as
+    the baseline encoding of the same image, so the progressive decode
+    must be BIT-IDENTICAL to the baseline decode at every quality —
+    witnessing interleaved DC first+refine, banded AC first passes at
+    Al=2/1, AC refinement (correction bits, buffered bits behind EOB
+    runs), ZRL, and per-scan DHT redefinition."""
+    from search_engine_ray.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                                  encode_jpeg_progressive)
+
+    rng = np.random.default_rng(7)
+    for shape, q in (((8, 8, 1), 100), ((24, 17, 1), 100), ((16, 16, 3), 100),
+                     ((40, 33, 3), 90), ((64, 48, 3), 75), ((7, 5, 1), 50)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        assert np.array_equal(base, prog), (shape, q)
+
+
+def test_jpeg_progressive_sparse_long_runs():
+    """Mostly-constant images force long zero runs and multi-block EOB
+    runs (the hard corner of the refinement-bit protocol)."""
+    from search_engine_ray.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                                  encode_jpeg_progressive)
+
+    rng = np.random.default_rng(3)
+    img = np.full((96, 80, 3), 128, np.uint8)
+    for _ in range(12):
+        y, x = rng.integers(0, 96), rng.integers(0, 80)
+        img[y, x] = rng.integers(0, 256, 3)
+    for q in (100, 85, 60):
+        base = decode_jpeg(encode_jpeg(img, quality=q))
+        prog = decode_jpeg(encode_jpeg_progressive(img, quality=q))
+        assert np.array_equal(base, prog), q
+
+
+def test_jpeg_progressive_custom_script():
+    """An arbitrary (valid) scan script — finer spectral bands, 3-level
+    successive approximation, interleaved DC refinements between AC
+    scans — must still accumulate to the exact coefficients."""
+    from search_engine_ray.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                                  encode_jpeg_progressive)
+
+    rng = np.random.default_rng(3)
+    script = [([0, 1, 2], 0, 0, 0, 2), ([0], 1, 2, 0, 3), ([0], 3, 63, 0, 3),
+              ([1], 1, 63, 0, 2), ([2], 1, 63, 0, 2),
+              ([0], 1, 63, 3, 2), ([0, 1, 2], 0, 0, 2, 1),
+              ([1], 1, 63, 2, 1), ([2], 1, 63, 2, 1),
+              ([0], 1, 63, 2, 1),
+              ([0, 1, 2], 0, 0, 1, 0),
+              ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)]
+    img = rng.integers(0, 256, (33, 29, 3), np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=95))
+    prog = decode_jpeg(encode_jpeg_progressive(img, quality=95,
+                                               script=script))
+    assert np.array_equal(base, prog)
