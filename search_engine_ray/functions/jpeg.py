@@ -13,9 +13,10 @@ Scope (documented subset, raises loudly outside it):
   8-bit precision;
 * 1 component (grayscale) or 3 components (YCbCr), sampling factors up
   to 2x2 — i.e. 4:4:4, 4:2:0 (the dominant real-Common-Crawl encoding),
-  4:2:2 and 4:4:0 all decode; the encoder writes 4:4:4 (default) or
-  4:2:0 MCU-interleaved baseline streams, and 4:4:4 progressive streams
-  (``encode_jpeg_progressive``, arbitrary scan scripts);
+  4:2:2 and 4:4:0 all decode AND encode (MCU-interleaved baseline
+  streams; every decode claim is round-trip-tested), plus 4:4:4
+  progressive streams (``encode_jpeg_progressive``, arbitrary scan
+  scripts);
 * chroma resampling contract (frozen, SQL-replayable): downsample is the
   2x2 box mean with ``floor(x + 0.5)`` rounding (= ``(a+b+c+d+2)//4`` on
   integer samples), upsample is plain sample replication;
@@ -267,6 +268,16 @@ def _box_down2(plane: np.ndarray) -> np.ndarray:
     return np.floor(s / 4.0 + 0.5)
 
 
+def _box_down_h(plane: np.ndarray) -> np.ndarray:
+    """Frozen 2x1 (horizontal) box downsample for 4:2:2; width must be even."""
+    return np.floor((plane[:, 0::2] + plane[:, 1::2]) / 2.0 + 0.5)
+
+
+def _box_down_v(plane: np.ndarray) -> np.ndarray:
+    """Frozen 1x2 (vertical) box downsample for 4:4:0; height must be even."""
+    return np.floor((plane[0::2, :] + plane[1::2, :]) / 2.0 + 0.5)
+
+
 def encode_jpeg(arr: np.ndarray, *, quality: int = 100,
                 subsampling: str = "444") -> bytes:
     """Encode (h, w) or (h, w, 1) grayscale / (h, w, 3) RGB uint8 to
@@ -274,8 +285,8 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 100,
     constant-fill images exactly — the oracle contract (it holds for
     ``subsampling="420"`` too: a constant plane box-downsamples and
     replication-upsamples to itself)."""
-    if subsampling not in ("444", "420"):
-        raise ValueError("subsampling must be '444' or '420'")
+    if subsampling not in ("444", "420", "422", "440"):
+        raise ValueError("subsampling must be '444', '420', '422' or '440'")
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -284,24 +295,29 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 100,
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg expects uint8")
     color = nc == 3
-    sub420 = color and subsampling == "420"
+    subsampled = color and subsampling != "444"
     if color:
         ycc = _rgb_to_ycbcr(arr)
         planes = [ycc[..., i] for i in range(3)]
     else:
         planes = [arr[:, :, 0].astype(np.float64)]
-    # per-component sampling factors (hi, vi); 4:2:0 = luma 2x2, chroma 1x1
-    samps = [(1, 1)] * len(planes) if not sub420 \
-        else [(2, 2), (1, 1), (1, 1)]
-    if sub420:
-        # pad full-res planes to the 16x16 MCU grid FIRST (edge-replicate),
+    # per-component sampling factors (hi, vi) and the chroma downsampler:
+    # 4:2:0 = luma 2x2, 4:2:2 = luma 2x1 (horizontal), 4:4:0 = luma 1x2
+    _SUB = {"420": ((2, 2), _box_down2), "422": ((2, 1), _box_down_h),
+            "440": ((1, 2), _box_down_v)}
+    samps = [(1, 1)] * len(planes) if not subsampled \
+        else [_SUB[subsampling][0], (1, 1), (1, 1)]
+    if subsampled:
+        # pad full-res planes to the full MCU grid FIRST (edge-replicate),
         # then box-downsample chroma — every chroma sample is the mean of a
-        # complete 2x2 cell, and all block grids align exactly
-        ph, pw = -h % 16, -w % 16
+        # complete cell, and all block grids align exactly
+        (lh, lv), down = _SUB[subsampling]
+        ph, pw = -h % (8 * lv), -w % (8 * lh)
         if ph or pw:
             planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge")
                       for p in planes]
-        planes = [planes[0], _box_down2(planes[1]), _box_down2(planes[2])]
+        planes = [planes[0], down(planes[1]), down(planes[2])]
+    sub420 = subsampled  # MCU-interleaved encode path below
 
     qtables = [_scaled_quant(_QUANT_LUMA, quality)]
     if color:

@@ -439,3 +439,30 @@ def test_jpeg_progressive_custom_script():
     prog = decode_jpeg(encode_jpeg_progressive(img, quality=95,
                                                script=script))
     assert np.array_equal(base, prog)
+
+
+def test_jpeg_422_440_tiled_exact_and_lossy():
+    """4:2:2 / 4:4:0 MCU-interleaved encode+decode (ADVICE r4: the decode
+    claim had no test): constant tiles matching the MCU cell (16x8 / 8x16)
+    are exact at quality=100; lossy sanity at default tables."""
+    from search_engine_ray.functions.jpeg import (_rgb_to_ycbcr,
+                                                  _ycbcr_to_rgb,
+                                                  decode_jpeg, encode_jpeg)
+
+    rng = np.random.RandomState(5)
+    for sub, (tw, th) in (("422", (16, 8)), ("440", (8, 16))):
+        for (h, w) in [(16, 16), (17, 23), (40, 33)]:
+            ty, tx = (h + th - 1) // th, (w + tw - 1) // tw
+            colors = rng.randint(0, 256, (ty, tx, 3))
+            arr = np.zeros((h, w, 3), np.uint8)
+            for i in range(ty):
+                for j in range(tx):
+                    arr[i * th:(i + 1) * th, j * tw:(j + 1) * tw] = \
+                        colors[i, j]
+            dec = decode_jpeg(encode_jpeg(arr, quality=100, subsampling=sub))
+            exp = _ycbcr_to_rgb(_rgb_to_ycbcr(arr)).astype(np.uint8)
+            assert np.array_equal(dec, exp), (sub, h, w)
+        grad = (np.arange(32 * 32 * 3).reshape(32, 32, 3) % 256) \
+            .astype(np.uint8)
+        d = decode_jpeg(encode_jpeg(grad, quality=75, subsampling=sub))
+        assert np.abs(d.astype(int) - grad.astype(int)).mean() < 20, sub
