@@ -1337,6 +1337,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 Count(alias_name="n_events"),
                 Sum("cents", alias_name="sum_cents"))
 
+    def events_first_last(sf_dir):
+        """FIRST_VALUE / LAST_VALUE / NTH_VALUE(2) over the whole partition
+        (unbounded frame), integer-cent outputs, SQL NULL semantics (frame
+        row's value copied verbatim; NTH null when the key has < n rows)."""
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import first_last_values
+        from search_engine_ray.stages.relational import drop_empty_blocks
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id", "value"])
+        return drop_empty_blocks(first_last_values(ds, nth=2))
+
     def events_rolling_time(sf_dir):
         """Time-based rolling window (RANGE BETWEEN 600s PRECEDING AND
         CURRENT ROW, peers included): one key shuffle, two vectorized
@@ -1813,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_analytic": events_analytic,
         "events_rolling": events_rolling,
         "events_rolling_time": events_rolling_time,
+        "events_first_last": events_first_last,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
         "user_retention": user_retention,
@@ -1849,7 +1863,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # for, (d) the entries whose last witness is oldest (r2, then r3).
     front = [
         # (a) r4-red rows, reworked this round
-        "events_analytic", "events_rolling",
+        "events_analytic", "events_rolling", "events_first_last",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -1869,7 +1883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ref_multi", "image_meta", "site_stats", "lang_distribution",
         "langid_simple", "doc_quality", "fingerprint", "token_count",
         "approx_users_daily", "users_daily", "orders_by_nation",
-        "top_docs_per_lang", "event_value_quantiles", "lineitem_rollup",
+        "top_docs_per_lang", "event_value_quantiles",
     ]
     ordered = {k: all_q[k] for k in front if k in all_q}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
@@ -2612,6 +2626,20 @@ SELECT event_id, user_id,
            w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_max_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+    # FIRST/LAST/NTH over the unbounded frame: values copied verbatim from
+    # the frame row (integer cents both sides, NULL if that row is NULL)
+    sql["events_first_last"] = """
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER w AS rn,
+       FIRST_VALUE(c) OVER wf AS first_cents,
+       LAST_VALUE(c) OVER wf AS last_cents,
+       NTH_VALUE(c, 2) OVER wf AS nth_cents
+FROM (SELECT *, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
 """
 
     # Time-based rolling window: RANGE frames are peer-inclusive (every row

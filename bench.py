@@ -171,7 +171,7 @@ HEADLINE = [
     "image_dup_pairs", "sparse_stop_pairs", "events_profile_hll",
     "search_phrase_scatter", "image_meta_jpeg420",
     # round-5 operators
-    "image_dup_clusters", "image_meta_jpeg_prog",
+    "image_dup_clusters", "image_meta_jpeg_prog", "events_first_last",
 ]
 
 

@@ -464,3 +464,56 @@ def analytic_per_key(events: rd.Dataset, key_col: str = "user_id",
         })
 
     return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
+def first_last_values(events: rd.Dataset, *, key_col: str = "user_id",
+                      ts_col: str = "ts", order_col: str = "event_id",
+                      value_col: str = "value", nth: int = 2) -> rd.Dataset:
+    """Per-key SQL ``FIRST_VALUE`` / ``LAST_VALUE`` / ``NTH_VALUE(n)``
+    window functions over the WHOLE partition (``ROWS BETWEEN UNBOUNDED
+    PRECEDING AND UNBOUNDED FOLLOWING``), ordered by (ts, order).
+
+    Outputs are integer cents (``floor(value*100)`` int64) with SQL NULL
+    semantics: FIRST/LAST/NTH copy the frame row's value VERBATIM — if
+    that row's value is NULL the output is NULL (no IGNORE NULLS) — and
+    ``NTH_VALUE(n)`` is NULL when the partition has fewer than ``n``
+    rows.  Bytes under null bits are zeroed (canonical buffers).
+
+    Scale shape: ONE shuffle (``groupby(key)``), vectorized numpy per
+    group — same one-key-fits-a-worker contract as the rest of this
+    module.
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending"),
+                                                  (order_col, "ascending")])
+        g = group.take(order)
+        n = g.num_rows
+        vcol = g[value_col]
+        valid = pc.is_valid(vcol).to_numpy(zero_copy_only=False)
+        v = pc.fill_null(vcol, 0.0).to_numpy(zero_copy_only=False)
+        cents = np.floor(v * 100.0).astype(np.int64)
+        cents[~valid] = 0
+        first_c = np.full(n, cents[0] if n else 0, np.int64)
+        first_m = np.full(n, not (n and valid[0]), bool)
+        last_c = np.full(n, cents[-1] if n else 0, np.int64)
+        last_m = np.full(n, not (n and valid[-1]), bool)
+        if n >= nth:
+            nth_c = np.full(n, cents[nth - 1], np.int64)
+            nth_m = np.full(n, not valid[nth - 1], bool)
+        else:
+            nth_c = np.zeros(n, np.int64)
+            nth_m = np.ones(n, bool)
+        first_c[first_m] = 0
+        last_c[last_m] = 0
+        nth_c[nth_m] = 0
+        return pa.table({
+            order_col: g[order_col],
+            key_col: g[key_col],
+            "rn": pa.array(np.arange(1, n + 1, dtype=np.int64)),
+            "first_cents": pa.array(first_c, pa.int64(), mask=first_m),
+            "last_cents": pa.array(last_c, pa.int64(), mask=last_m),
+            "nth_cents": pa.array(nth_c, pa.int64(), mask=nth_m),
+        })
+
+    return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")

@@ -133,3 +133,49 @@ SELECT event_id, user_id,
 FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """).df())
     pd.testing.assert_frame_equal(got_r, exp_r, check_dtype=False)
+
+
+def test_first_last_values_null_guard_vs_duckdb(ray_session):
+    """FIRST/LAST/NTH copy the frame row's value verbatim (NULL included);
+    NTH is NULL when the key has fewer than n rows — checked against
+    DuckDB over NULL-bearing input."""
+    import duckdb
+    import pandas as pd
+
+    from search_engine_ray.pipelines.windows import first_last_values
+
+    rng = np.random.default_rng(23)
+    n = 70
+    vals = rng.normal(size=n) * 10
+    v_null = rng.random(n) < 0.3
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
+        # user 9 gets exactly ONE row: NTH_VALUE(2) must be NULL for it
+        "user_id": pa.array(np.concatenate([[9], rng.integers(0, 4, n - 1)]),
+                            pa.int64()),
+        "ts": pa.array(rng.integers(0, 400, n) * 1_000_000,
+                       pa.timestamp("us")),
+        "value": pa.array([None if vn else float(x)
+                           for x, vn in zip(vals, v_null)], pa.float64()),
+    })
+    con = duckdb.connect()
+    con.register("events", tbl)
+
+    def canon(df):
+        df = df.reindex(sorted(df.columns), axis=1)
+        return df.sort_values(list(df.columns), kind="stable") \
+                 .reset_index(drop=True)
+
+    got = canon(first_last_values(rd.from_arrow(tbl), nth=2).to_pandas())
+    exp = canon(con.execute("""
+SELECT event_id, user_id,
+       ROW_NUMBER() OVER w AS rn,
+       FIRST_VALUE(c) OVER wf AS first_cents,
+       LAST_VALUE(c) OVER wf AS last_cents,
+       NTH_VALUE(c, 2) OVER wf AS nth_cents
+FROM (SELECT *, CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+       wf AS (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""").df())
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
