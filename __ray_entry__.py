@@ -1337,6 +1337,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 Count(alias_name="n_events"),
                 Sum("cents", alias_name="sum_cents"))
 
+    def event_cents_quantiles_global(sf_dir):
+        """Exact GLOBAL quantiles without a sort: iterative histogram
+        refinement (one pruned column pass per round, <= 4096 tiny count
+        rows per batch, metadata-scale groupby) — the scale path for a
+        quantile over data that cannot sort in one worker.  quantile_disc
+        semantics, integer cents, exact vs DuckDB."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import global_quantiles
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table({"c": pa.array(
+                np.floor(v * 100.0).astype(np.int64))})
+
+        cents = ds.map_batches(to_cents, batch_format="pyarrow")
+        return global_quantiles(cents, value_col="c", qs=(0.25, 0.5, 0.9))
+
     def events_first_last(sf_dir):
         """FIRST_VALUE / LAST_VALUE / NTH_VALUE(2) over the whole partition
         (unbounded frame), integer-cent outputs, SQL NULL semantics (frame
@@ -1827,6 +1849,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": events_rolling,
         "events_rolling_time": events_rolling_time,
         "events_first_last": events_first_last,
+        "event_cents_quantiles_global": event_cents_quantiles_global,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
         "user_retention": user_retention,
@@ -1862,8 +1885,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # changed this round, (c) the r4-touched rotation the verdict asked
     # for, (d) the entries whose last witness is oldest (r2, then r3).
     front = [
-        # (a) r4-red rows, reworked this round
+        # (a) r4-red rows, reworked this round; + the round's new windows
         "events_analytic", "events_rolling", "events_first_last",
+        "event_cents_quantiles_global",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -1883,7 +1907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_ref_multi", "image_meta", "site_stats", "lang_distribution",
         "langid_simple", "doc_quality", "fingerprint", "token_count",
         "approx_users_daily", "users_daily", "orders_by_nation",
-        "top_docs_per_lang", "event_value_quantiles",
+        "event_value_quantiles",
     ]
     ordered = {k: all_q[k] for k in front if k in all_q}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
@@ -2626,6 +2650,18 @@ SELECT event_id, user_id,
            w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_max_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+    # exact global quantiles by histogram refinement: quantile_disc is an
+    # ACTUAL element (sorted[ceil(q*n)-1]) so the compare is bit-exact
+    sql["event_cents_quantiles_global"] = """
+WITH cents AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c FROM events)
+SELECT 0.25 AS q, quantile_disc(c, 0.25)::BIGINT AS value,
+       COUNT(*)::BIGINT AS n FROM cents
+UNION ALL
+SELECT 0.5, quantile_disc(c, 0.5)::BIGINT, COUNT(*)::BIGINT FROM cents
+UNION ALL
+SELECT 0.9, quantile_disc(c, 0.9)::BIGINT, COUNT(*)::BIGINT FROM cents
 """
 
     # FIRST/LAST/NTH over the unbounded frame: values copied verbatim from

@@ -736,3 +736,104 @@ def grouped_mode(ds: rd.Dataset, *, group_col: str, value_col: str,
         return batch.drop_columns(["rank"])
 
     return top.map_batches(strip, batch_format="pyarrow")
+
+
+def global_quantiles(ds: rd.Dataset, *, value_col: str,
+                     qs: tuple[float, ...] = (0.25, 0.5, 0.9),
+                     n_buckets: int = 4096) -> pa.Table:
+    """Exact GLOBAL discrete quantiles over an int64 column via iterative
+    histogram refinement — the scale path :func:`grouped_quantiles`'
+    docstring promises for data that cannot sort in one worker.
+
+    No sort, no row shuffle, no materialization: each round is one pruned
+    column pass that bins every batch's values into ``n_buckets`` buckets
+    per still-active quantile (``<= len(qs) * n_buckets`` tiny count rows
+    leave each batch) plus a metadata-scale ``groupby(bucket)`` sum; the
+    candidate range shrinks ``n_buckets``-fold per round, so a 2^36-wide
+    value domain resolves in 3 passes.  Driver holds one (quantile,
+    bucket) count table per round — O(len(qs) * n_buckets), never rows.
+
+    Semantics are DuckDB ``quantile_disc``: result = ``sorted[ceil(q*n)
+    - 1]`` — an actual element of the column, bit-identical across
+    engines.  NULLs are skipped (SQL aggregate semantics).  Returns a
+    small in-memory table ``(q, value, n)``.
+    """
+    import math
+
+    from ray.data.aggregate import Count, Max, Min
+
+    col = ds.select_columns([value_col])
+    stats = col.aggregate(Min(value_col), Max(value_col),
+                          Count(value_col, ignore_nulls=True))
+    n = int(stats[f"count({value_col})"])
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    # state per quantile: [lo, hi] candidate range + rank k within it
+    state = {float(q): [int(stats[f"min({value_col})"]),
+                        int(stats[f"max({value_col})"]),
+                        min(n, max(1, math.ceil(q * n)))] for q in qs}
+
+    while True:
+        active = {q: (lo, hi) for q, (lo, hi, _k) in state.items()
+                  if lo < hi}
+        if not active:
+            break
+        plan = {q: (lo, max(1, (hi - lo + n_buckets) // n_buckets))
+                for q, (lo, hi) in active.items()}
+        qi_of = {q: i for i, q in enumerate(sorted(active))}
+
+        def hist(batch: pa.Table, plan=plan, qi_of=qi_of,
+                 active=active) -> pa.Table:
+            v = batch[value_col].drop_null().to_numpy(zero_copy_only=False)
+            qi_out, b_out, c_out = [], [], []
+            for q, (lo, width) in plan.items():
+                hi = active[q][1]
+                x = v[(v >= lo) & (v <= hi)]
+                if not x.size:
+                    continue
+                b = (x - lo) // width
+                counts = np.bincount(b)
+                nz = np.flatnonzero(counts)
+                qi_out.append(np.full(nz.size, qi_of[q], np.int32))
+                b_out.append(nz.astype(np.int64))
+                c_out.append(counts[nz].astype(np.int64))
+            if not qi_out:
+                return pa.table({"qi": pa.array([], pa.int32()),
+                                 "bucket": pa.array([], pa.int64()),
+                                 "cnt": pa.array([], pa.int64())})
+            return pa.table({
+                "qi": pa.array(np.concatenate(qi_out)),
+                "bucket": pa.array(np.concatenate(b_out)),
+                "cnt": pa.array(np.concatenate(c_out)),
+            })
+
+        from ray.data.aggregate import Sum
+
+        rows = drop_empty_blocks(
+            col.map_batches(hist, batch_format="pyarrow")
+            .groupby(["qi", "bucket"]).aggregate(Sum("cnt", alias_name="c")),
+            empty_schema=pa.schema([("qi", pa.int32()),
+                                    ("bucket", pa.int64()),
+                                    ("c", pa.int64())])).take_all()
+        by_q: dict[int, list] = {}
+        for r in rows:
+            by_q.setdefault(int(r["qi"]), []).append(
+                (int(r["bucket"]), int(r["c"])))
+        for q, (lo, width) in plan.items():
+            buckets = sorted(by_q.get(qi_of[q], []))
+            k = state[q][2]
+            acc = 0
+            for b, c in buckets:
+                if acc + c >= k:
+                    state[q][0] = lo + b * width
+                    state[q][1] = min(state[q][1], lo + (b + 1) * width - 1)
+                    state[q][2] = k - acc
+                    break
+                acc += c
+
+    out = sorted((q, lo) for q, (lo, _hi, _k) in state.items())
+    return pa.table({"q": pa.array([q for q, _ in out], pa.float64()),
+                     "value": pa.array([v for _, v in out], pa.int64()),
+                     "n": pa.array([n] * len(out), pa.int64())})

@@ -391,3 +391,34 @@ def test_grouped_mode_deterministic_ties(ray_session):
     assert out.g.tolist() == exp.g.tolist()
     assert out.v.tolist() == exp.v.tolist()
     assert out.n.tolist() == exp.n.tolist()
+
+
+def test_global_quantiles_histogram_refinement(ray_session):
+    """Exact global quantile_disc by iterative histogram refinement: exact
+    vs a local sort at every tested distribution (tiny range, 2^41-wide
+    range forcing multiple rounds, single row, heavy ties) and invariant
+    to parallelism (block layout must not change an exact answer)."""
+    import math
+
+    from search_engine_ray.stages.relational import global_quantiles
+
+    rng = np.random.default_rng(4)
+    cases = [rng.integers(-50, 50, 5000), rng.integers(-2**40, 2**40, 20000),
+             np.array([7]), rng.integers(0, 3, 1000)]
+    for vals in cases:
+        t = pa.table({"x": pa.array(vals, pa.int64())})
+        got7 = global_quantiles(rd.from_arrow(t).repartition(7),
+                                value_col="x").to_pydict()
+        got2 = global_quantiles(rd.from_arrow(t).repartition(2),
+                                value_col="x").to_pydict()
+        s = np.sort(vals)
+        n = len(vals)
+        exp = [int(s[min(n - 1, max(0, math.ceil(q * n) - 1))])
+               for q in (0.25, 0.5, 0.9)]
+        assert got7["value"] == exp, len(vals)
+        assert got2 == got7  # parallelism-invariant
+    # NULLs are skipped like SQL aggregates
+    t = pa.table({"x": pa.array([None, 5, None, 1, 3], pa.int64())})
+    out = global_quantiles(rd.from_arrow(t), value_col="x",
+                           qs=(0.5,)).to_pydict()
+    assert out["value"] == [3] and out["n"] == [3]
