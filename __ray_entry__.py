@@ -1337,6 +1337,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 Count(alias_name="n_events"),
                 Sum("cents", alias_name="sum_cents"))
 
+    def tpch_q3(sf_dir):
+        """TPC-H Q3-shaped composed pipeline — witnesses the relational
+        ops in COMPOSITION, not just isolation: broadcast semi-filter
+        (BUILDING customers) -> pruned+filtered orders -> shuffle hash
+        join with pruned+filtered lineitem -> integer-milli-cent revenue
+        groupby -> deterministic global top-10 (desc revenue, date, key).
+        Exact: revenue = floor(price*100+.5) * (100 - floor(disc*100+.5))
+        in int64 both sides."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import (broadcast_hash_join,
+                                                         shuffle_hash_join)
+
+        cutoff_us = 896_659_200 * 1_000_000  # 1998-06-01 UTC epoch micros
+
+        cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_mktsegment"]) \
+            .map_batches(lambda b: b.filter(
+                pcm.equal(b["c_mktsegment"], "BUILDING"))
+                .select(["c_custkey"]), batch_format="pyarrow")
+
+        def ord_shape(b: pa.Table) -> pa.Table:
+            us = b["o_orderdate"].cast(pa.timestamp("us"), safe=False) \
+                .cast(pa.int64())
+            t = b.append_column("od_us", us)
+            return t.filter(pcm.less(t["od_us"], cutoff_us)) \
+                .select(["o_orderkey", "o_custkey", "od_us",
+                         "o_orderpriority"])
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_orderpriority"]) \
+            .map_batches(ord_shape, batch_format="pyarrow")
+        # semi-filter: broadcast the (small) segment custkey set, append
+        # no payload columns
+        orders = broadcast_hash_join(orders, cust, big_key="o_custkey",
+                                     small_key="c_custkey", select=[])
+
+        def li_shape(b: pa.Table) -> pa.Table:
+            sd = b["l_shipdate"].cast(pa.timestamp("us"), safe=False) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            keep = sd > cutoff_us
+            t = b.filter(pa.array(keep))
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            mc = np.floor(price * 100.0 + 0.5).astype(np.int64) \
+                * (100 - np.floor(disc * 100.0 + 0.5).astype(np.int64))
+            return pa.table({"l_orderkey": t["l_orderkey"],
+                             "mc": pa.array(mc, pa.int64())})
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_extendedprice", "l_discount",
+                     "l_shipdate"]) \
+            .map_batches(li_shape, batch_format="pyarrow")
+
+        joined = shuffle_hash_join(li, orders, on=("l_orderkey",),
+                                   right_on=("o_orderkey",), how="inner")
+
+        def shape(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "od_sec": pcm.divide(b["od_us"], 1_000_000)
+                .cast(pa.int64()),
+                "o_orderpriority": b["o_orderpriority"],
+                "mc": b["mc"],
+            })
+
+        return joined.map_batches(shape, batch_format="pyarrow") \
+            .groupby(["l_orderkey", "od_sec", "o_orderpriority"]) \
+            .aggregate(Sum("mc", alias_name="revenue_mc")) \
+            .sort(key=["revenue_mc", "od_sec", "l_orderkey"],
+                  descending=[True, False, False]).limit(10)
+
     def event_cents_quantiles_global(sf_dir):
         """Exact GLOBAL quantiles without a sort: iterative histogram
         refinement (one pruned column pass per round, <= 4096 tiny count
@@ -1850,6 +1929,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_time": events_rolling_time,
         "events_first_last": events_first_last,
         "event_cents_quantiles_global": event_cents_quantiles_global,
+        "tpch_q3": tpch_q3,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
         "user_retention": user_retention,
@@ -1887,7 +1967,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # (a) r4-red rows, reworked this round; + the round's new windows
         "events_analytic", "events_rolling", "events_first_last",
-        "event_cents_quantiles_global",
+        "event_cents_quantiles_global", "tpch_q3",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -1906,8 +1986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_df", "doc_len", "corpus_stats", "top_terms",
         "search_ref_multi", "image_meta", "site_stats", "lang_distribution",
         "langid_simple", "doc_quality", "fingerprint", "token_count",
-        "approx_users_daily", "users_daily", "orders_by_nation",
-        "event_value_quantiles",
+        "approx_users_daily", "users_daily", "event_value_quantiles",
     ]
     ordered = {k: all_q[k] for k in front if k in all_q}
     ordered.update({k: v for k, v in all_q.items() if k not in ordered})
@@ -2650,6 +2729,29 @@ SELECT event_id, user_id,
            w ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS roll_max_cents
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+    # composed TPC-H Q3 shape: integer-milli-cent revenue so the SUM and
+    # the top-10 cutoff are bit-exact under any association order
+    sql["tpch_q3"] = """
+WITH rev AS (
+    SELECT l_orderkey,
+           CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)) AS mc
+    FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-06-01'
+)
+SELECT o.o_orderkey AS l_orderkey,
+       (epoch_us(o.o_orderdate) // 1000000)::BIGINT AS od_sec,
+       o.o_orderpriority,
+       SUM(rev.mc)::BIGINT AS revenue_mc
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+                AND c.c_mktsegment = 'BUILDING'
+JOIN rev ON rev.l_orderkey = o.o_orderkey
+WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_mc DESC, od_sec, l_orderkey
+LIMIT 10
 """
 
     # exact global quantiles by histogram refinement: quantile_disc is an

@@ -172,7 +172,7 @@ HEADLINE = [
     "search_phrase_scatter", "image_meta_jpeg420",
     # round-5 operators
     "image_dup_clusters", "image_meta_jpeg_prog", "events_first_last",
-    "event_cents_quantiles_global",
+    "event_cents_quantiles_global", "tpch_q3",
 ]
 
 
