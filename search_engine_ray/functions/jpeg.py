@@ -780,7 +780,8 @@ def _decode_progressive_planes(comps, samps, scans, qtables, h, w,
 # --------------------------------------------------------------------------
 # progressive (SOF2) encoder — T.81 G.1.2 first + refinement passes.
 # Validates the decoder (and documents the scan protocol); scope is
-# 4:4:4 / grayscale with per-scan generated Huffman tables.
+# 4:4:4 / 4:2:0 / 4:2:2 / 4:4:0 / grayscale with per-scan generated
+# Huffman tables.
 # --------------------------------------------------------------------------
 
 def _canonical_table(symbols: set[int]) -> tuple[list[int], list[int]]:
@@ -804,13 +805,18 @@ def _sig_shift(v: int, al: int) -> int:
 
 
 def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 100,
-                            script: list[tuple] | None = None) -> bytes:
+                            script: list[tuple] | None = None,
+                            subsampling: str = "444") -> bytes:
     """Encode grayscale / RGB uint8 to PROGRESSIVE JFIF (SOF2): spectral
-    selection + successive approximation, 4:4:4 sampling.  ``script`` is a
-    list of ``(component_indexes, Ss, Se, Ah, Al)`` scans; the default
-    exercises interleaved DC first+refine and AC first+refine passes (the
-    shape libjpeg emits).  Huffman tables are generated per scan (DHT
-    between scans, as real progressive files do)."""
+    selection + successive approximation; 4:4:4 (default), 4:2:0, 4:2:2
+    or 4:4:0 chroma subsampling.  ``script`` is a list of
+    ``(component_indexes, Ss, Se, Ah, Al)`` scans; the default exercises
+    interleaved DC first+refine and AC first+refine passes (the shape
+    libjpeg emits).  Huffman tables are generated per scan (DHT between
+    scans, as real progressive files do).  Per T.81: multi-component
+    (DC) scans walk the MCU grid; single-component scans are
+    non-interleaved over the component's OWN ceil(dim/8) grid — edge
+    padding blocks beyond it carry DC only, which the crop discards."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -818,23 +824,64 @@ def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 100,
         raise ValueError("encode_jpeg_progressive supports 1 or 3 channels")
     if arr.dtype != np.uint8:
         raise ValueError("encode_jpeg_progressive expects uint8")
+    if subsampling not in ("444", "420", "422", "440"):
+        raise ValueError("subsampling must be '444', '420', '422' or '440'")
     color = nc == 3
+    subsampled = color and subsampling != "444"
     if color:
         ycc = _rgb_to_ycbcr(arr)
         planes = [ycc[..., i] for i in range(3)]
     else:
         planes = [arr[:, :, 0].astype(np.float64)]
+    _SUB = {"420": ((2, 2), _box_down2), "422": ((2, 1), _box_down_h),
+            "440": ((1, 2), _box_down_v)}
+    samps = [(1, 1)] * len(planes) if not subsampled \
+        else [_SUB[subsampling][0], (1, 1), (1, 1)]
+    if subsampled:
+        (lh, lv), down = _SUB[subsampling]
+        ph, pw = -h % (8 * lv), -w % (8 * lh)
+        if ph or pw:
+            planes = [np.pad(p, ((0, ph), (0, pw)), mode="edge")
+                      for p in planes]
+        planes = [planes[0], down(planes[1]), down(planes[2])]
     qtables = [_scaled_quant(_QUANT_LUMA, quality)]
     if color:
         qtables.append(_scaled_quant(_QUANT_CHROMA, quality))
-    qplanes = []
+    qplanes, nbx, nby = [], [], []
     for ci, plane in enumerate(planes):
-        blk, _nby, _nbx = _blocks(plane - 128.0)
+        blk, by, bx = _blocks(plane - 128.0)
         coef = np.einsum("ij,njk,lk->nil", _C, blk, _C, optimize=True)
         qt = qtables[min(ci, len(qtables) - 1)].astype(np.float64)
         q = np.floor(coef / qt + 0.5).astype(np.int32)
         qplanes.append(q.reshape(-1, 64)[:, _ZIG])
-    n_blocks = qplanes[0].shape[0]
+        nbx.append(bx)
+        nby.append(by)
+    hmax = max(hi for hi, _ in samps)
+    vmax = max(vi for _, vi in samps)
+    mcux, mcuy = nbx[0] // samps[0][0], nby[0] // samps[0][1]
+    # non-interleaved (single-component) scan grids: NO MCU padding
+    sbx = [(-(-(w * hi) // hmax) + 7) // 8 for hi, _ in samps]
+    sby = [(-(-(h * vi) // vmax) + 7) // 8 for _, vi in samps]
+
+    def dc_order(comp_ix):
+        if len(comp_ix) == 1:
+            ci = comp_ix[0]
+            return [(0, ci, by * nbx[ci] + bx)
+                    for by in range(sby[ci]) for bx in range(sbx[ci])]
+        order = []
+        for m in range(mcuy * mcux):
+            my, mx = divmod(m, mcux)
+            for j, ci in enumerate(comp_ix):
+                hi, vi = samps[ci]
+                for v in range(vi):
+                    for u in range(hi):
+                        order.append(
+                            (j, ci, (my * vi + v) * nbx[ci] + mx * hi + u))
+        return order
+
+    def ac_blocks(ci):
+        return [by * nbx[ci] + bx
+                for by in range(sby[ci]) for bx in range(sbx[ci])]
 
     if script is None:
         script = [(list(range(nc)), 0, 0, 0, 1)]          # DC first
@@ -854,14 +901,16 @@ def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 100,
     for tid, qt in enumerate(qtables):
         out += b"\xff\xdb" + struct.pack(">H", 67) + bytes([tid]) \
             + bytes(int(x) for x in qt.reshape(-1)[_ZIG])
-    comps = [(1, 0x11, 0)] if not color else \
-        [(1, 0x11, 0), (2, 0x11, 1), (3, 0x11, 1)]
+    samp_b = [(hi << 4) | vi for hi, vi in samps]
+    comps = [(1, samp_b[0], 0)] if not color else \
+        [(1, samp_b[0], 0), (2, samp_b[1], 1), (3, samp_b[2], 1)]
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for cid, samp, tq in comps:
         out += bytes([cid, samp, tq])
 
     for comp_ix, ss, se, ah, al in script:
-        ops = _encode_prog_scan(qplanes, comp_ix, ss, se, ah, al, n_blocks)
+        order = dc_order(comp_ix) if ss == 0 else ac_blocks(comp_ix[0])
+        ops = _encode_prog_scan(qplanes, comp_ix, ss, se, ah, al, order)
         # per-scan tables: one DC (tc=0) + one AC (tc=1), th=0, from the
         # union of symbols this scan emits
         for tc in (0, 1):
@@ -895,27 +944,28 @@ def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 100,
 
 
 def _encode_prog_scan(qplanes, comp_ix, ss, se, ah, al,
-                      n_blocks) -> list[tuple]:
+                      order) -> list[tuple]:
     """One scan's entropy stream as ops: ("s", tc, symbol) huffman symbol,
     ("b", value, nbits) raw bits.  Mirrors T.81 G.1.2 (the libjpeg
-    encode_mcu_DC/AC first/refine structure)."""
+    encode_mcu_DC/AC first/refine structure).  ``order`` is the block
+    visit order the matching decoder walks: ``(j, ci, block)`` tuples for
+    DC scans (interleaved MCU walk, or the component's own raster for a
+    single-component scan); bare block indexes for AC scans."""
     ops: list[tuple] = []
     if ss == 0:                                           # DC scan
         if ah == 0:
             pred = [0] * len(comp_ix)
-            for m in range(n_blocks):
-                for j, ci in enumerate(comp_ix):
-                    v = int(qplanes[ci][m][0]) >> al      # arithmetic shift
-                    diff = v - pred[j]
-                    pred[j] = v
-                    cat = _category(diff)
-                    ops.append(("s", 0, cat))
-                    if cat:
-                        ops.append(("b", _amplitude(diff, cat), cat))
+            for j, ci, b in order:
+                v = int(qplanes[ci][b][0]) >> al          # arithmetic shift
+                diff = v - pred[j]
+                pred[j] = v
+                cat = _category(diff)
+                ops.append(("s", 0, cat))
+                if cat:
+                    ops.append(("b", _amplitude(diff, cat), cat))
         else:                                             # DC refine: raw bit
-            for m in range(n_blocks):
-                for ci in comp_ix:
-                    ops.append(("b", (int(qplanes[ci][m][0]) >> al) & 1, 1))
+            for _j, ci, b in order:
+                ops.append(("b", (int(qplanes[ci][b][0]) >> al) & 1, 1))
         return ops
 
     (ci,) = comp_ix                                       # AC: one component
@@ -931,7 +981,7 @@ def _encode_prog_scan(qplanes, comp_ix, ss, se, ah, al,
                     ops.append(("b", eobrun - (1 << r), r))
                 eobrun = 0
 
-        for m in range(n_blocks):
+        for m in order:
             band = [_sig_shift(int(v), al)
                     for v in qplanes[ci][m][ss:se + 1]]
             if not any(band):
@@ -973,7 +1023,7 @@ def _encode_prog_scan(qplanes, comp_ix, ss, se, ah, al,
             ops.append(("b", bit, 1))
         bbuf = []
 
-    for m in range(n_blocks):
+    for m in order:
         vals = [int(v) for v in qplanes[ci][m][ss:se + 1]]
         absv = [abs(v) >> al for v in vals]
         eob = max((i for i, t in enumerate(absv) if t == 1), default=-1)

@@ -441,6 +441,38 @@ def test_jpeg_progressive_custom_script():
     assert np.array_equal(base, prog)
 
 
+def test_jpeg_progressive_subsampled_matches_baseline_decode():
+    """Progressive encode with 4:2:0 / 4:2:2 / 4:4:0 chroma subsampling
+    carries the same quantized coefficients as the baseline encode of the
+    same image (same pad, box-downsample, quant tables), so decodes must
+    be BIT-IDENTICAL — witnessing the interleaved-DC MCU walk over
+    mixed sampling factors and non-interleaved AC scans over each
+    component's OWN (unpadded) block grid, per T.81 A.2."""
+    from search_engine_ray.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                                  encode_jpeg_progressive)
+
+    rng = np.random.default_rng(11)
+    for sub in ("420", "422", "440"):
+        for shape, q in (((16, 16, 3), 100), ((33, 29, 3), 90),
+                         ((40, 17, 3), 75)):
+            img = rng.integers(0, 256, shape, dtype=np.uint8)
+            base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+            prog = decode_jpeg(
+                encode_jpeg_progressive(img, quality=q, subsampling=sub))
+            assert np.array_equal(base, prog), (sub, shape, q)
+    # separate-DC-per-component script: single-component DC scans of a
+    # SUBSAMPLED component also walk the non-interleaved grid
+    script = [([0], 0, 0, 0, 1), ([1], 0, 0, 0, 1), ([2], 0, 0, 0, 1),
+              ([0], 1, 63, 0, 1), ([1], 1, 63, 0, 1), ([2], 1, 63, 0, 1),
+              ([0], 0, 0, 1, 0), ([1], 0, 0, 1, 0), ([2], 0, 0, 1, 0),
+              ([0], 1, 63, 1, 0), ([1], 1, 63, 1, 0), ([2], 1, 63, 1, 0)]
+    img = rng.integers(0, 256, (25, 21, 3), dtype=np.uint8)
+    base = decode_jpeg(encode_jpeg(img, quality=95, subsampling="420"))
+    prog = decode_jpeg(encode_jpeg_progressive(
+        img, quality=95, subsampling="420", script=script))
+    assert np.array_equal(base, prog)
+
+
 def test_jpeg_422_440_tiled_exact_and_lossy():
     """4:2:2 / 4:4:0 MCU-interleaved encode+decode (ADVICE r4: the decode
     claim had no test): constant tiles matching the MCU cell (16x8 / 8x16)
