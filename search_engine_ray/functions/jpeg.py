@@ -26,7 +26,10 @@ Scope (documented subset, raises loudly outside it):
   snapshotted per scan, since progressive files redefine DHT between
   scans — so it reads any conforming stream within the subset, not just
   our own);
-* no arithmetic coding, no restart intervals, no 12-bit precision.
+* restart intervals (DRI + RSTn) on both encode and decode, baseline
+  and progressive — DC predictors / EOB runs reset at every marker,
+  entropy segments re-align to byte boundaries, D0..D7 cycle validated;
+* no arithmetic coding, no 12-bit precision.
 
 Determinism contract (what makes an SQL oracle possible, mirroring the
 PNG path's ``mean_luma`` check): every rounding step uses
@@ -279,12 +282,16 @@ def _box_down_v(plane: np.ndarray) -> np.ndarray:
 
 
 def encode_jpeg(arr: np.ndarray, *, quality: int = 100,
-                subsampling: str = "444") -> bytes:
+                subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
     """Encode (h, w) or (h, w, 1) grayscale / (h, w, 3) RGB uint8 to
     baseline JFIF.  ``quality=100`` (all-ones quant tables) round-trips
     constant-fill images exactly — the oracle contract (it holds for
     ``subsampling="420"`` too: a constant plane box-downsamples and
-    replication-upsamples to itself)."""
+    replication-upsamples to itself).  ``restart_interval`` > 0 emits a
+    DRI segment and RSTn markers every that-many MCUs (byte-aligned,
+    DC predictors reset — T.81 E.2.4), the layout real-world encoders
+    use for error resilience."""
     if subsampling not in ("444", "420", "422", "440"):
         raise ValueError("subsampling must be '444', '420', '422' or '440'")
     if arr.ndim == 2:
@@ -345,6 +352,8 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 100,
     for tc_th, (bits, symbols) in huff_specs:
         out += b"\xff\xc4" + struct.pack(">H", 19 + len(symbols)) \
             + bytes([tc_th]) + bytes(bits) + bytes(symbols)
+    if restart_interval:                                 # DRI
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
     # SOS
     scomp = [(1, 0x00)] if not color else [(1, 0x00), (2, 0x11), (3, 0x11)]
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(scomp), len(scomp))
@@ -370,27 +379,37 @@ def encode_jpeg(arr: np.ndarray, *, quality: int = 100,
 
     bw = _BitWriter()
     prev = [0] * len(planes)
-    if not sub420:
+    if sub420:
+        # MCU-interleaved: per MCU, the luma's hi*vi blocks in T.81 raster
+        # order (v outer, h inner), then one Cb and one Cr block
+        mcux = nbxs[1]
+        n_mcu = qplanes[1].shape[0]
+    else:
+        mcux = 0
         n_mcu = qplanes[0].shape[0]
-        for m in range(n_mcu):
+    for m in range(n_mcu):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.flush()                                   # byte-align, then
+            out += bw.out                                # RSTn, DC reset
+            bw = _BitWriter()
+            out += bytes([0xFF,
+                          0xD0 + ((m // restart_interval - 1) % 8)])
+            prev = [0] * len(planes)
+        if not sub420:
             for ci in range(len(planes)):
                 ti = min(ci, len(dc_tabs) - 1)
                 prev[ci] = _encode_plane_blocks(
                     qplanes[ci][m], prev[ci], dc_tabs[ti], ac_tabs[ti], bw)
-    else:
-        # MCU-interleaved: per MCU, the luma's hi*vi blocks in T.81 raster
-        # order (v outer, h inner), then one Cb and one Cr block
-        mcux, mcuy = nbxs[1], qplanes[1].shape[0] // nbxs[1]
-        for my in range(mcuy):
-            for mx in range(mcux):
-                for ci, (hi, vi) in enumerate(samps):
-                    ti = min(ci, len(dc_tabs) - 1)
-                    for v in range(vi):
-                        for u in range(hi):
-                            bidx = (my * vi + v) * nbxs[ci] + (mx * hi + u)
-                            prev[ci] = _encode_plane_blocks(
-                                qplanes[ci][bidx], prev[ci],
-                                dc_tabs[ti], ac_tabs[ti], bw)
+        else:
+            my, mx = divmod(m, mcux)
+            for ci, (hi, vi) in enumerate(samps):
+                ti = min(ci, len(dc_tabs) - 1)
+                for v in range(vi):
+                    for u in range(hi):
+                        bidx = (my * vi + v) * nbxs[ci] + (mx * hi + u)
+                        prev[ci] = _encode_plane_blocks(
+                            qplanes[ci][bidx], prev[ci],
+                            dc_tabs[ti], ac_tabs[ti], bw)
     bw.flush()
     out += bw.out
     out += b"\xff\xd9"                                   # EOI
@@ -421,6 +440,35 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.read_bit()
         return v
+
+
+def _split_entropy(raw: bytes) -> list[bytes]:
+    """Split one scan's raw entropy-coded bytes on TRUE RSTn markers
+    (T.81 E.2.4), honoring FF00 byte stuffing (a stuffed FF is data, so
+    splitting must happen BEFORE unstuffing — otherwise a literal 0xFF
+    followed by a 0xD0..0xD7 data byte would fake a marker).  Validates
+    the D0..D7 modulo-8 marker cycle; returns unstuffed segments."""
+    segs: list[bytes] = []
+    start = i = 0
+    n = len(raw)
+    while i < n - 1:
+        if raw[i] == 0xFF:
+            nxt = raw[i + 1]
+            if nxt == 0x00:
+                i += 2
+                continue
+            if 0xD0 <= nxt <= 0xD7:
+                if nxt - 0xD0 != len(segs) % 8:
+                    raise ValueError(
+                        f"restart marker out of sequence: got RST{nxt - 0xD0}"
+                        f", expected RST{len(segs) % 8}")
+                segs.append(raw[start:i].replace(b"\xff\x00", b"\xff"))
+                i += 2
+                start = i
+                continue
+        i += 1
+    segs.append(raw[start:].replace(b"\xff\x00", b"\xff"))
+    return segs
 
 
 def _huff_decode_map(bits: list[int], symbols: list[int]
@@ -457,9 +505,11 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     (channels 1 or 3); subsampled chroma upsamples by sample replication
     (the frozen contract).  Progressive streams accumulate coefficients
     over every scan (spectral selection + successive approximation, DC/AC
-    first and refinement passes) and IDCT once.  Raises
-    NotImplementedError on restart-interval / >2x-sampling / arithmetic
-    streams (outside the documented subset)."""
+    first and refinement passes) and IDCT once.  Restart intervals
+    (DRI + RSTn, T.81 E.2.4) are honored: DC predictors (and progressive
+    EOB runs) reset at every marker, with the D0..D7 cycle validated.
+    Raises NotImplementedError on >2x-sampling / arithmetic streams
+    (outside the documented subset)."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
@@ -468,7 +518,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     h = w = 0
     comps: list[tuple[int, int, int]] = []   # (cid, sampling, tq)
     scan_tabs: list[tuple[int, int]] = []    # (dc table id, ac table id)
-    scan_data = b""
+    scan_segs: list[bytes] = []              # entropy split on RSTn markers
+    scan_ri = 0                              # restart interval live at SOS
+    ri = 0                                   # current DRI value
     progressive = False
     # every SOS of a progressive stream: (component ids, table ids, Ss, Se,
     # Ah, Al, entropy bytes, huff-table snapshot — DHT may be redefined
@@ -523,8 +575,8 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                 symbols = list(body[off + 17: off + 17 + n])
                 huff[(tc, th)] = _huff_decode_map(bits, symbols)
                 off += 17 + n
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals not supported")
+        elif marker == 0xDD:                 # DRI: MCUs between RSTn markers
+            ri = struct.unpack_from(">H", body, 0)[0]
         elif marker == 0xDA:                 # SOS
             ns = body[0]
             scan_tabs = []
@@ -542,13 +594,14 @@ def decode_jpeg(data: bytes) -> np.ndarray:
                         and not (0xD0 <= data[end + 1] <= 0xD7):
                     break
                 end += 1
-            scan_data = data[pos:end].replace(b"\xff\x00", b"\xff")
+            scan_segs = _split_entropy(data[pos:end])
+            scan_ri = ri
             pos = end
             scans.append((scan_cids, scan_tabs, ss, se, ahl >> 4, ahl & 0xF,
-                          scan_data, dict(huff)))
+                          scan_segs, dict(huff), ri))
         # APPn/COM and anything else: skipped via seglen
 
-    if not comps or not scan_data:
+    if not comps or not scan_segs or not any(scan_segs):
         raise ValueError("truncated JPEG (no SOF/SOS)")
     nc = len(comps)
     samps = [((s >> 4), (s & 0xF)) for _, s, _ in comps]
@@ -569,7 +622,7 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     mcuy = (h + 8 * vmax - 1) // (8 * vmax)
     planes = [np.zeros((mcuy * vi * 8, mcux * hi * 8), np.float64)
               for hi, vi in samps]
-    br = _BitReader(scan_data)
+    br = _BitReader(scan_segs[0])
     prev = [0] * nc
 
     def _decode_block(ci: int) -> np.ndarray:
@@ -607,6 +660,12 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             comps, samps, scans, qtables, h, w, mcux, mcuy, hmax, vmax)
     else:
         for m in range(mcuy * mcux):
+            if scan_ri and m and m % scan_ri == 0:
+                seg = m // scan_ri           # restart: next entropy segment,
+                if seg >= len(scan_segs):    # fresh byte alignment, DC reset
+                    raise ValueError("missing restart marker segment")
+                br = _BitReader(scan_segs[seg])
+                prev = [0] * nc
             my, mx = divmod(m, mcux)
             for ci, (hi, vi) in enumerate(samps):
                 # T.81 interleave order within the MCU: v outer, h inner
@@ -653,13 +712,25 @@ def _decode_progressive_planes(comps, samps, scans, qtables, h, w,
     sby = [(-(-(h * vi) // vmax) + 7) // 8 for _, vi in samps]
     cid_to_ix = {cid: i for i, (cid, _, _) in enumerate(comps)}
 
-    for scan_cids, stabs, ss, se, ah, al, sdata, tabs in scans:
+    for scan_cids, stabs, ss, se, ah, al, segs, tabs, ri in scans:
         cix = [cid_to_ix[c] for c in scan_cids]
-        br = _BitReader(sdata)
+        br = _BitReader(segs[0])
+
+        def _restart(unit_ix, bpu=1):
+            """At every ri decode units: next entropy segment (fresh byte
+            alignment); caller resets its DC predictors / EOB run.  A unit
+            is an MCU (DC interleaved) or a block (non-interleaved)."""
+            nonlocal br
+            seg = unit_ix // ri
+            if seg >= len(segs):
+                raise ValueError("missing restart marker segment")
+            br = _BitReader(segs[seg])
+
         if ss == 0:                                   # DC scan
             if se != 0:
                 raise ValueError("DC scan must have Se == 0")
             if len(cix) > 1:                          # interleaved MCU walk
+                bpm = sum(samps[ci][0] * samps[ci][1] for ci in cix)
                 order = []
                 for m in range(mcuy * mcux):
                     my, mx = divmod(m, mcux)
@@ -671,12 +742,16 @@ def _decode_progressive_planes(comps, samps, scans, qtables, h, w,
                                     (j, ci,
                                      (my * vi + v) * nbx[ci] + mx * hi + u))
             else:                                     # non-interleaved
+                bpm = 1
                 ci = cix[0]
                 order = [(0, ci, by * nbx[ci] + bx)
                          for by in range(sby[ci]) for bx in range(sbx[ci])]
             if ah == 0:                               # first DC pass
                 pred = [0] * len(cix)
-                for j, ci, b in order:
+                for i, (j, ci, b) in enumerate(order):
+                    if ri and i and i % (ri * bpm) == 0:
+                        _restart(i // bpm)
+                        pred = [0] * len(cix)
                     dc_t = tabs[(0, stabs[j][0])]
                     cat = _read_symbol(br, dc_t)
                     diff = _extend(br.read_bits(cat), cat) if cat else 0
@@ -684,7 +759,9 @@ def _decode_progressive_planes(comps, samps, scans, qtables, h, w,
                     coefs[ci][b, 0] = pred[j] << al
             else:                                     # DC refinement: 1 bit
                 p1 = np.int32(1 << al)
-                for _j, ci, b in order:
+                for i, (_j, ci, b) in enumerate(order):
+                    if ri and i and i % (ri * bpm) == 0:
+                        _restart(i // bpm)
                     if br.read_bit():
                         coefs[ci][b, 0] |= p1
             continue
@@ -696,9 +773,13 @@ def _decode_progressive_planes(comps, samps, scans, qtables, h, w,
         ac_t = tabs[(1, stabs[0][1])]
         eobrun = 0
         p1, m1 = 1 << al, -(1 << al)
-        for by in range(sby[ci]):
-            for bx in range(sbx[ci]):
-                cf = coefs[ci][by * nbx[ci] + bx]
+        blocks = [by * nbx[ci] + bx
+                  for by in range(sby[ci]) for bx in range(sbx[ci])]
+        for i, bi in enumerate(blocks):
+                if ri and i and i % ri == 0:
+                    _restart(i)
+                    eobrun = 0                        # runs never cross RSTn
+                cf = coefs[ci][bi]
                 if ah == 0:                           # first AC pass
                     if eobrun:
                         eobrun -= 1
@@ -806,7 +887,8 @@ def _sig_shift(v: int, al: int) -> int:
 
 def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 100,
                             script: list[tuple] | None = None,
-                            subsampling: str = "444") -> bytes:
+                            subsampling: str = "444",
+                            restart_interval: int = 0) -> bytes:
     """Encode grayscale / RGB uint8 to PROGRESSIVE JFIF (SOF2): spectral
     selection + successive approximation; 4:4:4 (default), 4:2:0, 4:2:2
     or 4:4:0 chroma subsampling.  ``script`` is a list of
@@ -816,7 +898,10 @@ def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 100,
     scans, as real progressive files do).  Per T.81: multi-component
     (DC) scans walk the MCU grid; single-component scans are
     non-interleaved over the component's OWN ceil(dim/8) grid — edge
-    padding blocks beyond it carry DC only, which the crop discards."""
+    padding blocks beyond it carry DC only, which the crop discards.
+    ``restart_interval`` > 0 emits DRI + RSTn every that-many MCUs in
+    EVERY scan (each scan's DC predictors / EOB runs reset per T.81
+    E.2.4; Huffman tables still cover the whole scan)."""
     if arr.ndim == 2:
         arr = arr[:, :, None]
     h, w, nc = arr.shape
@@ -907,15 +992,27 @@ def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 100,
     out += b"\xff\xc2" + struct.pack(">HBHHB", 8 + 3 * nc, 8, h, w, nc)
     for cid, samp, tq in comps:
         out += bytes([cid, samp, tq])
+    if restart_interval:                                  # DRI
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     for comp_ix, ss, se, ah, al in script:
         order = dc_order(comp_ix) if ss == 0 else ac_blocks(comp_ix[0])
-        ops = _encode_prog_scan(qplanes, comp_ix, ss, se, ah, al, order)
+        # restart chunking: ri counts MCUs for interleaved DC scans (bpm
+        # blocks each), blocks for non-interleaved scans; each chunk is
+        # encoded with fresh DC predictors / EOB runs (chunks never share
+        # either — _encode_prog_scan starts clean per call)
+        bpm = sum(samps[ci][0] * samps[ci][1] for ci in comp_ix) \
+            if (ss == 0 and len(comp_ix) > 1) else 1
+        step = restart_interval * bpm if restart_interval else len(order)
+        chunks = [order[i:i + step] for i in range(0, len(order), step)] \
+            or [[]]
+        ops_chunks = [_encode_prog_scan(qplanes, comp_ix, ss, se, ah, al, c)
+                      for c in chunks]
         # per-scan tables: one DC (tc=0) + one AC (tc=1), th=0, from the
-        # union of symbols this scan emits
+        # union of symbols this scan emits (across all restart chunks)
         for tc in (0, 1):
-            syms = {sym for kind, a, b in ops if kind == "s" and a == tc
-                    for sym in (b,)}
+            syms = {b for oc in ops_chunks for kind, a, b in oc
+                    if kind == "s" and a == tc}
             if not syms:
                 continue
             bits, symbols = _canonical_table(syms)
@@ -930,15 +1027,18 @@ def encode_jpeg_progressive(arr: np.ndarray, *, quality: int = 100,
         for ci in comp_ix:
             out += bytes([comps[ci][0], 0x00])
         out += bytes([ss, se, (ah << 4) | al])
-        bw = _BitWriter()
-        for kind, a, b in ops:
-            if kind == "s":
-                code, ln = (dc_codes if a == 0 else ac_codes)[b]
-                bw.put(code, ln)
-            else:
-                bw.put(a, b)
-        bw.flush()
-        out += bw.out
+        for k, oc in enumerate(ops_chunks):
+            if k:                                         # RSTn between
+                out += bytes([0xFF, 0xD0 + ((k - 1) % 8)])
+            bw = _BitWriter()
+            for kind, a, b in oc:
+                if kind == "s":
+                    code, ln = (dc_codes if a == 0 else ac_codes)[b]
+                    bw.put(code, ln)
+                else:
+                    bw.put(a, b)
+            bw.flush()
+            out += bw.out
     out += b"\xff\xd9"
     return bytes(out)
 

@@ -473,6 +473,61 @@ def test_jpeg_progressive_subsampled_matches_baseline_decode():
     assert np.array_equal(base, prog)
 
 
+def test_jpeg_restart_intervals_baseline():
+    """DRI + RSTn streams carry the same quantized coefficients as the
+    unmarked encoding (restarts only re-align bytes and reset DC
+    predictors), so decodes must be BIT-IDENTICAL — across grayscale,
+    4:4:4, 4:2:0, intervals that do and don't divide the MCU count, and
+    ri=1 (a marker after every MCU, cycling RST0..RST7 twice over)."""
+    from search_engine_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(17)
+    cases = [((24, 17, 1), "444", 2), ((40, 33, 3), "444", 3),
+             ((33, 29, 3), "420", 1), ((48, 48, 3), "420", 4),
+             ((16, 16, 3), "422", 1), ((64, 40, 3), "444", 7)]
+    for shape, sub, ri in cases:
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        plain = decode_jpeg(encode_jpeg(img, quality=85, subsampling=sub))
+        marked = encode_jpeg(img, quality=85, subsampling=sub,
+                             restart_interval=ri)
+        assert b"\xff\xdd" in marked and b"\xff\xd0" in marked
+        assert np.array_equal(plain, decode_jpeg(marked)), (shape, sub, ri)
+
+
+def test_jpeg_restart_intervals_progressive():
+    """Restart markers in EVERY progressive scan (DC interleaved MCU
+    units, AC non-interleaved block units, refinement passes): decode
+    must stay bit-identical to the baseline decode of the same image."""
+    from search_engine_ray.functions.jpeg import (decode_jpeg, encode_jpeg,
+                                                  encode_jpeg_progressive)
+
+    rng = np.random.default_rng(23)
+    for shape, sub, ri, q in (((24, 17, 1), "444", 2, 100),
+                              ((33, 29, 3), "444", 3, 90),
+                              ((40, 33, 3), "420", 2, 75)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        base = decode_jpeg(encode_jpeg(img, quality=q, subsampling=sub))
+        marked = encode_jpeg_progressive(img, quality=q, subsampling=sub,
+                                         restart_interval=ri)
+        assert b"\xff\xdd" in marked
+        assert np.array_equal(base, decode_jpeg(marked)), (shape, sub, ri)
+
+
+def test_jpeg_restart_marker_cycle_validated():
+    """A restart marker out of the D0..D7 modulo sequence raises loudly
+    (corrupt-stream detection) instead of decoding garbage."""
+    from search_engine_ray.functions.jpeg import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(29)
+    img = rng.integers(0, 256, (40, 33, 3), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=85, restart_interval=2))
+    first = data.find(b"\xff\xd0", data.find(b"\xff\xda"))
+    assert first != -1
+    data[first + 1] = 0xD5                     # break the cycle
+    with pytest.raises(ValueError, match="restart marker out of sequence"):
+        decode_jpeg(bytes(data))
+
+
 def test_jpeg_422_440_tiled_exact_and_lossy():
     """4:2:2 / 4:4:0 MCU-interleaved encode+decode (ADVICE r4: the decode
     claim had no test): constant tiles matching the MCU cell (16x8 / 8x16)
