@@ -1712,6 +1712,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return duplicate_ngram_stats(docs, n=5)
 
+    def substring_dedup(sf_dir):
+        """ExactSubstr-style duplicated-span stats (Lee et al. 2022) over
+        char-15-gram fingerprints: per doc, the union size of every span
+        whose window occurs >=2 times anywhere in the corpus.  All-integer
+        output (hash-stable).  The oracle replays the definition with TRUE
+        substrings (no fingerprints) — a 64-bit collision would break
+        parity; at ~1.4e5 windows the probability is ~5e-10, the same
+        accepted contract as dup_ngrams."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import substring_dedup_stats
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return substring_dedup_stats(docs, k=15)
+
     def pagerank_suppliers(sf_dir):
         import numpy as np
         import pyarrow as pa
@@ -1950,6 +1966,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_stratified": sample_stratified,
         "decontaminate": decontaminate,
         "dup_ngrams": dup_ngrams,
+        "substring_dedup": substring_dedup,
         "pagerank_suppliers": pagerank_suppliers,
         "doc_ppl": doc_ppl,
         "tfidf_topk": tfidf_topk,
@@ -1967,7 +1984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # (a) r4-red rows, reworked this round; + the round's new windows
         "events_analytic", "events_rolling", "events_first_last",
-        "event_cents_quantiles_global", "tpch_q3",
+        "event_cents_quantiles_global", "tpch_q3", "substring_dedup",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -3054,6 +3071,62 @@ SELECT t.doc_id,
             THEN CAST(p.n_dup_grams AS DOUBLE) / p.n_grams
             ELSE 0.0 END AS dup_gram_frac
 FROM toks t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
+"""
+
+    # ExactSubstr duplicated-span stats (stages/dedup.py
+    # substring_dedup_stats, Lee et al. 2022): the oracle replays the
+    # definition with TRUE char-15 substrings — every window occurring
+    # >= 2 times ANYWHERE (same doc included) masks [p, p+14]; masked
+    # union size via the gaps-and-islands merge, where touching-or-
+    # overlapping intervals share an island (s <= prev_max_e + 1).
+    sql["substring_dedup"] = """
+WITH pos AS (
+    SELECT doc_id, p::BIGINT AS p, substr(text, p::INT, 15) AS g FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 14, 0)))
+                   AS p
+        FROM documents)
+),
+dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+st AS (
+    SELECT doc_id, p AS s, p + 14 AS e
+    FROM pos WHERE g IN (SELECT g FROM dup)
+),
+isl AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > COALESCE(MAX(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                THEN 1 ELSE 0 END AS brk
+    FROM st
+),
+grp AS (
+    SELECT doc_id, s, e,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY s
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS gid
+    FROM isl
+),
+spans AS (
+    SELECT doc_id, gid, MAX(e) - MIN(s) + 1 AS len
+    FROM grp GROUP BY doc_id, gid
+),
+agg AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_spans, SUM(len)::BIGINT AS n_masked
+    FROM spans GROUP BY doc_id
+),
+starts_per_doc AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_dup_starts FROM st GROUP BY doc_id
+)
+SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
+       greatest(length(d.text) - 14, 0)::BIGINT AS n_windows,
+       COALESCE(sp.n_dup_starts, 0)::BIGINT AS n_dup_starts,
+       COALESCE(a.n_spans, 0)::BIGINT AS n_spans,
+       COALESCE(a.n_masked, 0)::BIGINT AS n_masked
+FROM documents d
+LEFT JOIN agg a ON a.doc_id = d.doc_id
+LEFT JOIN starts_per_doc sp ON sp.doc_id = d.doc_id
 """
 
     # integer fixed-point PageRank (stages/graph.py pagerank): bipartite

@@ -13,6 +13,11 @@ vectorized ``map_batches``:
               all on bounded keys; hot shingles capped — "stop-shingle"
               pruning, df cap applied identically in the SQL oracle)
 - embedding:  cosine near-duplicate pairs over normalized vectors
+- substring:  exact char-k-gram duplicated-SPAN stats (the direct
+              Ray-Data form of suffix-array ExactSubstr dedup, Lee et al.
+              2022 "Deduplicating Training Data Makes Language Models
+              Better"): one df groupby over rolling-hash fingerprints,
+              then per-doc vectorized interval union
 
 Scale notes: pair generation inside a bucket is quadratic — bucket width
 (bands x rows for LSH, ``max_shingle_df`` for n-gram) bounds it explicitly.
@@ -945,3 +950,230 @@ def embedding_dup_pairs_blocked(emb_ds: rd.Dataset, *,
     futs = [pair_task.remote(refs[i], refs[j], i == j)
             for i in range(len(refs)) for j in range(i, len(refs))]
     return rd.from_arrow_refs(futs)
+
+
+# --------------------------------------------------------------------------
+# substring family: exact duplicated-SPAN stats (ExactSubstr dedup)
+# --------------------------------------------------------------------------
+
+_SS_BASE = np.uint64(0x100000001B3)        # FNV-1a prime: odd => invertible
+_SS_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))  # ... mod 2^64
+
+
+def _char_kgram_hashes(texts: list[str], k: int
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray,
+                                  np.ndarray]:
+    """(doc_ix, start, fingerprint) for every length-``k`` CHARACTER window
+    of every text, plus per-doc window counts.  CHARACTER (codepoint)
+    windows — not bytes — so semantics match SQL ``substr`` on any script.
+
+    O(L) per doc via a rolling polynomial fingerprint in uint64
+    wrap-around arithmetic: with S[i] = sum_{j<i} c[j]*inv^j and
+    P[i] = base^i, window hash h_i = (S[i+k]-S[i]) * P[i+k-1]
+    = sum_t c[i+t]*base^(k-1-t) — no per-window loop, no (L,k) blow-up.
+    Two distinct windows collide with probability ~2^-64 (the same
+    accepted fingerprint contract as the word-n-gram families)."""
+    doc_ix: list[np.ndarray] = []
+    starts: list[np.ndarray] = []
+    hashes: list[np.ndarray] = []
+    counts = np.zeros(len(texts), np.int64)
+    for d, t in enumerate(texts):
+        L = len(t)
+        n = L - k + 1
+        if n <= 0:
+            continue
+        counts[d] = n
+        c = np.frombuffer(t.encode("utf-32-le"), np.uint32).astype(np.uint64)
+        inv_pows = np.full(L, _SS_INV, np.uint64)
+        inv_pows[0] = np.uint64(1)
+        np.multiply.accumulate(inv_pows, out=inv_pows)      # inv^0..inv^(L-1)
+        s = np.zeros(L + 1, np.uint64)
+        np.add.accumulate(c * inv_pows, out=s[1:])          # wraparound sums
+        base_pows = np.full(L, _SS_BASE, np.uint64)
+        if k >= 2:
+            base_pows[0] = _SS_BASE
+            np.multiply.accumulate(base_pows, out=base_pows)
+            mult = base_pows[k - 2:k - 2 + n]               # base^(i+k-1)
+        else:
+            mult = np.ones(n, np.uint64)
+        h = (s[k:k + n] - s[:n]) * mult
+        doc_ix.append(np.full(n, d, np.int64))
+        starts.append(np.arange(n, dtype=np.int64))
+        hashes.append(h)
+    if not hashes:
+        z = np.zeros(0, np.int64)
+        return z, z, np.zeros(0, np.uint64), counts
+    return (np.concatenate(doc_ix), np.concatenate(starts),
+            np.concatenate(hashes), counts)
+
+
+def _merged_span_stats(starts: np.ndarray, seg_offsets: np.ndarray, k: int
+                       ) -> tuple[np.ndarray, np.ndarray]:
+    """Per segment (doc), the union size and count of maximal contiguous
+    regions covered by intervals [s, s+k-1] over SORTED starts.  Fully
+    vectorized across segments: gaps = diff within segment clipped at k;
+    n_masked = k per segment + sum(min(gap, k)); n_spans = 1 +
+    count(gap > k).  ``seg_offsets`` are [0, n1, n1+n2, ...] boundaries."""
+    nseg = len(seg_offsets) - 1
+    n_masked = np.zeros(nseg, np.int64)
+    n_spans = np.zeros(nseg, np.int64)
+    sizes = np.diff(seg_offsets)
+    has = sizes > 0
+    if not has.any():
+        return n_masked, n_spans
+    d = np.diff(starts)
+    if d.size:
+        # zero out diffs that cross a segment boundary
+        boundary = np.zeros(starts.size - 1, bool)
+        inner = seg_offsets[1:-1]
+        boundary[inner[(inner > 0) & (inner < starts.size)] - 1] = True
+        capped = np.minimum(d, k)
+        capped[boundary] = 0
+        breaks = (d > k) & ~boundary
+        cs = np.concatenate([[0], np.cumsum(capped)])
+        cb = np.concatenate([[0], np.cumsum(breaks)])
+        n_masked[has] = (cs[seg_offsets[1:] - 1] - cs[seg_offsets[:-1]])[has]
+        n_spans[has] = (cb[seg_offsets[1:] - 1] - cb[seg_offsets[:-1]])[has]
+    n_masked[has] += k
+    n_spans[has] += 1
+    return n_masked, n_spans
+
+
+def substring_dedup_stats(corpus: rd.Dataset, *, k: int = 15,
+                          text_col: str = "text", id_col: str = "doc_id",
+                          max_broadcast: int = 50_000_000,
+                          force_shuffle: bool = False) -> rd.Dataset:
+    """Exact duplicated-substring SPAN statistics — the Ray-Data-native
+    form of ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better", §3: remove every span whose
+    length-``k`` window occurs at a second position anywhere in the
+    corpus).  Where the paper builds one suffix array, this engine needs
+    only (a) a document-frequency ``groupby`` over rolling-hash k-gram
+    fingerprints and (b) a per-doc interval union — both embarrassingly
+    parallel over blocks, nothing corpus-sized in any one process.
+
+    Plans, mirroring :func:`~.contamination.duplicate_ngram_stats`:
+
+    1. duplicated fingerprints (total occurrences >= 2, same doc or not)
+       come from one ``groupby``; if they fit ``max_broadcast`` they are
+       ``ray.put`` once and every batch probes with one ``searchsorted``,
+       masking spans locally.
+    2. past the guard (or ``force_shuffle``) the positional table
+       hash-partitions by fingerprint into a semi-join, duplicated starts
+       come back to their doc via one ``groupby(doc_id)``, and the
+       interval union runs per group.
+
+    Output per input document (all-integer, hash-stable):
+    ``(doc_id, n_chars, n_windows, n_dup_starts, n_spans, n_masked)``
+    where ``n_masked`` is the union size of all [start, start+k-1]
+    intervals whose window is duplicated and ``n_spans`` the count of
+    maximal contiguous masked regions.
+    """
+    narrow = corpus.select_columns([id_col, text_col])
+
+    def fingerprints(batch: pa.Table) -> pa.Table:
+        _, _, h, _ = _char_kgram_hashes(batch[text_col].to_pylist(), k)
+        return pa.table({"fp": pa.array(h.view(np.int64), pa.int64()),
+                         "one": pa.array(np.ones(h.size, np.int64))})
+
+    df = narrow.map_batches(fingerprints, batch_format="pyarrow") \
+        .groupby("fp").aggregate(Sum("one", alias_name="occ"))
+    dup_ds = df.filter(expr="occ >= 2").select_columns(["fp"]).materialize()
+
+    if force_shuffle or dup_ds.count() > max_broadcast:
+        return _substring_dedup_shuffle(narrow, dup_ds, k=k,
+                                        text_col=text_col, id_col=id_col)
+
+    parts = [t["fp"].to_numpy().view(np.uint64)
+             for t in (ray.get(r) for r in dup_ds.to_arrow_refs())
+             if t.num_rows]                 # skip schemaless empty blocks
+    dup_sorted = np.sort(np.concatenate(parts)) if parts \
+        else np.zeros(0, np.uint64)
+    ref = ray.put(dup_sorted)
+
+    def mask_spans(batch: pa.Table) -> pa.Table:
+        bad = ray.get(ref)
+        ids = batch[id_col].to_numpy()
+        texts = batch[text_col].to_pylist()
+        docs, starts, h, counts = _char_kgram_hashes(texts, k)
+        n_chars = np.array([len(t) for t in texts], np.int64)
+        if bad.size and h.size:
+            pos = np.searchsorted(bad, h)
+            pos[pos == bad.size] = 0
+            hit = bad[pos] == h
+        else:
+            hit = np.zeros(h.size, bool)
+        n_dup = np.bincount(docs[hit], minlength=len(ids)).astype(np.int64)
+        seg = np.concatenate([[0], np.cumsum(n_dup)])
+        n_masked, n_spans = _merged_span_stats(starts[hit], seg, k)
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_chars": pa.array(n_chars, pa.int64()),
+            "n_windows": pa.array(counts, pa.int64()),
+            "n_dup_starts": pa.array(n_dup, pa.int64()),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "n_masked": pa.array(n_masked, pa.int64()),
+        })
+
+    return narrow.map_batches(mask_spans, batch_format="pyarrow")
+
+
+def _substring_dedup_shuffle(narrow: rd.Dataset, dup_ds: rd.Dataset, *,
+                             k: int, text_col: str, id_col: str
+                             ) -> rd.Dataset:
+    """No-broadcast plan for :func:`substring_dedup_stats`: semi-join the
+    positional fingerprint table against the duplicated set, union the
+    intervals per ``groupby(doc_id)`` group, left-join back onto per-doc
+    totals so untouched documents keep their zero row."""
+    from .relational import drop_empty_blocks, shuffle_hash_join
+
+    def positions(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        docs, starts, h, _ = _char_kgram_hashes(batch[text_col].to_pylist(),
+                                                k)
+        return pa.table({id_col: pa.array(ids[docs], pa.int64()),
+                         "start": pa.array(starts, pa.int64()),
+                         "fp": pa.array(h.view(np.int64), pa.int64())})
+
+    def totals(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        _, _, _, counts = _char_kgram_hashes(texts, k)
+        return pa.table({
+            id_col: pa.array(batch[id_col].to_numpy(), pa.int64()),
+            "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            "n_windows": pa.array(counts, pa.int64())})
+
+    dup_clean = drop_empty_blocks(dup_ds, empty_schema=pa.schema(
+        [("fp", pa.int64())]))
+    pos = narrow.map_batches(positions, batch_format="pyarrow")
+    hits = shuffle_hash_join(pos, dup_clean, on=("fp",), how="semi") \
+        .select_columns([id_col, "start"])
+
+    def union_group(group: pa.Table) -> pa.Table:
+        ids = group[id_col].to_numpy()
+        starts = np.sort(group["start"].to_numpy())
+        seg = np.array([0, starts.size], np.int64)
+        n_masked, n_spans = _merged_span_stats(starts, seg, k)
+        return pa.table({
+            id_col: pa.array(ids[:1], pa.int64()),
+            "n_dup_starts": pa.array([starts.size], pa.int64()),
+            "n_spans": pa.array(n_spans, pa.int64()),
+            "n_masked": pa.array(n_masked, pa.int64())})
+
+    per_doc = hits.groupby(id_col).map_groups(union_group,
+                                              batch_format="pyarrow")
+    per_doc = drop_empty_blocks(per_doc, empty_schema=pa.schema(
+        [(id_col, pa.int64()), ("n_dup_starts", pa.int64()),
+         ("n_spans", pa.int64()), ("n_masked", pa.int64())]))
+    tot = narrow.map_batches(totals, batch_format="pyarrow")
+    joined = shuffle_hash_join(tot, per_doc, on=(id_col,), how="left")
+
+    def fill(batch: pa.Table) -> pa.Table:
+        out = {id_col: batch[id_col],
+               "n_chars": batch["n_chars"],
+               "n_windows": batch["n_windows"]}
+        for c in ("n_dup_starts", "n_spans", "n_masked"):
+            out[c] = pc.fill_null(batch[c], 0)
+        return pa.table(out)
+
+    return joined.map_batches(fill, batch_format="pyarrow")

@@ -1,0 +1,81 @@
+"""Round-5 operator tests: ExactSubstr duplicated-span stats
+(stages/dedup.py substring_dedup_stats, Lee et al. 2022)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+
+def _brute_span_stats(texts: dict[int, str], k: int) -> dict[int, tuple]:
+    """Reference implementation with TRUE substrings and a per-position
+    boolean mask — no fingerprints, no interval arithmetic."""
+    from collections import Counter
+
+    occ = Counter()
+    for t in texts.values():
+        for i in range(len(t) - k + 1):
+            occ[t[i:i + k]] += 1
+    out = {}
+    for d, t in texts.items():
+        L = len(t)
+        starts = [i for i in range(L - k + 1) if occ[t[i:i + k]] >= 2]
+        mask = np.zeros(L, bool)
+        for s in starts:
+            mask[s:s + k] = True
+        n_masked = int(mask.sum())
+        # maximal contiguous masked regions
+        n_spans = int(np.sum(np.diff(np.concatenate(
+            [[0], mask.view(np.int8)])) == 1))
+        out[d] = (L, max(L - k + 1, 0), len(starts), n_spans, n_masked)
+    return out
+
+
+CORPUS = {
+    1: "the quick brown fox jumps over the lazy dog again and again",
+    2: "a totally unique line with no repeats whatsoever here",
+    3: "the quick brown fox naps; the quick brown fox naps once more",
+    4: "short",                                  # < k: zero windows
+    5: "xyxyxyxyxyxyxyxyxyxyxyxyxy",             # self-repetition only
+    6: "jumps over the lazy dog again and then jumps over the lazy dog",
+    7: "ünïcödé text with ünïcödé repetition ünïcödé text with stuff",
+}
+
+
+def _run(ds_rows, k, **kw):
+    from search_engine_ray.stages.dedup import substring_dedup_stats
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(ds_rows), pa.int64()),
+        "text": pa.array([ds_rows[d] for d in ds_rows], pa.string())}))
+    t = pa.Table.from_pylist(substring_dedup_stats(ds, k=k, **kw).take_all())
+    return {r["doc_id"]: (r["n_chars"], r["n_windows"], r["n_dup_starts"],
+                          r["n_spans"], r["n_masked"])
+            for r in t.to_pylist()}
+
+
+@pytest.mark.parametrize("k", [5, 15])
+def test_substring_dedup_matches_bruteforce(ray_session, k):
+    """Engine output == per-position boolean-mask reference: duplicated
+    windows across docs AND within one doc, overlapping/touching span
+    union, sub-k docs, non-ASCII codepoints (char semantics, not bytes)."""
+    assert _run(CORPUS, k) == _brute_span_stats(CORPUS, k)
+
+
+def test_substring_dedup_shuffle_plan_parity(ray_session):
+    """The no-broadcast (semi-join + per-group union) plan returns the
+    same rows as the broadcast plan."""
+    a = _run(CORPUS, 15)
+    b = _run(CORPUS, 15, force_shuffle=True)
+    assert a == b
+
+
+def test_substring_dedup_all_unique(ray_session):
+    """A corpus with no duplicated window yields all-zero stats rows."""
+    rng = np.random.default_rng(41)
+    texts = {i: "".join(chr(97 + c) for c in rng.integers(0, 26, 40))
+             for i in range(5)}
+    got = _run(texts, 15)
+    for d, t in texts.items():
+        assert got[d] == (len(t), max(len(t) - 14, 0), 0, 0, 0)
