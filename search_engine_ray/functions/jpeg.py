@@ -607,13 +607,13 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     samps = [((s >> 4), (s & 0xF)) for _, s, _ in comps]
     # T.81 A.2: a SINGLE-component scan is non-interleaved — raster order
     # over ceil(w/8) x ceil(h/8) blocks with NO MCU padding, regardless of
-    # the declared sampling factors.  With 1x1 sampling the MCU loop below
-    # degenerates to exactly that order; any other grayscale sampling
-    # would decode garbled, so raise loudly (the subset contract).
-    if nc == 1 and samps[0] != (1, 1):
-        raise NotImplementedError(
-            "single-component (grayscale) JPEG with sampling factors "
-            f"{samps[0]} != 1x1: non-interleaved block order not supported")
+    # the declared sampling factors (with one component only the RATIO
+    # hi/hmax = vi/vmax = 1 matters, A.1.1).  Normalizing to 1x1 makes the
+    # MCU walk below degenerate to exactly that raster order, so a
+    # conforming grayscale stream declaring 2x2 decodes correctly instead
+    # of raising (the pre-r5 behavior) or garbling.
+    if nc == 1:
+        samps = [(1, 1)]
     hmax = max(hi for hi, _ in samps)
     vmax = max(vi for _, vi in samps)
     # MCU grid covers the image at full resolution; component ci owns a

@@ -361,26 +361,30 @@ def test_resize_jpeg_roundtrip():
     assert (r == r[0, 0]).all()
 
 
-def test_jpeg_grayscale_nonstandard_sampling_raises():
-    """T.81 A.2: a single-component scan is NON-interleaved, so a grayscale
-    stream declaring 2x2 sampling must raise loudly instead of decoding
-    MCU-interleaved garbage (ADVICE r4).  Built by flipping the SOF
-    sampling byte of a valid 1x1 grayscale stream."""
-    import pytest
-
+def test_jpeg_grayscale_nonstandard_sampling_decodes():
+    """T.81 A.2 / A.1.1: a single-component scan is NON-interleaved and
+    only the RATIO to hmax/vmax matters, so a grayscale stream declaring
+    2x2 sampling carries the identical raster-ordered entropy data as its
+    1x1 twin and must decode BIT-IDENTICALLY (round 5 closes the ADVICE
+    r4 seam by implementing, not raising).  Built by flipping the SOF
+    sampling byte of a valid multi-block 1x1 grayscale stream — a decoder
+    wrongly walking 16x16 MCUs would garble block order AND mis-size the
+    grid."""
     from search_engine_ray.functions.jpeg import decode_jpeg, encode_jpeg
 
-    img = (np.arange(64, dtype=np.uint8).reshape(8, 8))[:, :, None]
-    data = bytearray(encode_jpeg(img))
+    rng = np.random.default_rng(31)
+    img = rng.integers(0, 256, (24, 17, 1), dtype=np.uint8)
+    data = bytearray(encode_jpeg(img, quality=90))
     pos = bytes(data).find(b"\xff\xc0")
     assert pos >= 0
     # SOF0 payload: precision(1) h(2) w(2) nc(1) cid(1) samp(1)
     samp_at = pos + 4 + 7
     assert data[samp_at] == 0x11
-    decode_jpeg(bytes(data))  # sane before the flip
+    plain = decode_jpeg(bytes(data))  # sane before the flip
     data[samp_at] = 0x22
-    with pytest.raises(NotImplementedError, match="grayscale"):
-        decode_jpeg(bytes(data))
+    assert np.array_equal(decode_jpeg(bytes(data)), plain)
+    data[samp_at] = 0x21              # asymmetric factors too
+    assert np.array_equal(decode_jpeg(bytes(data)), plain)
 
 
 def test_jpeg_progressive_matches_baseline_decode():
