@@ -1438,6 +1438,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cents = ds.map_batches(to_cents, batch_format="pyarrow")
         return global_quantiles(cents, value_col="c", qs=(0.25, 0.5, 0.9))
 
+    def event_percentile_cont(sf_dir):
+        """Exact GLOBAL interpolated percentiles (PERCENTILE_CONT) without
+        a sort: the same histogram-refinement rank selection as
+        event_cents_quantiles_global resolves BOTH bracketing order
+        statistics per percent in shared passes, and the interpolation is
+        returned as lo*(100-num) + hi*num — pure int64 on both sides, no
+        float hash surface (the round-4 window lesson)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import global_percentile_cont
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet", columns=["value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            v = b["value"].drop_null().to_numpy(zero_copy_only=False)
+            return pa.table({"c": pa.array(
+                np.floor(v * 100.0).astype(np.int64))})
+
+        cents = ds.map_batches(to_cents, batch_format="pyarrow")
+        return global_percentile_cont(cents, value_col="c", ps=(25, 50, 90))
+
     def events_first_last(sf_dir):
         """FIRST_VALUE / LAST_VALUE / NTH_VALUE(2) over the whole partition
         (unbounded frame), integer-cent outputs, SQL NULL semantics (frame
@@ -1945,6 +1968,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling_time": events_rolling_time,
         "events_first_last": events_first_last,
         "event_cents_quantiles_global": event_cents_quantiles_global,
+        "event_percentile_cont": event_percentile_cont,
         "tpch_q3": tpch_q3,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
@@ -1984,7 +2008,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     front = [
         # (a) r4-red rows, reworked this round; + the round's new windows
         "events_analytic", "events_rolling", "events_first_last",
-        "event_cents_quantiles_global", "tpch_q3", "substring_dedup",
+        "event_cents_quantiles_global", "event_percentile_cont",
+        "tpch_q3", "substring_dedup",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2781,6 +2806,31 @@ UNION ALL
 SELECT 0.5, quantile_disc(c, 0.5)::BIGINT, COUNT(*)::BIGINT FROM cents
 UNION ALL
 SELECT 0.9, quantile_disc(c, 0.9)::BIGINT, COUNT(*)::BIGINT FROM cents
+"""
+
+    # PERCENTILE_CONT with an integer-exact surface: the oracle derives
+    # both bracketing order statistics by ROW_NUMBER (not quantile_cont)
+    # and interpolates in int64 scaled by 100 — bit-stable on both sides.
+    sql["event_percentile_cont"] = """
+WITH cents AS (SELECT CAST(FLOOR(value * 100) AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL),
+ord AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c) AS rk FROM cents),
+nn AS (SELECT COUNT(*)::BIGINT AS n FROM cents),
+p(p) AS (VALUES (25), (50), (90)),
+calc AS (
+    SELECT p.p::BIGINT AS p, nn.n,
+           ((nn.n - 1) * p.p) // 100 + 1 AS rank_lo,
+           ((nn.n - 1) * p.p) % 100 AS frac_num
+    FROM p, nn)
+SELECT c.p, c.n, c.rank_lo, lo.c AS lo_value, hi.c AS hi_value,
+       c.frac_num,
+       (lo.c * (100 - c.frac_num) + hi.c * c.frac_num)::BIGINT
+           AS interp_x100
+FROM calc c
+JOIN ord lo ON lo.rk = c.rank_lo
+JOIN ord hi ON hi.rk = CASE WHEN c.frac_num = 0 THEN c.rank_lo
+                            ELSE c.rank_lo + 1 END
+ORDER BY c.p
 """
 
     # FIRST/LAST/NTH over the unbounded frame: values copied verbatim from

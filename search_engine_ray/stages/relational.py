@@ -760,6 +760,23 @@ def global_quantiles(ds: rd.Dataset, *, value_col: str,
     """
     import math
 
+    col, n, lo0, hi0 = _global_column_stats(ds, value_col)
+    if n == 0:
+        return pa.table({"q": pa.array([], pa.float64()),
+                         "value": pa.array([], pa.int64()),
+                         "n": pa.array([], pa.int64())})
+    ks = {float(q): min(n, max(1, math.ceil(q * n))) for q in qs}
+    by_rank = _global_rank_select(col, value_col, set(ks.values()),
+                                  lo0, hi0, n_buckets)
+    out = sorted((q, by_rank[k]) for q, k in ks.items())
+    return pa.table({"q": pa.array([q for q, _ in out], pa.float64()),
+                     "value": pa.array([v for _, v in out], pa.int64()),
+                     "n": pa.array([n] * len(out), pa.int64())})
+
+
+def _global_column_stats(ds: rd.Dataset, value_col: str
+                         ) -> tuple[rd.Dataset, int, int, int]:
+    """(pruned column dataset, non-null count, min, max) in one pass."""
     from ray.data.aggregate import Count, Max, Min
 
     col = ds.select_columns([value_col])
@@ -767,13 +784,20 @@ def global_quantiles(ds: rd.Dataset, *, value_col: str,
                           Count(value_col, ignore_nulls=True))
     n = int(stats[f"count({value_col})"])
     if n == 0:
-        return pa.table({"q": pa.array([], pa.float64()),
-                         "value": pa.array([], pa.int64()),
-                         "n": pa.array([], pa.int64())})
-    # state per quantile: [lo, hi] candidate range + rank k within it
-    state = {float(q): [int(stats[f"min({value_col})"]),
-                        int(stats[f"max({value_col})"]),
-                        min(n, max(1, math.ceil(q * n)))] for q in qs}
+        return col, 0, 0, 0
+    return (col, n, int(stats[f"min({value_col})"]),
+            int(stats[f"max({value_col})"]))
+
+
+def _global_rank_select(col: rd.Dataset, value_col: str, ranks: set[int],
+                        lo0: int, hi0: int, n_buckets: int
+                        ) -> dict[int, int]:
+    """Exact value at each 1-based RANK of the sorted int64 column, by the
+    iterative histogram refinement documented in :func:`global_quantiles`
+    (which now delegates here).  All requested ranks refine concurrently:
+    one pruned column pass per round regardless of ``len(ranks)``."""
+    # state per rank: [lo, hi] candidate range + residual rank k within it
+    state = {int(r): [lo0, hi0, int(r)] for r in ranks}
 
     while True:
         active = {q: (lo, hi) for q, (lo, hi, _k) in state.items()
@@ -833,7 +857,56 @@ def global_quantiles(ds: rd.Dataset, *, value_col: str,
                     break
                 acc += c
 
-    out = sorted((q, lo) for q, (lo, _hi, _k) in state.items())
-    return pa.table({"q": pa.array([q for q, _ in out], pa.float64()),
-                     "value": pa.array([v for _, v in out], pa.int64()),
-                     "n": pa.array([n] * len(out), pa.int64())})
+    return {r: lo for r, (lo, _hi, _k) in state.items()}
+
+
+def global_percentile_cont(ds: rd.Dataset, *, value_col: str,
+                           ps: tuple[int, ...] = (25, 50, 90),
+                           n_buckets: int = 4096) -> pa.Table:
+    """Exact GLOBAL interpolated percentiles (SQL ``PERCENTILE_CONT`` /
+    DuckDB ``quantile_cont``) over an int64 column, without a sort and
+    with an INTEGER-EXACT output — no float interpolation on either side
+    of the oracle.
+
+    For integer percent ``p`` over ``n`` values the continuous quantile
+    sits at 0-based position ``h = (n-1) * p / 100`` between the order
+    statistics at ranks ``floor(h)`` and ``floor(h)+1``; both are exact
+    integers from :func:`_global_rank_select` (one shared histogram-
+    refinement pass resolves every needed rank), and the interpolation
+    ``lo + (h - floor(h)) * (hi - lo)`` is returned scaled by 100:
+    ``interp_x100 = lo * (100 - num) + hi * num`` with
+    ``num = (n-1) * p mod 100`` — pure int64 arithmetic, bit-stable
+    across engines (``interp_x100 / 100`` is the SQL double).
+
+    Returns a small table ``(p, n, rank_lo, lo_value, hi_value, frac_num,
+    interp_x100)`` sorted by ``p``.
+    """
+    col, n, lo0, hi0 = _global_column_stats(ds, value_col)
+    if n == 0:
+        empty = pa.array([], pa.int64())
+        return pa.table({"p": empty, "n": empty, "rank_lo": empty,
+                         "lo_value": empty, "hi_value": empty,
+                         "frac_num": empty, "interp_x100": empty})
+    plan = {}
+    ranks: set[int] = set()
+    for p in ps:
+        if not (0 <= p <= 100):
+            raise ValueError(f"percent {p} outside [0, 100]")
+        h100 = (n - 1) * int(p)               # h * 100, exact integer
+        rank_lo = h100 // 100 + 1             # 1-based floor rank
+        num = h100 % 100
+        rank_hi = rank_lo + 1 if num else rank_lo
+        plan[int(p)] = (rank_lo, rank_hi, num)
+        ranks.update((rank_lo, rank_hi))
+    by_rank = _global_rank_select(col, value_col, ranks, lo0, hi0, n_buckets)
+    rows = []
+    for p in sorted(plan):
+        rank_lo, rank_hi, num = plan[p]
+        lo, hi = by_rank[rank_lo], by_rank[rank_hi]
+        rows.append((p, n, rank_lo, lo, hi, num,
+                     lo * (100 - num) + hi * num))
+    cols = list(zip(*rows))
+    names = ["p", "n", "rank_lo", "lo_value", "hi_value", "frac_num",
+             "interp_x100"]
+    return pa.table({nm: pa.array(list(c), pa.int64())
+                     for nm, c in zip(names, cols)})

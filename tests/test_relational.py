@@ -422,3 +422,36 @@ def test_global_quantiles_histogram_refinement(ray_session):
     out = global_quantiles(rd.from_arrow(t), value_col="x",
                            qs=(0.5,)).to_pydict()
     assert out["value"] == [3] and out["n"] == [3]
+
+
+def test_global_percentile_cont_exact_and_invariant(ray_session):
+    """PERCENTILE_CONT via shared rank selection: the integer-scaled
+    interpolation interp_x100 equals 100x numpy's linear interpolation at
+    every tested distribution (wide range, ties, n=1, n=2) and every
+    percent incl. the p=0/p=100 edges; parallelism-invariant."""
+    from search_engine_ray.stages.relational import global_percentile_cont
+
+    ps = (0, 10, 25, 50, 90, 100)
+    rng = np.random.default_rng(9)
+    cases = [rng.integers(-2**40, 2**40, 20000), rng.integers(0, 3, 1000),
+             np.array([7]), np.array([1, 100])]
+    for vals in cases:
+        t = pa.table({"x": pa.array(vals, pa.int64())})
+        got7 = global_percentile_cont(rd.from_arrow(t).repartition(7),
+                                      value_col="x", ps=ps).to_pydict()
+        got2 = global_percentile_cont(rd.from_arrow(t).repartition(2),
+                                      value_col="x", ps=ps).to_pydict()
+        assert got2 == got7
+        s = np.sort(vals)
+        n = len(vals)
+        for p, x100 in zip(got7["p"], got7["interp_x100"]):
+            h100 = (n - 1) * p
+            lo, num = divmod(h100, 100)
+            hi = lo + 1 if num else lo
+            exp = int(s[lo]) * (100 - num) + int(s[hi]) * num
+            assert x100 == exp, (p, len(vals))
+    # NULLs skipped; n=3 median interpolates nothing (exact rank)
+    t = pa.table({"x": pa.array([None, 5, None, 1, 3], pa.int64())})
+    out = global_percentile_cont(rd.from_arrow(t), value_col="x",
+                                 ps=(50,)).to_pydict()
+    assert out["interp_x100"] == [300] and out["n"] == [3]
