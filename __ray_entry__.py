@@ -1288,6 +1288,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              for i in range(n_shards)]) \
             .map_batches(shape, batch_format="pyarrow")
 
+    def jsonl_gz_roundtrip(sf_dir):
+        """Gzip-compressed JSONL source coverage (.jsonl.gz — the dominant
+        shipping format for web-scale text corpora): documents written as
+        gzipped line-delimited JSON shards, read back with
+        ray.data.read_json(arrow_open_stream_args={"compression": "gzip"})
+        so decompression streams inside each read task (file-level
+        parallelism; at scale one shard ~ one block).  Same value-checked
+        reshape as jsonl_roundtrip."""
+        import gzip
+        import hashlib
+        import json
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        d = f"/tmp/serx_jsonlgz_{tag}"
+        os.makedirs(d, exist_ok=True)
+        rows = sorted(docs.to_pylist(), key=lambda r: r["doc_id"])
+        n_shards = 4
+        for i in range(n_shards):
+            with gzip.open(f"{d}/part-{i}.jsonl.gz", "wt",
+                           encoding="utf-8") as f:
+                for r in rows[i::n_shards]:
+                    f.write(json.dumps(r, ensure_ascii=False) + "\n")
+
+        def shape(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "lang": b["lang"],
+                "n_chars_rt": pcm.utf8_length(b["text"]).cast(pa.int64()),
+            })
+
+        return rd.read_json(
+            [f"{d}/part-{i}.jsonl.gz" for i in range(n_shards)],
+            arrow_open_stream_args={"compression": "gzip"}) \
+            .map_batches(shape, batch_format="pyarrow")
+
     def csv_roundtrip(sf_dir):
         """CSV source coverage: events written as CSV shards, read back
         with ray.data.read_csv, aggregated per event_type — value-checked
@@ -1985,6 +2028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_phrase_scatter": search_phrase_scatter,
         "warc_roundtrip": warc_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
+        "jsonl_gz_roundtrip": jsonl_gz_roundtrip,
         "csv_roundtrip": csv_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
@@ -2009,7 +2053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) r4-red rows, reworked this round; + the round's new windows
         "events_analytic", "events_rolling", "events_first_last",
         "event_cents_quantiles_global", "event_percentile_cont",
-        "tpch_q3", "substring_dedup",
+        "tpch_q3", "substring_dedup", "jsonl_gz_roundtrip",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2749,6 +2793,10 @@ FROM documents
 
     # length() counts CHARACTERS in DuckDB, matching Arrow's utf8_length
     sql["jsonl_roundtrip"] = """
+SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
+"""
+
+    sql["jsonl_gz_roundtrip"] = """
 SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
 """
 
