@@ -1794,6 +1794,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return substring_dedup_stats(docs, k=15)
 
+    def substring_dedup_clean(sf_dir):
+        """The ExactSubstr TRANSFORM (not just stats): every duplicated
+        span removed from the text.  The oracle rebuilds the cleaned
+        string character-by-character in SQL (string_agg over unmasked
+        positions), so the emitted text is value-checked verbatim."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import substring_dedup_stats
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        out = substring_dedup_stats(docs, k=15, emit_text=True)
+        return out.select_columns(["doc_id", "n_masked", "clean_text"])
+
     def pagerank_suppliers(sf_dir):
         import numpy as np
         import pyarrow as pa
@@ -2035,6 +2049,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontaminate": decontaminate,
         "dup_ngrams": dup_ngrams,
         "substring_dedup": substring_dedup,
+        "substring_dedup_clean": substring_dedup_clean,
         "pagerank_suppliers": pagerank_suppliers,
         "doc_ppl": doc_ppl,
         "tfidf_topk": tfidf_topk,
@@ -2053,7 +2068,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) r4-red rows, reworked this round; + the round's new windows
         "events_analytic", "events_rolling", "events_first_last",
         "event_cents_quantiles_global", "event_percentile_cont",
-        "tpch_q3", "substring_dedup", "jsonl_gz_roundtrip",
+        "tpch_q3", "substring_dedup", "substring_dedup_clean",
+        "jsonl_gz_roundtrip",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -3225,6 +3241,49 @@ SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
 FROM documents d
 LEFT JOIN agg a ON a.doc_id = d.doc_id
 LEFT JOIN starts_per_doc sp ON sp.doc_id = d.doc_id
+"""
+
+    # the ExactSubstr TRANSFORM: cleaned text rebuilt char-by-char —
+    # positions covered by any duplicated start are dropped, the rest
+    # string_agg back in order.  Verbatim string parity with the engine.
+    sql["substring_dedup_clean"] = """
+WITH pos AS (
+    SELECT doc_id, p::BIGINT AS p, substr(text, p::INT, 15) AS g FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, greatest(length(text) - 14, 0)))
+                   AS p
+        FROM documents)
+),
+dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
+st AS (
+    SELECT doc_id, p AS s FROM pos WHERE g IN (SELECT g FROM dup)
+),
+masked AS (
+    SELECT DISTINCT doc_id, s + j.j AS c
+    FROM st, (SELECT unnest(generate_series(0, 14)) AS j) j
+),
+chars AS (
+    SELECT doc_id, i::BIGINT AS i, substr(text, i::INT, 1) AS ch FROM (
+        SELECT doc_id, text,
+               unnest(generate_series(1, length(text))) AS i
+        FROM documents)
+),
+clean AS (
+    SELECT ch.doc_id,
+           string_agg(ch.ch, '' ORDER BY ch.i) AS clean_text
+    FROM chars ch
+    LEFT JOIN masked m ON m.doc_id = ch.doc_id AND m.c = ch.i
+    WHERE m.c IS NULL
+    GROUP BY ch.doc_id
+),
+n_mask AS (SELECT doc_id, COUNT(*)::BIGINT AS n_masked FROM masked
+           GROUP BY doc_id)
+SELECT d.doc_id,
+       COALESCE(nm.n_masked, 0)::BIGINT AS n_masked,
+       COALESCE(cl.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN n_mask nm ON nm.doc_id = d.doc_id
+LEFT JOIN clean cl ON cl.doc_id = d.doc_id
 """
 
     # integer fixed-point PageRank (stages/graph.py pagerank): bipartite

@@ -1042,7 +1042,8 @@ def _merged_span_stats(starts: np.ndarray, seg_offsets: np.ndarray, k: int
 def substring_dedup_stats(corpus: rd.Dataset, *, k: int = 15,
                           text_col: str = "text", id_col: str = "doc_id",
                           max_broadcast: int = 50_000_000,
-                          force_shuffle: bool = False) -> rd.Dataset:
+                          force_shuffle: bool = False,
+                          emit_text: bool = False) -> rd.Dataset:
     """Exact duplicated-substring SPAN statistics — the Ray-Data-native
     form of ExactSubstr dedup (Lee et al. 2022, "Deduplicating Training
     Data Makes Language Models Better", §3: remove every span whose
@@ -1067,8 +1068,14 @@ def substring_dedup_stats(corpus: rd.Dataset, *, k: int = 15,
     ``(doc_id, n_chars, n_windows, n_dup_starts, n_spans, n_masked)``
     where ``n_masked`` is the union size of all [start, start+k-1]
     intervals whose window is duplicated and ``n_spans`` the count of
-    maximal contiguous masked regions.
+    maximal contiguous masked regions.  With ``emit_text=True`` a
+    ``clean_text`` column is appended — the unmasked characters in order,
+    i.e. the document with every duplicated span REMOVED (the paper's
+    actual transform; broadcast plan only, since the span removal needs
+    the text beside the mask).
     """
+    if emit_text and force_shuffle:
+        raise ValueError("emit_text requires the broadcast plan")
     narrow = corpus.select_columns([id_col, text_col])
 
     def fingerprints(batch: pa.Table) -> pa.Table:
@@ -1106,14 +1113,31 @@ def substring_dedup_stats(corpus: rd.Dataset, *, k: int = 15,
         n_dup = np.bincount(docs[hit], minlength=len(ids)).astype(np.int64)
         seg = np.concatenate([[0], np.cumsum(n_dup)])
         n_masked, n_spans = _merged_span_stats(starts[hit], seg, k)
-        return pa.table({
+        out = {
             "doc_id": pa.array(ids, pa.int64()),
             "n_chars": pa.array(n_chars, pa.int64()),
             "n_windows": pa.array(counts, pa.int64()),
             "n_dup_starts": pa.array(n_dup, pa.int64()),
             "n_spans": pa.array(n_spans, pa.int64()),
             "n_masked": pa.array(n_masked, pa.int64()),
-        })
+        }
+        if emit_text:
+            hs = starts[hit]
+            clean = []
+            for d, t in enumerate(texts):
+                s = hs[seg[d]:seg[d + 1]]
+                if not s.size:
+                    clean.append(t)
+                    continue
+                L = len(t)
+                delta = np.zeros(L + 1, np.int32)   # diff-array span union
+                np.add.at(delta, s, 1)
+                np.add.at(delta, np.minimum(s + k, L), -1)
+                keep = np.cumsum(delta[:-1]) == 0
+                cp = np.frombuffer(t.encode("utf-32-le"), np.uint32)
+                clean.append(cp[keep].tobytes().decode("utf-32-le"))
+            out["clean_text"] = pa.array(clean, pa.string())
+        return pa.table(out)
 
     return narrow.map_batches(mask_spans, batch_format="pyarrow")
 

@@ -71,6 +71,39 @@ def test_substring_dedup_shuffle_plan_parity(ray_session):
     assert a == b
 
 
+def test_substring_dedup_clean_text(ray_session):
+    """emit_text=True removes exactly the masked characters, in order
+    (per-position boolean-mask reference), including non-ASCII docs and
+    the fully-duplicated doc (empty result)."""
+    from collections import Counter
+
+    from search_engine_ray.stages.dedup import substring_dedup_stats
+
+    k = 15
+    occ = Counter()
+    for t in CORPUS.values():
+        for i in range(len(t) - k + 1):
+            occ[t[i:i + k]] += 1
+    expect = {}
+    for d, t in CORPUS.items():
+        mask = np.zeros(len(t), bool)
+        for i in range(len(t) - k + 1):
+            if occ[t[i:i + k]] >= 2:
+                mask[i:i + k] = True
+        expect[d] = "".join(c for c, m in zip(t, mask) if not m)
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(CORPUS), pa.int64()),
+        "text": pa.array([CORPUS[d] for d in CORPUS], pa.string())}))
+    rows = substring_dedup_stats(ds, k=k, emit_text=True).take_all()
+    got = {r["doc_id"]: r["clean_text"] for r in rows}
+    assert got == expect
+    # doc 5 is pure self-repetition: everything masked
+    assert got[5] == ""
+    with pytest.raises(ValueError, match="broadcast"):
+        substring_dedup_stats(ds, k=k, emit_text=True, force_shuffle=True)
+
+
 def test_substring_dedup_all_unique(ray_session):
     """A corpus with no duplicated window yields all-zero stats rows."""
     rng = np.random.default_rng(41)
