@@ -991,6 +991,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_shingle_df=50) \
             .select_columns(["doc_a", "doc_b", "n_inter"])
 
+    def ngram_containment(sf_dir):
+        """One-sided Jaccard (|A∩B| / min sizes >= 0.8): near-SUBSET
+        duplication — boilerplate wrapping, truncated copies — that the
+        symmetric entry misses.  Shares ngram_jaccard's co-occurrence
+        core and df-cap contract; int columns only in the hash."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import ngram_containment_pairs
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return ngram_containment_pairs(ds, n=3, threshold=0.8,
+                                       max_shingle_df=50) \
+            .select_columns(["doc_a", "doc_b", "n_inter"])
+
     def dedup_clusters(sf_dir):
         import ray.data as rd
 
@@ -2007,6 +2022,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": doc_repetition,
         "exact_dedup": exact_dedup,
         "ngram_jaccard": ngram_jaccard,
+        "ngram_containment": ngram_containment,
         "dedup_clusters": dedup_clusters,
         "minhash_lsh": minhash_lsh,
         "simhash_dedup": simhash_dedup,
@@ -2069,7 +2085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_analytic", "events_rolling", "events_first_last",
         "event_cents_quantiles_global", "event_percentile_cont",
         "tpch_q3", "substring_dedup", "substring_dedup_clean",
-        "jsonl_gz_roundtrip",
+        "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2669,6 +2685,17 @@ FROM documents GROUP BY md5(text)
     sql["ngram_jaccard"] = f"""
 WITH {_JACCARD_CTES}
 SELECT doc_a, doc_b, n_inter FROM jpairs
+"""
+
+    # one-sided Jaccard: same shingle/df-cap CTEs, containment predicate
+    # |A∩B| / least(|A|, |B|) >= 0.8 (one IEEE division, bit-stable)
+    sql["ngram_containment"] = f"""
+WITH {_JACCARD_CTES}
+SELECT p.doc_a, p.doc_b, p.n_inter
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.n_inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8
 """
 
     # connected components of the >=0.5-Jaccard pair graph: transitive

@@ -518,6 +518,55 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, n: int = 3, threshold: float = 0.5,
     contract and mirrored in the SQL oracle), |A| / |B| from per-doc distinct
     shingle counts, joined in a final bucketed pass.
     """
+    inter = _ngram_cooccurrence(ds, n=n, max_shingle_df=max_shingle_df,
+                                text_col=text_col, id_col=id_col)
+
+    def jaccard_batch(batch: pa.Table) -> pa.Table:
+        ni = batch["n_inter"].to_numpy().astype(np.float64)
+        na = batch["na"].to_numpy().astype(np.float64)
+        nb = batch["nb"].to_numpy().astype(np.float64)
+        j = ni / (na + nb - ni)
+        out = pa.table({"doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+                        "n_inter": batch["n_inter"],
+                        "jaccard": pa.array(j, pa.float64())})
+        return out.filter(pa.array(j >= threshold))
+
+    return inter.map_batches(jaccard_batch, batch_format="pyarrow")
+
+
+def ngram_containment_pairs(ds: rd.Dataset, *, n: int = 3,
+                            threshold: float = 0.8,
+                            max_shingle_df: int = 50,
+                            text_col: str = "text",
+                            id_col: str = "doc_id") -> rd.Dataset:
+    """Exact word-n-gram CONTAINMENT pairs: ``|A∩B| / min(|A|, |B|)``
+    >= threshold — the one-sided Jaccard that catches near-SUBSET
+    duplication (boilerplate wrapping, quote-with-commentary, truncated
+    copies), which symmetric Jaccard misses when the containing document
+    is much larger.  Same co-occurrence plan and df-cap contract as
+    :func:`ngram_jaccard_pairs`; the division is one IEEE op on small
+    ints, bit-stable vs the SQL oracle."""
+    inter = _ngram_cooccurrence(ds, n=n, max_shingle_df=max_shingle_df,
+                                text_col=text_col, id_col=id_col)
+
+    def containment_batch(batch: pa.Table) -> pa.Table:
+        ni = batch["n_inter"].to_numpy().astype(np.float64)
+        na = batch["na"].to_numpy()
+        nb = batch["nb"].to_numpy()
+        c = ni / np.minimum(na, nb).astype(np.float64)
+        out = pa.table({"doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
+                        "n_inter": batch["n_inter"],
+                        "containment": pa.array(c, pa.float64())})
+        return out.filter(pa.array(c >= threshold))
+
+    return inter.map_batches(containment_batch, batch_format="pyarrow")
+
+
+def _ngram_cooccurrence(ds: rd.Dataset, *, n: int, max_shingle_df: int,
+                        text_col: str, id_col: str) -> rd.Dataset:
+    """Shared pair-co-occurrence core of the exact n-gram family:
+    ``(doc_a, doc_b, n_inter, na, nb)`` for every pair sharing >= 1
+    surviving shingle (df cap applied identically to all consumers)."""
     # TASK pool, not an actor pool: the stage's "state" is three scalars,
     # and inside a fused multi-stage execution the actor autoscaler's slow
     # ramp serialized the whole DAG (measured: 17-20 s end-to-end with the
@@ -603,21 +652,9 @@ def ngram_jaccard_pairs(ds: rd.Dataset, *, n: int = 3, threshold: float = 0.5,
     # the Jaccard denominators na/nb are identical on every row of a pair
     # (each is a per-doc constant), so Min is just "pick it up" — no sizes
     # dict on the driver, no second pass over the shingle table
-    inter = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Sum("n_partial", alias_name="n_inter"),
         Min("na", alias_name="na"), Min("nb", alias_name="nb"))
-
-    def jaccard_batch(batch: pa.Table) -> pa.Table:
-        ni = batch["n_inter"].to_numpy().astype(np.float64)
-        na = batch["na"].to_numpy().astype(np.float64)
-        nb = batch["nb"].to_numpy().astype(np.float64)
-        j = ni / (na + nb - ni)
-        out = pa.table({"doc_a": batch["doc_a"], "doc_b": batch["doc_b"],
-                        "n_inter": batch["n_inter"],
-                        "jaccard": pa.array(j, pa.float64())})
-        return out.filter(pa.array(j >= threshold))
-
-    return inter.map_batches(jaccard_batch, batch_format="pyarrow")
 
 
 # --------------------------------------------------------------------------

@@ -104,6 +104,28 @@ def test_substring_dedup_clean_text(ray_session):
         substring_dedup_stats(ds, k=k, emit_text=True, force_shuffle=True)
 
 
+def test_ngram_containment_finds_subset(ray_session):
+    """Containment (|A∩B| / min) catches a small doc embedded in a much
+    larger one that symmetric Jaccard misses at the same threshold."""
+    from search_engine_ray.stages.dedup import (ngram_containment_pairs,
+                                                ngram_jaccard_pairs)
+
+    small = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(40))
+    big = filler + " " + small + " " + " ".join(
+        f"p{i} q{i} r{i}" for i in range(40))
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2], pa.int64()),
+        "text": pa.array([small, big], pa.string())}))
+    cont = ngram_containment_pairs(ds, n=3, threshold=0.8,
+                                   max_shingle_df=50).take_all()
+    assert [(r["doc_a"], r["doc_b"]) for r in cont] == [(1, 2)]
+    assert cont[0]["containment"] == 1.0          # fully contained
+    jac = ngram_jaccard_pairs(ds, n=3, threshold=0.8,
+                              max_shingle_df=50).take_all()
+    assert jac == []                              # Jaccard blind to subsets
+
+
 def test_substring_dedup_all_unique(ray_session):
     """A corpus with no duplicated window yields all-zero stats rows."""
     rng = np.random.default_rng(41)
