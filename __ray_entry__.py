@@ -1519,6 +1519,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         cents = ds.map_batches(to_cents, batch_format="pyarrow")
         return global_percentile_cont(cents, value_col="c", ps=(25, 50, 90))
 
+    def event_type_percentile_cont(sf_dir):
+        """Per-group PERCENTILE_CONT with the same integer-exact surface
+        as the global entry: p50/p90 per event_type as x100-scaled int64
+        interpolations between exact order statistics."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import grouped_percentile_cont
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.is_valid(b["value"]))
+            v = t["value"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_type": t["event_type"],
+                "c": pa.array(np.floor(v * 100.0).astype(np.int64))})
+
+        cents = ds.map_batches(to_cents, batch_format="pyarrow")
+        return grouped_percentile_cont(cents, group_col="event_type",
+                                       value_col="c", ps=(50, 90))
+
     def events_first_last(sf_dir):
         """FIRST_VALUE / LAST_VALUE / NTH_VALUE(2) over the whole partition
         (unbounded frame), integer-cent outputs, SQL NULL semantics (frame
@@ -2042,6 +2067,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_first_last": events_first_last,
         "event_cents_quantiles_global": event_cents_quantiles_global,
         "event_percentile_cont": event_percentile_cont,
+        "event_type_percentile_cont": event_type_percentile_cont,
         "tpch_q3": tpch_q3,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
@@ -2084,6 +2110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) r4-red rows, reworked this round; + the round's new windows
         "events_analytic", "events_rolling", "events_first_last",
         "event_cents_quantiles_global", "event_percentile_cont",
+        "event_type_percentile_cont",
         "tpch_q3", "substring_dedup", "substring_dedup_clean",
         "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
         # (b) r5-touched paths (stop-term df threading, banded verify,
@@ -2922,6 +2949,35 @@ JOIN ord lo ON lo.rk = c.rank_lo
 JOIN ord hi ON hi.rk = CASE WHEN c.frac_num = 0 THEN c.rank_lo
                             ELSE c.rank_lo + 1 END
 ORDER BY c.p
+"""
+
+    # per-group variant: same integer-exact interpolation, order stats by
+    # per-partition ROW_NUMBER, pivoted wide to one row per event_type
+    sql["event_type_percentile_cont"] = """
+WITH cents AS (SELECT event_type, CAST(FLOOR(value * 100) AS BIGINT) AS c
+               FROM events WHERE value IS NOT NULL),
+ord AS (SELECT event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY c) AS rk
+        FROM cents),
+nn AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM cents
+       GROUP BY event_type),
+calc AS (
+    SELECT nn.event_type, nn.n, p.p::BIGINT AS p,
+           ((nn.n - 1) * p.p) // 100 + 1 AS rank_lo,
+           ((nn.n - 1) * p.p) % 100 AS num
+    FROM nn, (VALUES (50), (90)) p(p)),
+res AS (
+    SELECT c.event_type, c.n, c.p,
+           (lo.c * (100 - c.num) + hi.c * c.num)::BIGINT AS x100
+    FROM calc c
+    JOIN ord lo ON lo.event_type = c.event_type AND lo.rk = c.rank_lo
+    JOIN ord hi ON hi.event_type = c.event_type
+               AND hi.rk = CASE WHEN c.num = 0 THEN c.rank_lo
+                                ELSE c.rank_lo + 1 END)
+SELECT event_type, n,
+       MAX(CASE WHEN p = 50 THEN x100 END)::BIGINT AS p50_x100,
+       MAX(CASE WHEN p = 90 THEN x100 END)::BIGINT AS p90_x100
+FROM res GROUP BY event_type, n
 """
 
     # FIRST/LAST/NTH over the unbounded frame: values copied verbatim from

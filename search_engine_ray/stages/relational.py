@@ -287,6 +287,42 @@ def grouped_quantiles(ds: rd.Dataset, *, group_col: str, value_col: str,
         .groupby(group_col).map_groups(per_group, batch_format="pyarrow")
 
 
+def grouped_percentile_cont(ds: rd.Dataset, *, group_col: str,
+                            value_col: str, ps: tuple[int, ...] = (50, 90),
+                            count_alias: str = "n") -> rd.Dataset:
+    """Exact per-group interpolated percentiles (PERCENTILE_CONT) over an
+    int64 column with INTEGER-EXACT output: per percent ``p`` the column
+    ``p{p}_x100 = lo*(100-num) + hi*num`` where lo/hi are the bracketing
+    order statistics at 0-based position ``(n-1)*p/100`` and
+    ``num = (n-1)*p mod 100`` — pure int64, no float hash surface (see
+    :func:`global_percentile_cont` for the global / too-big-to-sort
+    variant of the same contract).  Same scale shape and caveat as
+    :func:`grouped_quantiles`: only two pruned columns shuffle, each
+    group sorts in one worker.
+    """
+    for p in ps:
+        if not (0 <= int(p) <= 100):
+            raise ValueError(f"percent {p} outside [0, 100]")
+
+    def per_group(g: pa.Table) -> pa.Table:
+        key = g[group_col][0]
+        v = np.sort(g[value_col].drop_null().to_numpy(zero_copy_only=False)
+                    .astype(np.int64))
+        n = v.size
+        out: dict = {group_col: pa.array([key.as_py()]),
+                     count_alias: pa.array([n], pa.int64())}
+        for p in ps:
+            h100 = (n - 1) * int(p)
+            lo, num = divmod(h100, 100)
+            hi = lo + 1 if num else lo
+            x100 = int(v[lo]) * (100 - num) + int(v[hi]) * num
+            out[f"p{int(p)}_x100"] = pa.array([x100], pa.int64())
+        return pa.table(out)
+
+    return ds.select_columns([group_col, value_col]) \
+        .groupby(group_col).map_groups(per_group, batch_format="pyarrow")
+
+
 def grouped_topk(ds: rd.Dataset, *, group_col: str, order_col: str,
                  tie_col: str, k: int, descending: bool = True) -> rd.Dataset:
     """Top-k rows per group with a deterministic (order, tie) sort.

@@ -455,3 +455,30 @@ def test_global_percentile_cont_exact_and_invariant(ray_session):
     out = global_percentile_cont(rd.from_arrow(t), value_col="x",
                                  ps=(50,)).to_pydict()
     assert out["interp_x100"] == [300] and out["n"] == [3]
+
+
+def test_grouped_percentile_cont_matches_numpy(ray_session):
+    """Per-group PERCENTILE_CONT x100 columns equal 100x numpy's linear
+    interpolation per group, on skewed group sizes incl. singletons."""
+    from search_engine_ray.stages.relational import grouped_percentile_cont
+
+    rng = np.random.default_rng(13)
+    g = rng.integers(0, 7, 4000)
+    g[:1] = 99                                   # singleton group
+    v = rng.integers(-10**6, 10**6, 4000)
+    t = pa.table({"g": pa.array(g, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    rows = grouped_percentile_cont(rd.from_arrow(t).repartition(5),
+                                   group_col="g", value_col="v",
+                                   ps=(0, 50, 90, 100)).take_all()
+    assert len(rows) == len(np.unique(g))
+    for r in rows:
+        vals = np.sort(v[g == r["g"]])
+        n = vals.size
+        assert r["n"] == n
+        for p in (0, 50, 90, 100):
+            h100 = (n - 1) * p
+            lo, num = divmod(h100, 100)
+            hi = lo + 1 if num else lo
+            exp = int(vals[lo]) * (100 - num) + int(vals[hi]) * num
+            assert r[f"p{p}_x100"] == exp, (r["g"], p)
