@@ -1346,6 +1346,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             arrow_open_stream_args={"compression": "gzip"}) \
             .map_batches(shape, batch_format="pyarrow")
 
+    def nfc_normalize_docs(sf_dir):
+        """Unicode NFC normalization — the canonicalization step every
+        text-dedup family assumes upstream (decomposed e + U+0301 must
+        hash like precomposed é).  The test corpus is already NFC, so
+        BOTH sides append the same decomposed suffix (combining acute +
+        angstrom sign) to make the witness real; the normalized text is
+        value-checked verbatim against DuckDB's nfc_normalize."""
+        import unicodedata
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        # DECOMPOSED on purpose: e + COMBINING ACUTE (U+0301),
+        # A + COMBINING RING (U+030A) — NFC composes both
+        suffix = " cafe\u0301 A\u030a"
+
+        def norm(b: pa.Table) -> pa.Table:
+            texts = [(t or "") + suffix for t in b["text"].to_pylist()]
+            out = [unicodedata.normalize("NFC", t) for t in texts]
+            return pa.table({
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "norm_text": pa.array(out, pa.string()),
+                "n_before": pa.array([len(t) for t in texts], pa.int64()),
+                "n_after": pa.array([len(t) for t in out], pa.int64()),
+            })
+
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+            .map_batches(norm, batch_format="pyarrow")
+
     def csv_roundtrip(sf_dir):
         """CSV source coverage: events written as CSV shards, read back
         with ray.data.read_csv, aggregated per event_type — value-checked
@@ -2085,6 +2115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": warc_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
         "jsonl_gz_roundtrip": jsonl_gz_roundtrip,
+        "nfc_normalize_docs": nfc_normalize_docs,
         "csv_roundtrip": csv_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
@@ -2113,6 +2144,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_percentile_cont",
         "tpch_q3", "substring_dedup", "substring_dedup_clean",
         "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
+        "nfc_normalize_docs",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2868,6 +2900,20 @@ SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
 
     sql["jsonl_gz_roundtrip"] = """
 SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
+"""
+
+    # NFC normalization, verbatim string parity; the decomposed suffix
+    # (combining acute U+0301, combining ring U+030A) is appended on both
+    # sides so composition actually fires on the already-NFC corpus
+    sql["nfc_normalize_docs"] = """
+WITH aug AS (
+    SELECT doc_id,
+           text || ' cafe' || chr(769) || ' A' || chr(778) AS t
+    FROM documents)
+SELECT doc_id, nfc_normalize(t) AS norm_text,
+       length(t)::BIGINT AS n_before,
+       length(nfc_normalize(t))::BIGINT AS n_after
+FROM aug
 """
 
     sql["csv_roundtrip"] = """
