@@ -1346,6 +1346,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             arrow_open_stream_args={"compression": "gzip"}) \
             .map_batches(shape, batch_format="pyarrow")
 
+    def events_pushdown(sf_dir):
+        """Predicate pushdown at the READ: the row filter rides into the
+        PyArrow scanner (row-group stats prune before bytes leave
+        storage) alongside column pruning — only matching rows of two
+        columns enter the pipeline.  Daily click rollup, integer cents."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["ts", "value"],
+            filter=(pads.field("event_type") == "click"))
+
+        def shape(b: pa.Table) -> pa.Table:
+            us = pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "epoch_day": pa.array(us // 86_400_000_000, pa.int64()),
+                "cents": pa.array(np.floor(v * 100.0).astype(np.int64))})
+
+        return ds.map_batches(shape, batch_format="pyarrow") \
+            .groupby("epoch_day").aggregate(
+                Count(alias_name="n_clicks"),
+                Sum("cents", alias_name="sum_cents"))
+
     def nfc_normalize_docs(sf_dir):
         """Unicode NFC normalization — the canonicalization step every
         text-dedup family assumes upstream (decomposed e + U+0301 must
@@ -2116,6 +2146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_roundtrip": jsonl_roundtrip,
         "jsonl_gz_roundtrip": jsonl_gz_roundtrip,
         "nfc_normalize_docs": nfc_normalize_docs,
+        "events_pushdown": events_pushdown,
         "csv_roundtrip": csv_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
@@ -2144,7 +2175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_percentile_cont",
         "tpch_q3", "substring_dedup", "substring_dedup_clean",
         "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
-        "nfc_normalize_docs",
+        "nfc_normalize_docs", "events_pushdown",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2914,6 +2945,14 @@ SELECT doc_id, nfc_normalize(t) AS norm_text,
        length(t)::BIGINT AS n_before,
        length(nfc_normalize(t))::BIGINT AS n_after
 FROM aug
+"""
+
+    sql["events_pushdown"] = """
+SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS epoch_day,
+       COUNT(*)::BIGINT AS n_clicks,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events WHERE event_type = 'click'
+GROUP BY 1
 """
 
     sql["csv_roundtrip"] = """
