@@ -173,6 +173,9 @@ HEADLINE = [
     # round-5 operators
     "image_dup_clusters", "image_meta_jpeg_prog", "events_first_last",
     "event_cents_quantiles_global", "tpch_q3",
+    "substring_dedup", "substring_dedup_clean", "event_percentile_cont",
+    "event_type_percentile_cont", "ngram_containment",
+    "jsonl_gz_roundtrip", "nfc_normalize_docs", "events_pushdown",
 ]
 
 
@@ -253,7 +256,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             "spin_effective_cores": eff_cores,
             # cross-round comparability: value covers THIS headline set
             # (ADVICE r4: the set grows each round, readers must detect it)
-            "headline_set": "r5",
+            "headline_set": "r5b",   # r5 + the 8 late-round-5 entries
             "headline_n": len(HEADLINE),
             "detail_file": "BENCH_QUERIES.json",
         }

@@ -1069,8 +1069,12 @@ def _merged_span_stats(starts: np.ndarray, seg_offsets: np.ndarray, k: int
         breaks = (d > k) & ~boundary
         cs = np.concatenate([[0], np.cumsum(capped)])
         cb = np.concatenate([[0], np.cumsum(breaks)])
-        n_masked[has] = (cs[seg_offsets[1:] - 1] - cs[seg_offsets[:-1]])[has]
-        n_spans[has] = (cb[seg_offsets[1:] - 1] - cb[seg_offsets[:-1]])[has]
+        # clip: offsets of EMPTY segments may equal starts.size (one past
+        # cs's end); their lanes are discarded by [has] below
+        e = np.clip(seg_offsets[1:] - 1, 0, cs.size - 1)
+        s0 = np.clip(seg_offsets[:-1], 0, cs.size - 1)
+        n_masked[has] = (cs[e] - cs[s0])[has]
+        n_spans[has] = (cb[e] - cb[s0])[has]
     n_masked[has] += k
     n_spans[has] += 1
     return n_masked, n_spans

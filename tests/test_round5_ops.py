@@ -104,6 +104,20 @@ def test_substring_dedup_clean_text(ray_session):
         substring_dedup_stats(ds, k=k, emit_text=True, force_shuffle=True)
 
 
+def test_substring_dedup_random_fuzz(ray_session):
+    """Randomized corpora over a tiny alphabet (dense collisions, heavy
+    overlap, empty docs) vs the boolean-mask reference, k in {3, 5, 8} —
+    guards the reduceat interval-union arithmetic's edge cases."""
+    rng = np.random.default_rng(57)
+    for trial in range(4):
+        k = int(rng.choice([3, 5, 8]))
+        texts = {}
+        for d in range(12):
+            L = int(rng.integers(0, 60))
+            texts[d] = "".join(chr(97 + c) for c in rng.integers(0, 3, L))
+        assert _run(texts, k) == _brute_span_stats(texts, k), (trial, k)
+
+
 def test_ngram_containment_finds_subset(ray_session):
     """Containment (|A∩B| / min) catches a small doc embedded in a much
     larger one that symmetric Jaccard misses at the same threshold."""
