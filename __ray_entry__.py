@@ -1604,6 +1604,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_percentile_cont(cents, group_col="event_type",
                                        value_col="c", ps=(50, 90))
 
+    def pack_docs(sf_dir):
+        """Training-sequence packing via a distributed ordered prefix
+        sum (two-pass parallel scan: per-block sums -> driver offsets ->
+        per-block cumsum; only one scalar per block touches the driver):
+        every doc gets (cum_before, seq_id, seq_offset) for a 512-token
+        budget.  All-integer, parallelism-invariant, window-checkable."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import pack_sequences
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def toks(b: pa.Table) -> pa.Table:
+            import re
+            n = [len(re.findall(r"\S+", t or ""))
+                 for t in b["text"].to_pylist()]
+            return pa.table({"doc_id": b["doc_id"].cast(pa.int64()),
+                             "n_tok": pa.array(n, pa.int64())})
+
+        counted = docs.map_batches(toks, batch_format="pyarrow")
+        return pack_sequences(counted, order_col="doc_id",
+                              token_col="n_tok", budget=512)
+
     def events_first_last(sf_dir):
         """FIRST_VALUE / LAST_VALUE / NTH_VALUE(2) over the whole partition
         (unbounded frame), integer-cent outputs, SQL NULL semantics (frame
@@ -2147,6 +2172,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_gz_roundtrip": jsonl_gz_roundtrip,
         "nfc_normalize_docs": nfc_normalize_docs,
         "events_pushdown": events_pushdown,
+        "pack_docs": pack_docs,
         "csv_roundtrip": csv_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
@@ -2175,7 +2201,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_percentile_cont",
         "tpch_q3", "substring_dedup", "substring_dedup_clean",
         "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
-        "nfc_normalize_docs", "events_pushdown",
+        "nfc_normalize_docs", "events_pushdown", "pack_docs",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2945,6 +2971,24 @@ SELECT doc_id, nfc_normalize(t) AS norm_text,
        length(t)::BIGINT AS n_before,
        length(nfc_normalize(t))::BIGINT AS n_after
 FROM aug
+"""
+
+    # distributed exclusive prefix sum == the SQL running-total window;
+    # seq assignment is pure integer arithmetic on it
+    sql["pack_docs"] = r"""
+WITH t AS (
+    SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok
+    FROM documents),
+c AS (
+    SELECT doc_id, n_tok,
+           COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0)::BIGINT AS cum_before
+    FROM t)
+SELECT doc_id, n_tok, cum_before,
+       (cum_before // 512)::BIGINT AS seq_id,
+       (cum_before % 512)::BIGINT AS seq_offset
+FROM c
 """
 
     sql["events_pushdown"] = """

@@ -323,6 +323,82 @@ def grouped_percentile_cont(ds: rd.Dataset, *, group_col: str,
         .groupby(group_col).map_groups(per_group, batch_format="pyarrow")
 
 
+def ordered_prefix_sum(ds: rd.Dataset, *, order_col: str, value_col: str,
+                       out_col: str = "cum_before") -> rd.Dataset:
+    """Distributed EXCLUSIVE prefix sum over the ``order_col``-sorted
+    stream — the classic two-pass parallel scan: sort, then one tiny task
+    per block computes its local sum (one scalar per block reaches the
+    driver), the driver turns block sums into exclusive block offsets
+    (metadata-scale), and a second pass adds ``offset + local exclusive
+    cumsum`` per block.  Nothing row-proportional ever sits on the
+    driver; the only all-to-all is the sort itself.
+
+    ``out_col`` holds the sum of ``value_col`` over all STRICTLY
+    PRECEDING rows in ``order_col`` order (SQL ``SUM(v) OVER (ORDER BY o
+    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)``, NULL→0).
+    ``order_col`` must be unique for a deterministic result.
+    """
+    sorted_ds = ds.sort(order_col).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_stat(t: pa.Table) -> tuple[int, int]:
+        if t.num_rows == 0:
+            return (0, None)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return (int(v.sum()), t[order_col][0].as_py())
+
+    stats = ray.get([block_stat.remote(r) for r in refs])
+    # blocks of a sorted dataset arrive in key order; verify and derive
+    # each block's exclusive offset (metadata-scale: one scalar per block)
+    keyed = [(k, s, i) for i, (s, k) in enumerate(stats) if k is not None]
+    if sorted(k for k, _, _ in keyed) != [k for k, _, _ in keyed]:
+        raise AssertionError("sorted dataset blocks out of key order")
+    offsets = {}
+    acc = 0
+    for k, s, i in keyed:
+        offsets[i] = acc
+        acc += s
+
+    @ray.remote
+    def scan_block(t: pa.Table, off: int) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cum = np.concatenate([[0], np.cumsum(v)[:-1]]) + off if v.size \
+            else np.zeros(0, np.int64)
+        return t.append_column(out_col, pa.array(cum, pa.int64()))
+
+    out = [scan_block.remote(refs[i], offsets[i]) for _, _, i in keyed]
+    if not out:
+        return sorted_ds.map_batches(
+            lambda t: t.append_column(out_col,
+                                      pa.array([], pa.int64())),
+            batch_format="pyarrow")
+    return rd.from_arrow_refs(out)
+
+
+def pack_sequences(ds: rd.Dataset, *, order_col: str, token_col: str,
+                   budget: int) -> rd.Dataset:
+    """Deterministic training-sequence packing: walk documents in
+    ``order_col`` order and assign each a sequence id by its cumulative
+    token offset — ``seq_id = cum_before // budget``, ``seq_offset =
+    cum_before % budget`` (fixed-boundary packing: a document belongs to
+    the sequence its FIRST token lands in).  Built on
+    :func:`ordered_prefix_sum`, so the assignment is bit-identical at any
+    parallelism and SQL-window-checkable — unlike greedy packing, whose
+    reset rule is inherently sequential.
+    """
+    scanned = ordered_prefix_sum(ds, order_col=order_col,
+                                 value_col=token_col)
+
+    def assign(t: pa.Table) -> pa.Table:
+        cum = t["cum_before"].to_numpy()
+        return t.append_column(
+            "seq_id", pa.array(cum // budget, pa.int64())).append_column(
+            "seq_offset", pa.array(cum % budget, pa.int64()))
+
+    return scanned.map_batches(assign, batch_format="pyarrow")
+
+
 def grouped_topk(ds: rd.Dataset, *, group_col: str, order_col: str,
                  tie_col: str, k: int, descending: bool = True) -> rd.Dataset:
     """Top-k rows per group with a deterministic (order, tie) sort.

@@ -457,6 +457,31 @@ def test_global_percentile_cont_exact_and_invariant(ray_session):
     assert out["interp_x100"] == [300] and out["n"] == [3]
 
 
+def test_ordered_prefix_sum_and_packing(ray_session):
+    """Two-pass distributed scan == numpy exclusive cumsum in key order,
+    at several input partitionings; packing assignment is cum // budget."""
+    from search_engine_ray.stages.relational import (ordered_prefix_sum,
+                                                     pack_sequences)
+
+    rng = np.random.default_rng(21)
+    keys = rng.permutation(3000).astype(np.int64)
+    vals = rng.integers(0, 400, 3000)
+    t = pa.table({"k": pa.array(keys, pa.int64()),
+                  "v": pa.array(vals, pa.int64())})
+    order = np.argsort(keys)
+    exp_cum = np.concatenate([[0], np.cumsum(vals[order])[:-1]])
+    expect = dict(zip(keys[order].tolist(), exp_cum.tolist()))
+    for parts in (1, 7, 32):
+        got = ordered_prefix_sum(rd.from_arrow(t).repartition(parts),
+                                 order_col="k", value_col="v").take_all()
+        assert {r["k"]: r["cum_before"] for r in got} == expect, parts
+    packed = pack_sequences(rd.from_arrow(t).repartition(5), order_col="k",
+                            token_col="v", budget=1000).take_all()
+    for r in packed:
+        assert r["seq_id"] == expect[r["k"]] // 1000
+        assert r["seq_offset"] == expect[r["k"]] % 1000
+
+
 def test_grouped_percentile_cont_matches_numpy(ray_session):
     """Per-group PERCENTILE_CONT x100 columns equal 100x numpy's linear
     interpolation per group, on skewed group sizes incl. singletons."""
