@@ -1253,6 +1253,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return read_warc([path]).map_batches(shape, batch_format="pyarrow")
 
+    def warc_extract_tf(sf_dir):
+        """The full Common-Crawl-style ingestion COMPOSITION, end-to-end:
+        WARC byte stream -> streaming source -> HTML whole-text extract
+        (M2) -> morphology actor pool -> per-(doc, term) TF — and it must
+        hash-match the SAME oracle as the parquet-direct `tf` entry,
+        witnessing that the warc reader + extractor round-trip is lossless
+        all the way into the index's first aggregate."""
+        import hashlib
+        import re as _re
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.parquet as pq
+
+        from search_engine_ray.functions.html import extract_whole_text
+        from search_engine_ray.sources.warc import read_warc, write_warc
+        from search_engine_ray.stages.lemmatize import Lemmatizer
+
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        path = f"/tmp/serx_warctf_{tag}.warc.gz"
+        write_warc(path, [
+            (f"http://w.example/p{int(d)}", int(d) * 1_000_000,
+             f"<html><body>{t or ''}</body></html>".encode(), 200)
+            for d, t in zip(docs["doc_id"].to_pylist(),
+                            docs["text"].to_pylist())])
+
+        def extract(b: pa.Table) -> pa.Table:
+            ids = [int(_re.search(r"/p(\d+)$", u).group(1))
+                   for u in b["url"].to_pylist()]
+            text = [extract_whole_text(h.decode("utf-8"))
+                    for h in b["html"].to_pylist()]
+            return pa.table({"doc_id": pa.array(ids, pa.int64()),
+                             "text": pa.array(text, pa.string())})
+
+        lem = read_warc([path]) \
+            .map_batches(extract, batch_format="pyarrow") \
+            .map_batches(Lemmatizer,
+                         fn_constructor_kwargs={"morphology": "simple",
+                                                "text_column": "text",
+                                                "drop_text": True},
+                         batch_format="pyarrow", concurrency=(1, 4))
+
+        def explode(batch: pa.Table) -> pa.Table:
+            terms = batch["terms"].combine_chunks() \
+                if isinstance(batch["terms"], pa.ChunkedArray) \
+                else batch["terms"]
+            tfs = batch["tfs"].combine_chunks() \
+                if isinstance(batch["tfs"], pa.ChunkedArray) \
+                else batch["tfs"]
+            lens = pcm.list_value_length(terms).to_numpy().astype(np.int64)
+            return pa.table({
+                "doc_id": pa.array(
+                    np.repeat(batch["doc_id"].to_numpy(), lens)),
+                "term": pcm.list_flatten(terms),
+                "tf": pcm.list_flatten(tfs).cast(pa.int64()),
+            })
+
+        return lem.map_batches(explode, batch_format="pyarrow")
+
     def events_rolling(sf_dir):
         """Integer-cent ROWS-frame rolling aggregates; empty padding blocks
         stripped for the same reason as events_analytic above."""
@@ -2173,6 +2235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalize_docs": nfc_normalize_docs,
         "events_pushdown": events_pushdown,
         "pack_docs": pack_docs,
+        "warc_extract_tf": warc_extract_tf,
         "csv_roundtrip": csv_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
@@ -2202,6 +2265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3", "substring_dedup", "substring_dedup_clean",
         "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
         "nfc_normalize_docs", "events_pushdown", "pack_docs",
+        "warc_extract_tf",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2233,6 +2297,10 @@ def oracle_sql() -> dict[str, str]:
     sql: dict[str, str] = {}
 
     sql["tf"] = f"WITH {_TF_CTE} SELECT doc_id, term, tf FROM tf"
+
+    # the WARC->extract->TF composition must land on the SAME aggregate
+    # as the parquet-direct path (whole-text extraction is verbatim)
+    sql["warc_extract_tf"] = f"WITH {_TF_CTE} SELECT doc_id, term, tf FROM tf"
 
     sql["term_df"] = f"""
 WITH {_TF_CTE}
