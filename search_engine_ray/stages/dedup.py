@@ -1129,8 +1129,11 @@ def substring_dedup_stats(corpus: rd.Dataset, *, k: int = 15,
 
     def fingerprints(batch: pa.Table) -> pa.Table:
         _, _, h, _ = _char_kgram_hashes(batch[text_col].to_pylist(), k)
-        return pa.table({"fp": pa.array(h.view(np.int64), pa.int64()),
-                         "one": pa.array(np.ones(h.size, np.int64))})
+        # per-batch combiner: collapse repeated windows BEFORE the df
+        # exchange — repeated phrases inside a batch never ship twice
+        fp, cnt = np.unique(h, return_counts=True)
+        return pa.table({"fp": pa.array(fp.view(np.int64), pa.int64()),
+                         "one": pa.array(cnt.astype(np.int64))})
 
     df = narrow.map_batches(fingerprints, batch_format="pyarrow") \
         .groupby("fp").aggregate(Sum("one", alias_name="occ"))
