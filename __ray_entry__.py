@@ -1426,6 +1426,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             filter=(pads.field("event_type") == "click"))
 
         def shape(b: pa.Table) -> pa.Table:
+            # NULL ts/value rows dropped like the SQL aggregates skip them
+            b = b.filter(pc.and_(pc.is_valid(b["ts"]),
+                                 pc.is_valid(b["value"])))
             us = pc.cast(b["ts"], pa.timestamp("us")).cast(pa.int64()) \
                 .to_numpy(zero_copy_only=False)
             v = b["value"].to_numpy(zero_copy_only=False)
@@ -3033,7 +3036,8 @@ SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
     sql["nfc_normalize_docs"] = """
 WITH aug AS (
     SELECT doc_id,
-           text || ' cafe' || chr(769) || ' A' || chr(778) AS t
+           COALESCE(text, '') || ' cafe' || chr(769) || ' A'
+               || chr(778) AS t
     FROM documents)
 SELECT doc_id, nfc_normalize(t) AS norm_text,
        length(t)::BIGINT AS n_before,
@@ -3045,7 +3049,9 @@ FROM aug
     # seq assignment is pure integer arithmetic on it
     sql["pack_docs"] = r"""
 WITH t AS (
-    SELECT doc_id, len(regexp_extract_all(text, '\S+'))::BIGINT AS n_tok
+    SELECT doc_id,
+           len(regexp_extract_all(COALESCE(text, ''), '\S+'))::BIGINT
+               AS n_tok
     FROM documents),
 c AS (
     SELECT doc_id, n_tok,
@@ -3063,7 +3069,8 @@ FROM c
 SELECT CAST(FLOOR(epoch(ts) / 86400) AS BIGINT) AS epoch_day,
        COUNT(*)::BIGINT AS n_clicks,
        SUM(CAST(FLOOR(value * 100) AS BIGINT))::BIGINT AS sum_cents
-FROM events WHERE event_type = 'click'
+FROM events
+WHERE event_type = 'click' AND ts IS NOT NULL AND value IS NOT NULL
 GROUP BY 1
 """
 
@@ -3476,9 +3483,9 @@ FROM toks t LEFT JOIN perdoc p ON p.doc_id = t.doc_id
     sql["substring_dedup"] = """
 WITH pos AS (
     SELECT doc_id, p::BIGINT AS p, substr(text, p::INT, 15) AS g FROM (
-        SELECT doc_id, text,
-               unnest(generate_series(1, greatest(length(text) - 14, 0)))
-                   AS p
+        SELECT doc_id, COALESCE(text, '') AS text,
+               unnest(generate_series(
+                   1, greatest(COALESCE(length(text), 0) - 14, 0))) AS p
         FROM documents)
 ),
 dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
@@ -3513,8 +3520,8 @@ agg AS (
 starts_per_doc AS (
     SELECT doc_id, COUNT(*)::BIGINT AS n_dup_starts FROM st GROUP BY doc_id
 )
-SELECT d.doc_id, length(d.text)::BIGINT AS n_chars,
-       greatest(length(d.text) - 14, 0)::BIGINT AS n_windows,
+SELECT d.doc_id, COALESCE(length(d.text), 0)::BIGINT AS n_chars,
+       greatest(COALESCE(length(d.text), 0) - 14, 0)::BIGINT AS n_windows,
        COALESCE(sp.n_dup_starts, 0)::BIGINT AS n_dup_starts,
        COALESCE(a.n_spans, 0)::BIGINT AS n_spans,
        COALESCE(a.n_masked, 0)::BIGINT AS n_masked
@@ -3529,9 +3536,9 @@ LEFT JOIN starts_per_doc sp ON sp.doc_id = d.doc_id
     sql["substring_dedup_clean"] = """
 WITH pos AS (
     SELECT doc_id, p::BIGINT AS p, substr(text, p::INT, 15) AS g FROM (
-        SELECT doc_id, text,
-               unnest(generate_series(1, greatest(length(text) - 14, 0)))
-                   AS p
+        SELECT doc_id, COALESCE(text, '') AS text,
+               unnest(generate_series(
+                   1, greatest(COALESCE(length(text), 0) - 14, 0))) AS p
         FROM documents)
 ),
 dup AS (SELECT g FROM pos GROUP BY g HAVING COUNT(*) >= 2),
@@ -3544,8 +3551,8 @@ masked AS (
 ),
 chars AS (
     SELECT doc_id, i::BIGINT AS i, substr(text, i::INT, 1) AS ch FROM (
-        SELECT doc_id, text,
-               unnest(generate_series(1, length(text))) AS i
+        SELECT doc_id, COALESCE(text, '') AS text,
+               unnest(generate_series(1, COALESCE(length(text), 0))) AS i
         FROM documents)
 ),
 clean AS (

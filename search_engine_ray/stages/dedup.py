@@ -1015,6 +1015,7 @@ def _char_kgram_hashes(texts: list[str], k: int
     hashes: list[np.ndarray] = []
     counts = np.zeros(len(texts), np.int64)
     for d, t in enumerate(texts):
+        t = t or ""                     # NULL text == empty (SQL length)
         L = len(t)
         n = L - k + 1
         if n <= 0:
@@ -1153,7 +1154,7 @@ def substring_dedup_stats(corpus: rd.Dataset, *, k: int = 15,
     def mask_spans(batch: pa.Table) -> pa.Table:
         bad = ray.get(ref)
         ids = batch[id_col].to_numpy()
-        texts = batch[text_col].to_pylist()
+        texts = [t or "" for t in batch[text_col].to_pylist()]
         docs, starts, h, counts = _char_kgram_hashes(texts, k)
         n_chars = np.array([len(t) for t in texts], np.int64)
         if bad.size and h.size:
