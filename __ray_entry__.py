@@ -1253,6 +1253,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return read_warc([path]).map_batches(shape, batch_format="pyarrow")
 
+    def search_near(sf_dir):
+        """Proximity (NEAR/3) query: per-doc count of unordered position
+        pairs of two terms within slop 3 over the kept-token stream — the
+        classic relevance signal exact phrase can't express.  One
+        vectorized batch pass (sorted doc<<32|pos keys + two
+        searchsorted), no per-doc loop."""
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.phrase import ProximityCounter
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return docs.map_batches(
+            ProximityCounter,
+            fn_constructor_kwargs={"term_a": "table", "term_b": "hash",
+                                   "slop": 3},
+            batch_format="pyarrow", concurrency=(1, 4))
+
     def warc_extract_tf(sf_dir):
         """The full Common-Crawl-style ingestion COMPOSITION, end-to-end:
         WARC byte stream -> streaming source -> HTML whole-text extract
@@ -2239,6 +2257,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_pushdown": events_pushdown,
         "pack_docs": pack_docs,
         "warc_extract_tf": warc_extract_tf,
+        "search_near": search_near,
         "csv_roundtrip": csv_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
@@ -2268,7 +2287,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3", "substring_dedup", "substring_dedup_clean",
         "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
         "nfc_normalize_docs", "events_pushdown", "pack_docs",
-        "warc_extract_tf",
+        "warc_extract_tf", "search_near",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -3268,6 +3287,32 @@ GROUP BY CUBE (l_returnflag, l_linestatus)
     sql["kmeans_embed"] = _kmeans_sql(k=8, iters=3, scale_bits=20)
 
     sql["search_phrase"] = _phrase_sql(["table", "hash"])
+
+    # NEAR/3: unordered position-pair count within slop over the same
+    # kept-token position space the phrase oracle rebuilds
+    sql["search_near"] = f"""
+WITH toks AS (
+    SELECT doc_id,
+           regexp_extract(tok, '{TOKEN_RE_SQL}', 1) AS term,
+           ord
+    FROM (SELECT doc_id,
+                 unnest(string_split_regex(lower(text), '{_SPLIT_SQL}'))
+                     AS tok,
+                 generate_subscripts(
+                     string_split_regex(lower(text), '{_SPLIT_SQL}'), 1)
+                     AS ord
+          FROM documents)
+),
+pos AS (
+    SELECT doc_id, term,
+           row_number() OVER (PARTITION BY doc_id ORDER BY ord) - 1 AS p
+    FROM toks WHERE term <> ''
+)
+SELECT a.doc_id, COUNT(*)::BIGINT AS n_pairs
+FROM pos a JOIN pos b ON b.doc_id = a.doc_id
+WHERE a.term = 'table' AND b.term = 'hash' AND abs(a.p - b.p) <= 3
+GROUP BY a.doc_id
+"""
 
     # Distributed regression via exact integer sufficient statistics:
     # the oracle recomputes the 9 normal-equation sums (exact BIGINT) and

@@ -160,6 +160,114 @@ class NgramTF:
         })
 
 
+def _normalized_stream(morph, batch: pa.Table, text_column: str
+                       ) -> tuple[np.ndarray, np.ndarray, list[str]]:
+    """Kept-token stream for a batch, kernel-for-kernel the Lemmatizer
+    fast path (lowercase, ascii whitespace split, anchored TOKEN_RE
+    clean, normalization via the surface-form dictionary): returns
+    ``(doc_of, dict_index, normalized_dictionary)`` where positions are
+    defined over exactly the stream the index stores tfs for."""
+    texts = batch[text_column]
+    if isinstance(texts, pa.ChunkedArray):
+        texts = texts.combine_chunks()
+    lower = pc.utf8_lower(texts)
+    toks = pc.ascii_split_whitespace(lower)
+    lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy() \
+        .astype(np.int64)
+    flat = pc.list_flatten(toks)
+    simple = pc.match_substring_regex(flat, r"^[а-яёa-z]+$")
+    rest = pc.invert(simple)
+    if pc.any(rest).as_py():
+        rest_words = pc.struct_field(
+            pc.extract_regex(flat.filter(rest), pattern=TOKEN_RE.pattern),
+            "word")
+        words = pc.replace_with_mask(flat, rest, rest_words)
+    else:
+        words = flat
+
+    enc = words.dictionary_encode()
+    if isinstance(enc, pa.ChunkedArray):
+        enc = enc.combine_chunks()
+    surface = enc.dictionary.to_pylist()
+    normal = morph.normal_word
+    normed = [normal(s) for s in surface]
+    kept_dict = np.array([bool(t) for t in normed], bool) \
+        if normed else np.empty(0, bool)
+
+    idx = enc.indices.to_numpy(zero_copy_only=False)
+    valid = ~np.isnan(idx) if idx.dtype.kind == "f" \
+        else np.ones(len(idx), bool)
+    didx = np.where(valid, idx, 0).astype(np.int64)
+    keep = valid & (kept_dict[didx] if len(kept_dict) else False)
+
+    n_docs = batch.num_rows
+    doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[keep]
+    return doc_of, didx[keep], normed
+
+
+class ProximityCounter:
+    """Callable-class stage: per-doc count of UNORDERED proximity pairs —
+    positions ``(pa, pb)`` of ``term_a`` / ``term_b`` in the same document
+    with ``|pa - pb| <= slop`` (the classic NEAR/k query the exact-phrase
+    operator can't express).  Positions are kept-token ordinals, identical
+    to the phrase/index stream.
+
+    Vectorized across the whole batch: each side's positions become one
+    sorted ``doc * 2^32 + pos`` key array and the pair count per A-token
+    is two ``searchsorted`` calls — no per-doc loop."""
+
+    def __init__(self, term_a: str, term_b: str, slop: int = 3,
+                 morphology: str = "simple", text_column: str = "text",
+                 id_column: str = "doc_id") -> None:
+        if slop < 1:
+            raise ValueError("slop must be >= 1")
+        self.term_a = term_a
+        self.term_b = term_b
+        self.slop = int(slop)
+        self.morph = get_morphology(morphology)
+        self.text_column = text_column
+        self.id_column = id_column
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_docs = batch.num_rows
+        ids = batch[self.id_column]
+        if not n_docs:
+            return pa.table({self.id_column: ids.slice(0, 0),
+                             "n_pairs": pa.array([], pa.int64())})
+        doc_of, kdict, normed = _normalized_stream(
+            self.morph, batch, self.text_column)
+        n = len(kdict)
+        # kept-token ordinal within each doc (doc_of is non-decreasing)
+        if n:
+            first = np.ones(n, bool)
+            first[1:] = doc_of[1:] != doc_of[:-1]
+            starts = np.flatnonzero(first)
+            pos = np.arange(n, dtype=np.int64) - np.repeat(
+                starts, np.diff(np.append(starts, n)))
+        else:
+            pos = np.zeros(0, np.int64)
+        is_a = np.array([t == self.term_a for t in normed], bool) \
+            if normed else np.empty(0, bool)
+        is_b = np.array([t == self.term_b for t in normed], bool) \
+            if normed else np.empty(0, bool)
+        SHIFT = np.int64(1) << np.int64(32)
+        key = doc_of * SHIFT + pos
+        ka = key[is_a[kdict]] if n else np.zeros(0, np.int64)
+        kb = key[is_b[kdict]] if n else np.zeros(0, np.int64)
+        counts = np.zeros(n_docs, np.int64)
+        if ka.size and kb.size:
+            lo = np.searchsorted(kb, ka - self.slop, side="left")
+            hi = np.searchsorted(kb, ka + self.slop, side="right")
+            per_a = hi - lo
+            np.add.at(counts, (ka >> np.int64(32)).astype(np.int64),
+                      per_a)
+        sel = counts > 0
+        return pa.table({
+            self.id_column: ids.filter(pa.array(sel)),
+            "n_pairs": pa.array(counts[sel], pa.int64()),
+        })
+
+
 class PhraseCounter:
     """Callable-class stage: per-doc occurrence count of one phrase.
 
@@ -187,45 +295,12 @@ class PhraseCounter:
                           "n_matches": pa.array([], pa.int64())})
         if not n_docs:
             return empty
-        texts = batch[self.text_column]
-        if isinstance(texts, pa.ChunkedArray):
-            texts = texts.combine_chunks()
-        lower = pc.utf8_lower(texts)
-        toks = pc.ascii_split_whitespace(lower)
-        lens = pc.fill_null(pc.list_value_length(toks), 0).to_numpy() \
-            .astype(np.int64)
-        flat = pc.list_flatten(toks)
-        simple = pc.match_substring_regex(flat, r"^[а-яёa-z]+$")
-        rest = pc.invert(simple)
-        if pc.any(rest).as_py():
-            rest_words = pc.struct_field(
-                pc.extract_regex(flat.filter(rest), pattern=TOKEN_RE.pattern),
-                "word")
-            words = pc.replace_with_mask(flat, rest, rest_words)
-        else:
-            words = flat
-
-        enc = words.dictionary_encode()
-        if isinstance(enc, pa.ChunkedArray):
-            enc = enc.combine_chunks()
-        surface = enc.dictionary.to_pylist()
-        normal = self.morph.normal_word
-        normed = [normal(s) for s in surface]
-        kept_dict = np.array([bool(t) for t in normed], bool) \
-            if normed else np.empty(0, bool)
+        doc_of, kdict, normed = _normalized_stream(
+            self.morph, batch, self.text_column)
         # phrase-slot membership per DICT entry (tokens inherit it below)
         slot_dict = [np.array([t == q for t in normed], bool)
                      if normed else np.empty(0, bool)
                      for q in self.phrase]
-
-        idx = enc.indices.to_numpy(zero_copy_only=False)
-        valid = ~np.isnan(idx) if idx.dtype.kind == "f" \
-            else np.ones(len(idx), bool)
-        didx = np.where(valid, idx, 0).astype(np.int64)
-        keep = valid & (kept_dict[didx] if len(kept_dict) else False)
-
-        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), lens)[keep]
-        kdict = didx[keep]
         n = len(kdict)
         m = len(self.phrase)
         if n >= m:

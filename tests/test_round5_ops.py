@@ -118,6 +118,30 @@ def test_substring_dedup_random_fuzz(ray_session):
         assert _run(texts, k) == _brute_span_stats(texts, k), (trial, k)
 
 
+def test_proximity_counter_slop_boundary(ray_session):
+    """NEAR/k pair counts: boundary inclusion at exactly slop, unordered
+    (b before a counts), multiple pairs per doc, cross-doc isolation."""
+    from search_engine_ray.pipelines.phrase import ProximityCounter
+
+    docs = {
+        1: "alpha x x beta",            # dist 3 == slop -> 1 pair
+        2: "alpha x x x beta",          # dist 4 > slop -> 0
+        3: "beta alpha",                # unordered, dist 1 -> 1
+        4: "alpha beta alpha",          # pairs (0,1), (2,1) -> 2
+        5: "alpha one two",             # no beta -> absent
+    }
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array(list(docs.values()), pa.string())}))
+    rows = ds.map_batches(
+        ProximityCounter,
+        fn_constructor_kwargs={"term_a": "alpha", "term_b": "beta",
+                               "slop": 3},
+        batch_format="pyarrow", concurrency=1).take_all()
+    got = {r["doc_id"]: r["n_pairs"] for r in rows}
+    assert got == {1: 1, 3: 1, 4: 2}
+
+
 def test_ngram_containment_finds_subset(ray_session):
     """Containment (|A∩B| / min) catches a small doc embedded in a much
     larger one that symmetric Jaccard misses at the same threshold."""
