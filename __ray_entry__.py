@@ -1271,6 +1271,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    "slop": 3},
             batch_format="pyarrow", concurrency=(1, 4))
 
+    def search_prefix(sf_dir):
+        """Wildcard/prefix term query (`tab*`): every tf row whose term
+        starts with the prefix rolls up per doc — at index scale this is
+        a dictionary RANGE scan (terms sort lexicographically, so a
+        prefix is one contiguous slice of postings lists)."""
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        from ray.data.aggregate import Count, Sum
+
+        tfds = dq.q_tf(sf_dir)
+
+        def pref(b: pa.Table) -> pa.Table:
+            return b.filter(pcm.starts_with(b["term"], "tab"))
+
+        return tfds.map_batches(pref, batch_format="pyarrow") \
+            .groupby("doc_id").aggregate(
+                Count(alias_name="n_terms"),
+                Sum("tf", alias_name="sum_tf"))
+
+    def search_andnot(sf_dir):
+        """Boolean AND-NOT: docs containing `table` but NOT `hash` —
+        the exclusion join the AND/OR/phrase/NEAR family was missing;
+        plan is a hash-partitioned anti-join on doc_id."""
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+
+        from search_engine_ray.stages.relational import (drop_empty_blocks,
+                                                         shuffle_hash_join)
+
+        tfds = dq.q_tf(sf_dir)
+
+        def only(term):
+            def f(b: pa.Table) -> pa.Table:
+                return b.filter(pcm.equal(b["term"], term)) \
+                    .select(["doc_id", "tf"])
+            return f
+
+        a = tfds.map_batches(only("table"), batch_format="pyarrow")
+        b = tfds.map_batches(only("hash"), batch_format="pyarrow") \
+            .select_columns(["doc_id"])
+        b = drop_empty_blocks(b, empty_schema=pa.schema(
+            [("doc_id", pa.int64())]))
+        return shuffle_hash_join(a, b, on=("doc_id",), how="anti")
+
     def warc_extract_tf(sf_dir):
         """The full Common-Crawl-style ingestion COMPOSITION, end-to-end:
         WARC byte stream -> streaming source -> HTML whole-text extract
@@ -2258,6 +2302,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_docs": pack_docs,
         "warc_extract_tf": warc_extract_tf,
         "search_near": search_near,
+        "search_prefix": search_prefix,
+        "search_andnot": search_andnot,
         "csv_roundtrip": csv_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
@@ -2287,7 +2333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3", "substring_dedup", "substring_dedup_clean",
         "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
         "nfc_normalize_docs", "events_pushdown", "pack_docs",
-        "warc_extract_tf", "search_near",
+        "warc_extract_tf", "search_near", "search_prefix",
+        "search_andnot",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2323,6 +2370,19 @@ def oracle_sql() -> dict[str, str]:
     # the WARC->extract->TF composition must land on the SAME aggregate
     # as the parquet-direct path (whole-text extraction is verbatim)
     sql["warc_extract_tf"] = f"WITH {_TF_CTE} SELECT doc_id, term, tf FROM tf"
+
+    sql["search_prefix"] = f"""
+WITH {_TF_CTE}
+SELECT doc_id, COUNT(*)::BIGINT AS n_terms, SUM(tf)::BIGINT AS sum_tf
+FROM tf WHERE term LIKE 'tab%' GROUP BY doc_id
+"""
+
+    sql["search_andnot"] = f"""
+WITH {_TF_CTE}
+SELECT doc_id, tf FROM tf
+WHERE term = 'table'
+  AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'hash')
+"""
 
     sql["term_df"] = f"""
 WITH {_TF_CTE}
