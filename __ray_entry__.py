@@ -1271,6 +1271,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    "slop": 3},
             batch_format="pyarrow", concurrency=(1, 4))
 
+    def sample_k_per_lang(sf_dir):
+        """Deterministic exact-k-per-group sampling (the reproducible
+        form of per-group reservoir sampling): rank docs inside each lang
+        by a Knuth-multiplicative pseudo-hash of doc_id and keep the
+        first 5 — identical rows at any parallelism and rerun, unlike a
+        true reservoir.  Plan: per-batch partial top-k bounds the
+        exchange to k rows per (group, block)."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import grouped_topk
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"])
+
+        def h(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            hk = (ids * 2654435761) % 2147483648   # fits int64, no wrap
+            return b.append_column("hk", pa.array(hk, pa.int64()))
+
+        return grouped_topk(docs.map_batches(h, batch_format="pyarrow"),
+                            group_col="lang", order_col="hk",
+                            tie_col="doc_id", k=5, descending=False)
+
     def search_prefix(sf_dir):
         """Wildcard/prefix term query (`tab*`): every tf row whose term
         starts with the prefix rolls up per doc — at index scale this is
@@ -2304,6 +2328,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_near": search_near,
         "search_prefix": search_prefix,
         "search_andnot": search_andnot,
+        "sample_k_per_lang": sample_k_per_lang,
         "csv_roundtrip": csv_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
@@ -2334,7 +2359,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
         "nfc_normalize_docs", "events_pushdown", "pack_docs",
         "warc_extract_tf", "search_near", "search_prefix",
-        "search_andnot",
+        "search_andnot", "sample_k_per_lang",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2382,6 +2407,22 @@ WITH {_TF_CTE}
 SELECT doc_id, tf FROM tf
 WHERE term = 'table'
   AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'hash')
+"""
+
+    # deterministic k-per-group sample: same Knuth pseudo-hash, same
+    # (hash, doc_id) tie order; rank column matches grouped_topk's
+    sql["sample_k_per_lang"] = """
+WITH h AS (
+    SELECT doc_id, lang,
+           (doc_id * 2654435761) % 2147483648 AS hk
+    FROM documents),
+r AS (
+    SELECT doc_id, lang, hk,
+           ROW_NUMBER() OVER (PARTITION BY lang
+                              ORDER BY hk, doc_id) AS rank
+    FROM h)
+SELECT doc_id, lang, hk::BIGINT AS hk, rank::BIGINT AS rank
+FROM r WHERE rank <= 5
 """
 
     sql["term_df"] = f"""
