@@ -176,6 +176,8 @@ HEADLINE = [
     "substring_dedup", "substring_dedup_clean", "event_percentile_cont",
     "event_type_percentile_cont", "ngram_containment",
     "jsonl_gz_roundtrip", "nfc_normalize_docs", "events_pushdown",
+    "pack_docs", "warc_extract_tf", "search_near", "search_prefix",
+    "search_andnot", "sample_k_per_lang",
 ]
 
 
@@ -256,7 +258,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             "spin_effective_cores": eff_cores,
             # cross-round comparability: value covers THIS headline set
             # (ADVICE r4: the set grows each round, readers must detect it)
-            "headline_set": "r5b",   # r5 + the 8 late-round-5 entries
+            "headline_set": "r5c",   # r5 + the 14 late-round-5 entries
             "headline_n": len(HEADLINE),
             "detail_file": "BENCH_QUERIES.json",
         }
@@ -461,6 +463,25 @@ def run_scaling(sf_dir: str) -> dict:
     runs_by_level: dict[int, list] = {c: [] for c in SCALING_LEVELS}
     spin_by_level: dict[int, list] = {c: [] for c in SCALING_LEVELS}
     membw_by_level: dict[int, list] = {c: [] for c in SCALING_LEVELS}
+    def _sub_json(argv: list[str], retries: int = 1):
+        # A transient Ray-init / port / OOM hiccup in ONE probe must not
+        # discard a 30-minute run (it did once: a --membw-worker subprocess
+        # died under check=True and the whole 5-rep result was lost).
+        # Retry once; a probe that still fails returns None and the caller
+        # records NaN (the rep's ceiling normalization skips it).
+        for attempt in range(retries + 1):
+            try:
+                out = subprocess.run(
+                    [sys.executable, os.path.join(REPO, "bench.py")] + argv,
+                    capture_output=True, text=True, check=True, cwd=REPO)
+                return json.loads(out.stdout.strip().splitlines()[-1])
+            except (subprocess.CalledProcessError, ValueError,
+                    IndexError) as exc:
+                print(f"probe {argv[0]} attempt {attempt} failed: {exc}",
+                      file=sys.stderr)
+                time.sleep(10)
+        return None
+
     for _ in range(max(1, SCALING_REPEATS)):
         for cpus in SCALING_LEVELS:
             # flush dirty pages (corpus gen / previous leg) so delayed
@@ -469,26 +490,22 @@ def run_scaling(sf_dir: str) -> dict:
             time.sleep(5)
             # same-window host-ceiling probes (fresh process, same width):
             # spin = CPU-cycle delivery; membw = aggregate DRAM bandwidth
-            spin = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"),
-                 "--spin-worker", "--num-cpus", str(cpus)],
-                capture_output=True, text=True, check=True, cwd=REPO)
-            spin_by_level[cpus].append(json.loads(
-                spin.stdout.strip().splitlines()[-1])["effective_cores"])
-            mbw = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"),
-                 "--membw-worker", "--num-cpus", str(cpus)],
-                capture_output=True, text=True, check=True, cwd=REPO)
-            membw_by_level[cpus].append(json.loads(
-                mbw.stdout.strip().splitlines()[-1])["membw_gbps"])
-            out = subprocess.run(
-                [sys.executable, os.path.join(REPO, "bench.py"),
-                 "--build-worker", "--input", input_dir,
+            spin = _sub_json(["--spin-worker", "--num-cpus", str(cpus)])
+            spin_by_level[cpus].append(
+                spin["effective_cores"] if spin else float("nan"))
+            mbw = _sub_json(["--membw-worker", "--num-cpus", str(cpus)])
+            membw_by_level[cpus].append(
+                mbw["membw_gbps"] if mbw else float("nan"))
+            # the measurement itself gets one retry too, but a double
+            # failure here IS fatal: a missing build leg breaks the pairing
+            run = _sub_json(
+                ["--build-worker", "--input", input_dir,
                  "--out", f"/tmp/serx_scaling_index_{cpus}",
-                 "--num-cpus", str(cpus)],
-                capture_output=True, text=True, check=True, cwd=REPO)
-            runs_by_level[cpus].append(
-                json.loads(out.stdout.strip().splitlines()[-1]))
+                 "--num-cpus", str(cpus)])
+            if run is None:
+                raise RuntimeError(
+                    f"build leg at {cpus} cpus failed twice; aborting")
+            runs_by_level[cpus].append(run)
     legs = {c: min(rs, key=lambda r: r["wall_s"])
             for c, rs in runs_by_level.items()}
     all_runs = {str(c): [round(r["wall_s"], 2) for r in rs]
