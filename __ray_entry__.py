@@ -517,6 +517,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(token_count_batch, batch_format="pyarrow") \
             .select_columns(["doc_id", "n_words", "n_subwords"])
 
+    def curate_corpus(sf_dir):
+        """The composed training-data curation pipeline: quality gate ->
+        language filter -> exact dedup (keep min doc_id) -> PII scrub ->
+        token accounting, end to end (pipelines/curate.py).  All output
+        columns are integers or verbatim strings — zero float surface."""
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.curate import curate_corpus as _cc
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        return _cc(ds, min_tokens=20, stop_per_50=1)
+
     def approx_users_daily(sf_dir):
         import ray.data as rd
 
@@ -2329,6 +2342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_prefix": search_prefix,
         "search_andnot": search_andnot,
         "sample_k_per_lang": sample_k_per_lang,
+        "curate_corpus": curate_corpus,
         "csv_roundtrip": csv_roundtrip,
         "sample_bernoulli": sample_bernoulli,
         "sample_stratified": sample_stratified,
@@ -2359,7 +2373,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
         "nfc_normalize_docs", "events_pushdown", "pack_docs",
         "warc_extract_tf", "search_near", "search_prefix",
-        "search_andnot", "sample_k_per_lang",
+        "search_andnot", "sample_k_per_lang", "curate_corpus",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2736,6 +2750,46 @@ agg AS (
 SELECT d.doc_id, COALESCE(a.n_words, 0) AS n_words,
        COALESCE(a.n_subwords, 0)::BIGINT AS n_subwords
 FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+"""
+
+    # the composed curation pipeline: every stage's frozen rule inlined in
+    # one statement (quality gate in integer form, charset language filter,
+    # md5 keep-min dedup, PII redaction, token accounting)
+    sql["curate_corpus"] = rf"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+    FROM documents
+),
+agg AS (
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_tokens,
+           SUM(CAST(FLOOR((length(tok) + 3) / 4) AS BIGINT)) AS n_subwords,
+           COUNT(*) FILTER (tok IN ({_STOP_LIST_SQL}))::BIGINT AS n_stop
+    FROM toks GROUP BY doc_id
+),
+gate AS (
+    SELECT d.doc_id, d.text, a.n_tokens, a.n_subwords
+    FROM documents d JOIN agg a USING (doc_id)
+    WHERE a.n_tokens >= 20
+      AND a.n_stop * 50 >= a.n_tokens * 1
+      AND NOT regexp_matches(lower(d.text), '[а-яё]')
+      AND regexp_matches(lower(d.text), '[a-z]')
+),
+uniq AS (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(text)
+                                 ORDER BY doc_id) AS rn
+    FROM gate
+)
+SELECT doc_id,
+  regexp_replace(regexp_replace(regexp_replace(text,
+    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}', '<EMAIL>', 'g'),
+    '\b(?:[0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}\b', '<IP>', 'g'),
+    '\+?[0-9][0-9()\-\s]{{7,}}[0-9]', '<PHONE>', 'g') AS text,
+  n_tokens, n_subwords,
+  (len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{{2,}}'))
+   + len(regexp_extract_all(text, '\b(?:[0-9]{{1,3}}\.){{3}}[0-9]{{1,3}}\b'))
+   + len(regexp_extract_all(text, '\+?[0-9][0-9()\-\s]{{7,}}[0-9]')))::BIGINT AS n_pii
+FROM uniq WHERE rn = 1
 """
 
     # approx_users_daily: HyperLogLog sketch — approximate by design, no SQL

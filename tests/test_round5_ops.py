@@ -172,3 +172,37 @@ def test_substring_dedup_all_unique(ray_session):
     got = _run(texts, 15)
     for d, t in texts.items():
         assert got[d] == (len(t), max(len(t) - 14, 0), 0, 0, 0)
+
+
+def test_curate_corpus_end_to_end(ray_session):
+    """Gate, language filter, dedup winner, scrub and accounting on a
+    corpus built to exercise every branch (the parquet fixtures have no
+    exact duplicates, so the dedup arm needs a synthetic witness)."""
+    from search_engine_ray.pipelines.curate import curate_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog and then "
+            "runs off into the woods to find a meal for the day")
+    dup = good                                   # exact copy: loses to id 1
+    short = "the cat"                            # fails min_tokens
+    nostop = " ".join(f"tok{i}" for i in range(30))  # fails stop gate
+    russian = ("съешь же ещё этих мягких французских булок " * 5
+               + "and the " * 10)                # cyrillic -> dropped
+    pii = good + " mail bob@example.com ip 10.0.0.1 call +1 (555) 123-4567"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "text": pa.array([good, dup, short, nostop, russian, pii],
+                         pa.string()),
+    }))
+    rows = {r["doc_id"]: r for r in curate_corpus(ds).take_all()}
+    assert set(rows) == {1, 6}                   # 2 deduped, 3-5 gated
+    assert rows[1]["text"] == good
+    assert rows[1]["n_pii"] == 0
+    assert rows[6]["n_pii"] == 3
+    assert "<EMAIL>" in rows[6]["text"] and "<IP>" in rows[6]["text"] \
+        and "<PHONE>" in rows[6]["text"]
+    assert "bob@example.com" not in rows[6]["text"]
+    n_tok = len(good.split())
+    assert rows[1]["n_tokens"] == n_tok
+    # subwords: ceil(len/4) per [a-z]+ token of the ORIGINAL text
+    assert rows[1]["n_subwords"] == sum(
+        (len(w) + 3) // 4 for w in good.split())
