@@ -2152,6 +2152,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                             values=("click", "view", "purchase", "signup"),
                             other_alias="other")
 
+    def lineitem_unpivot(sf_dir):
+        """Wide->long unpivot (stages/relational unpivot, pivot's inverse /
+        SQL UNPIVOT): three lineitem measures melted to (id, measure,
+        cents) rows — pure per-batch, zero exchange.  Floor-cents ints on
+        both engines keep the hash surface exact."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import unpivot
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_linenumber", "l_quantity",
+                     "l_discount", "l_tax"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": b["l_orderkey"],
+                "l_linenumber": b["l_linenumber"].cast(pa.int64()),
+                "qty_c": pc.floor(pc.multiply(b["l_quantity"], 100.0))
+                .cast(pa.int64()),
+                "disc_c": pc.floor(pc.multiply(b["l_discount"], 100.0))
+                .cast(pa.int64()),
+                "tax_c": pc.floor(pc.multiply(b["l_tax"], 100.0))
+                .cast(pa.int64()),
+            })
+
+        return unpivot(li.map_batches(cents, batch_format="pyarrow"),
+                       id_cols=("l_orderkey", "l_linenumber"),
+                       value_cols=("qty_c", "disc_c", "tax_c"),
+                       var_name="measure", value_name="cents")
+
     def user_top_event(sf_dir):
         """Deterministic grouped mode (stages/relational grouped_mode):
         each user's most frequent event type, ties to the smallest value —
@@ -2355,6 +2388,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": tfidf_topk,
         "sample_weighted": sample_weighted,
         "user_event_pivot": user_event_pivot,
+        "lineitem_unpivot": lineitem_unpivot,
         "user_top_event": user_top_event,
         "bpe_tokenize": bpe_tokenize,
         "heavy_hitters": heavy_hitters,
@@ -2374,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalize_docs", "events_pushdown", "pack_docs",
         "warc_extract_tf", "search_near", "search_prefix",
         "search_andnot", "sample_k_per_lang", "curate_corpus",
+        "lineitem_unpivot",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2387,8 +2422,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (d) oldest witnesses first: all nine r2-last entries
         "knn_cosine", "knn_ivf", "knn_lsh", "embedding_dup",
         "embedding_dup_blocked", "events_window", "events_hopping",
-        "events_asof", "sessionize",
-        # then r3-last representatives across families
+        "events_asof",
+        # then r3-last representatives across families (position 51+:
+        # outside the 50-row window; sessionize moved here when
+        # lineitem_unpivot took its slot — it keeps its r2 witness)
+        "sessionize",
         "term_df", "doc_len", "corpus_stats", "top_terms",
         "search_ref_multi", "image_meta", "site_stats", "lang_distribution",
         "langid_simple", "doc_quality", "fingerprint", "token_count",
@@ -3834,6 +3872,20 @@ SELECT user_id,
                                         'signup') THEN 1 ELSE 0 END)::BIGINT
            AS other
 FROM events GROUP BY user_id
+"""
+
+    # pivot's inverse: DuckDB UNPIVOT over the same floor-cents ints
+    # (stages/relational unpivot); column NAMEs become the measure values
+    sql["lineitem_unpivot"] = """
+WITH c AS (
+    SELECT l_orderkey, l_linenumber::BIGINT AS l_linenumber,
+           CAST(FLOOR(l_quantity * 100) AS BIGINT) AS qty_c,
+           CAST(FLOOR(l_discount * 100) AS BIGINT) AS disc_c,
+           CAST(FLOOR(l_tax * 100) AS BIGINT)      AS tax_c
+    FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, measure, cents
+FROM c UNPIVOT (cents FOR measure IN (qty_c, disc_c, tax_c))
 """
 
     # deterministic mode: ROW_NUMBER over (count desc, value asc) mirrors

@@ -819,6 +819,44 @@ def pivot_counts(ds: rd.Dataset, *, group_col: str, pivot_col: str,
         .groupby(group_col).aggregate(*aggs)
 
 
+def unpivot(ds: rd.Dataset, *, id_cols: tuple[str, ...],
+            value_cols: tuple[str, ...], var_name: str = "variable",
+            value_name: str = "value") -> rd.Dataset:
+    """Wide -> long reshape (pivot_counts' inverse, SQL UNPIVOT / melt):
+    one output row per (input row, value column), carrying the id columns,
+    the column NAME and its value.
+
+    Scale shape: pure per-batch — the id columns are reused zero-copy per
+    value column, the name column is a run-end-compressible constant, and
+    no exchange happens at all; |value_cols| × input rows stream out with
+    backpressure.  Value columns are cast to a common Arrow type up front
+    so concatenation is well-typed (mixed int/float unpivots promote).
+    """
+    if not value_cols:
+        raise ValueError("unpivot: need at least one value column")
+
+    def melt(batch: pa.Table) -> pa.Table:
+        vtype = batch.schema.field(value_cols[0]).type
+        for c in value_cols[1:]:
+            t = batch.schema.field(c).type
+            if t != vtype:
+                vtype = pa.float64() if (pa.types.is_floating(t)
+                                         or pa.types.is_floating(vtype)) \
+                    else pa.int64()
+        parts = []
+        for c in value_cols:
+            t = batch.select(list(id_cols))
+            t = t.append_column(
+                var_name, pa.DictionaryArray.from_arrays(
+                    pa.array(np.zeros(len(batch), np.int32)),
+                    pa.array([c], pa.string())).cast(pa.string()))
+            parts.append(t.append_column(value_name, batch[c].cast(vtype)))
+        return pa.concat_tables(parts)
+
+    return ds.select_columns(list(id_cols) + list(value_cols)) \
+        .map_batches(melt, batch_format="pyarrow")
+
+
 def grouped_mode(ds: rd.Dataset, *, group_col: str, value_col: str,
                  count_alias: str = "n") -> rd.Dataset:
     """Most frequent value per group, deterministic (ties: smallest value).

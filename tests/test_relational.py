@@ -370,6 +370,46 @@ def test_pivot_counts_no_other(ray_session):
     assert out.a.tolist() == [1, 1]  # the 'q' row is dropped from counts
 
 
+def test_unpivot_matches_duckdb(ray_session):
+    import duckdb
+    from search_engine_ray.stages.relational import unpivot
+
+    rng = np.random.default_rng(37)
+    df = pd.DataFrame({
+        "id": np.arange(200, dtype=np.int64),
+        "k": rng.integers(0, 5, 200),
+        "m1": rng.integers(0, 100, 200),
+        "m2": rng.integers(-50, 50, 200),
+    })
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    out = unpivot(rd.from_arrow(tbl).repartition(4),
+                  id_cols=("id", "k"), value_cols=("m1", "m2"),
+                  var_name="measure", value_name="v").to_pandas() \
+        .sort_values(["id", "measure"]).reset_index(drop=True)
+    exp = duckdb.sql("""
+        SELECT id, k, measure, v
+        FROM df UNPIVOT (v FOR measure IN (m1, m2))
+        ORDER BY id, measure
+    """).df()
+    assert list(out.columns) == ["id", "k", "measure", "v"]
+    assert out.id.tolist() == exp.id.tolist()
+    assert out.measure.tolist() == exp.measure.tolist()
+    assert out.v.tolist() == exp.v.tolist()
+
+
+def test_unpivot_mixed_types_promote(ray_session):
+    from search_engine_ray.stages.relational import unpivot
+
+    tbl = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "a": pa.array([1, 2], pa.int64()),
+                    "b": pa.array([0.5, 1.5], pa.float64())})
+    out = unpivot(rd.from_arrow(tbl), id_cols=("id",),
+                  value_cols=("a", "b")).to_pandas() \
+        .sort_values(["id", "variable"]).reset_index(drop=True)
+    assert out.value.dtype == np.float64
+    assert out.value.tolist() == [1.0, 0.5, 2.0, 1.5]
+
+
 def test_grouped_mode_deterministic_ties(ray_session):
     import duckdb
     from search_engine_ray.stages.relational import grouped_mode
