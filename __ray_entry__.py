@@ -1698,6 +1698,277 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort(key=["revenue_mc", "od_sec", "l_orderkey"],
                   descending=[True, False, False]).limit(10)
 
+    def tpch_q5(sf_dir):
+        """TPC-H Q5-shaped SIX-table join (local-supplier volume, ASIA,
+        orders in [1996-01-01, 1997-01-01)): region x nation collapse to a
+        5-nation driver-side lookup; the region-filtered supplier and
+        customer key maps ship ONCE via ray.put
+        (relational.broadcast_hash_join — broadcast guard: at extreme SF
+        these two unique-key lookups switch to shuffle_hash_join, same
+        result); the only all-to-all is lineitem x orders on orderkey.
+        The local-supplier constraint c_nationkey == s_nationkey is a
+        stateless post-join filter, and a map-side combiner collapses each
+        joined block to <=5 (nationkey, mc) partials before the final
+        metadata-scale groupby.  Exact int64 milli-cents both sides (the
+        tpch_q3 contract).  Reference parity: joins/aggregates mirror the
+        repository-backed statistics joins in SearchServiceImpl.java."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import (broadcast_hash_join,
+                                                         shuffle_hash_join)
+
+        lo_us = 820_454_400 * 1_000_000   # 1996-01-01 UTC epoch micros
+        hi_us = 852_076_800 * 1_000_000   # 1997-01-01
+
+        # tiny dims resolved in the driver: 5 regions x 25 nations
+        reg = pq.read_table(f"{sf_dir}/region.parquet")
+        nat = pq.read_table(f"{sf_dir}/nation.parquet")
+        asia_keys = reg.filter(pcm.equal(reg["r_name"], "ASIA"))["r_regionkey"]
+        nat_asia = nat.filter(pcm.is_in(
+            nat["n_regionkey"], value_set=asia_keys.combine_chunks()))
+        nation_keys = nat_asia["n_nationkey"].combine_chunks()
+        name_of = dict(zip(nat_asia["n_nationkey"].to_pylist(),
+                           nat_asia["n_name"].to_pylist()))
+
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+        supp = supp.filter(pcm.is_in(supp["s_nationkey"],
+                                     value_set=nation_keys))
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        cust = cust.filter(pcm.is_in(cust["c_nationkey"],
+                                     value_set=nation_keys))
+
+        def li_shape(b: pa.Table) -> pa.Table:
+            price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = b["l_discount"].to_numpy(zero_copy_only=False)
+            mc = np.floor(price * 100.0 + 0.5).astype(np.int64) \
+                * (100 - np.floor(disc * 100.0 + 0.5).astype(np.int64))
+            return pa.table({"l_orderkey": b["l_orderkey"],
+                             "l_suppkey": b["l_suppkey"],
+                             "mc": pa.array(mc, pa.int64())})
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"]) \
+            .map_batches(li_shape, batch_format="pyarrow")
+        # region semi-filter + nationkey payload in one broadcast lookup
+        li = broadcast_hash_join(li, supp, big_key="l_suppkey",
+                                 small_key="s_suppkey",
+                                 select=["s_nationkey"])
+
+        def ord_shape(b: pa.Table) -> pa.Table:
+            us = b["o_orderdate"].cast(pa.timestamp("us"), safe=False) \
+                .cast(pa.int64())
+            t = b.append_column("od_us", us)
+            t = t.filter(pcm.and_(pcm.greater_equal(t["od_us"], lo_us),
+                                  pcm.less(t["od_us"], hi_us)))
+            return t.select(["o_orderkey", "o_custkey"])
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(ord_shape, batch_format="pyarrow")
+        orders = broadcast_hash_join(orders, cust, big_key="o_custkey",
+                                     small_key="c_custkey",
+                                     select=["c_nationkey"])
+
+        joined = shuffle_hash_join(li, orders, on=("l_orderkey",),
+                                   right_on=("o_orderkey",), how="inner")
+
+        def partial(b: pa.Table) -> pa.Table:
+            sn = b["s_nationkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cn = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            keep = sn == cn          # local-supplier constraint
+            sn = sn[keep]
+            mc = b["mc"].to_numpy(zero_copy_only=False)[keep]
+            keys, inv = np.unique(sn, return_inverse=True)
+            sums = np.zeros(keys.size, np.int64)
+            np.add.at(sums, inv, mc)
+            return pa.table({"nationkey": pa.array(keys, pa.int64()),
+                             "mc": pa.array(sums, pa.int64())})
+
+        agg = joined.map_batches(partial, batch_format="pyarrow") \
+            .groupby("nationkey") \
+            .aggregate(Sum("mc", alias_name="revenue_mc"))
+
+        def name_map(b: pa.Table) -> pa.Table:
+            names = [name_of[int(k)] for k in b["nationkey"].to_pylist()]
+            return pa.table({"n_name": pa.array(names, pa.string()),
+                             "revenue_mc": b["revenue_mc"]})
+
+        return agg.map_batches(name_map, batch_format="pyarrow") \
+            .sort(key=["revenue_mc", "n_name"], descending=[True, False])
+
+    def tpch_q10(sf_dir):
+        """TPC-H Q10-shaped returned-item report (returnflag 'R', orders in
+        1996Q4): the lineitem x orders orderkey exchange reuses the Q5
+        machinery, a map-side combiner collapses each joined block to
+        per-custkey partials, and the per-customer revenue — now
+        customer-cardinality, still too big to broadcast at extreme SF —
+        joins customer through the hash-partitioned shuffle_hash_join;
+        only the 25-row nation dim broadcasts.  Top-20 by (revenue desc,
+        custkey) with an exact int64 milli-cent + cent surface."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import (broadcast_hash_join,
+                                                         shuffle_hash_join)
+
+        lo_us = 844_128_000 * 1_000_000   # 1996-10-01 UTC epoch micros
+        hi_us = 852_076_800 * 1_000_000   # 1997-01-01
+
+        def li_shape(b: pa.Table) -> pa.Table:
+            t = b.filter(pcm.equal(b["l_returnflag"], "R"))
+            price = t["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = t["l_discount"].to_numpy(zero_copy_only=False)
+            mc = np.floor(price * 100.0 + 0.5).astype(np.int64) \
+                * (100 - np.floor(disc * 100.0 + 0.5).astype(np.int64))
+            return pa.table({"l_orderkey": t["l_orderkey"],
+                             "mc": pa.array(mc, pa.int64())})
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag", "l_extendedprice",
+                     "l_discount"]) \
+            .map_batches(li_shape, batch_format="pyarrow")
+
+        def ord_shape(b: pa.Table) -> pa.Table:
+            us = b["o_orderdate"].cast(pa.timestamp("us"), safe=False) \
+                .cast(pa.int64())
+            t = b.append_column("od_us", us)
+            t = t.filter(pcm.and_(pcm.greater_equal(t["od_us"], lo_us),
+                                  pcm.less(t["od_us"], hi_us)))
+            return t.select(["o_orderkey", "o_custkey"])
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(ord_shape, batch_format="pyarrow")
+
+        joined = shuffle_hash_join(li, orders, on=("l_orderkey",),
+                                   right_on=("o_orderkey",), how="inner")
+
+        def partial(b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            mc = b["mc"].to_numpy(zero_copy_only=False)
+            keys, inv = np.unique(ck, return_inverse=True)
+            sums = np.zeros(keys.size, np.int64)
+            np.add.at(sums, inv, mc)
+            return pa.table({"c_custkey": pa.array(keys, pa.int64()),
+                             "mc": pa.array(sums, pa.int64())})
+
+        rev = joined.map_batches(partial, batch_format="pyarrow") \
+            .groupby("c_custkey") \
+            .aggregate(Sum("mc", alias_name="revenue_mc"))
+
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_acctbal", "c_nationkey"])
+        out = shuffle_hash_join(rev, cust, on=("c_custkey",), how="inner")
+
+        nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                               columns=["n_nationkey", "n_name"])
+        out = broadcast_hash_join(out, nation, big_key="c_nationkey",
+                                  small_key="n_nationkey",
+                                  select=["n_name"])
+
+        def shape(b: pa.Table) -> pa.Table:
+            ac = np.floor(b["c_acctbal"].to_numpy(zero_copy_only=False)
+                          * 100.0 + 0.5).astype(np.int64)
+            return pa.table({"c_custkey": b["c_custkey"],
+                             "c_name": b["c_name"],
+                             "revenue_mc": b["revenue_mc"],
+                             "acctbal_c": pa.array(ac, pa.int64()),
+                             "n_name": b["n_name"]})
+
+        return out.map_batches(shape, batch_format="pyarrow") \
+            .sort(key=["revenue_mc", "c_custkey"],
+                  descending=[True, False]).limit(20)
+
+    def event_type_corr(sf_dir):
+        """Grouped bivariate moments — CORR / COVAR sufficient statistics
+        per event type with x = floor value cents, y = hour-of-day: each
+        block collapses to <=4 partial rows of exact int64 sums (n, Σx,
+        Σy, Σx², Σy², Σxy) so ONLY partials shuffle (the closed-form-model
+        scale pattern from stages/regression), and the finalize emits the
+        exact integer covariance / variance NUMERATORS n·Σxy − Σx·Σy etc.
+        — the float corr is one deterministic division away but stays off
+        the hash surface (round-4 window lesson).  Overflow bound: |x| <
+        10^6 cents keeps n·Σx² below 2^63 to ~10^9 rows per group; larger
+        groups need a two-level split documented in stages/regression."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "ts", "value"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            t = b.filter(pcm.is_valid(b["value"]))
+            et = t["event_type"].to_numpy(zero_copy_only=False)
+            x = np.floor(t["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+            us = t["ts"].cast(pa.timestamp("us"), safe=False) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            y = (us // 3_600_000_000) % 24
+            keys, inv = np.unique(et, return_inverse=True)
+
+            def seg(v: np.ndarray) -> pa.Array:
+                out = np.zeros(keys.size, np.int64)
+                np.add.at(out, inv, v)
+                return pa.array(out, pa.int64())
+
+            return pa.table({
+                "event_type": pa.array(keys.astype(str), pa.string()),
+                "n": pa.array(np.bincount(inv, minlength=keys.size)
+                              .astype(np.int64)),
+                "sx": seg(x), "sy": seg(y), "sxx": seg(x * x),
+                "syy": seg(y * y), "sxy": seg(x * y)})
+
+        agg = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("event_type") \
+            .aggregate(Sum("n", alias_name="n"),
+                       Sum("sx", alias_name="sx"),
+                       Sum("sy", alias_name="sy"),
+                       Sum("sxx", alias_name="sxx"),
+                       Sum("syy", alias_name="syy"),
+                       Sum("sxy", alias_name="sxy"))
+
+        def finalize(b: pa.Table) -> pa.Table:
+            n = b["n"].to_numpy(zero_copy_only=False)
+            sx = b["sx"].to_numpy(zero_copy_only=False)
+            sy = b["sy"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_type": b["event_type"],
+                "n": b["n"], "sx": b["sx"], "sy": b["sy"],
+                "sxx": b["sxx"], "syy": b["syy"], "sxy": b["sxy"],
+                "cov_num": pa.array(
+                    n * b["sxy"].to_numpy(zero_copy_only=False)
+                    - sx * sy, pa.int64()),
+                "varx_num": pa.array(
+                    n * b["sxx"].to_numpy(zero_copy_only=False)
+                    - sx * sx, pa.int64()),
+                "vary_num": pa.array(
+                    n * b["syy"].to_numpy(zero_copy_only=False)
+                    - sy * sy, pa.int64())})
+
+        return agg.map_batches(finalize, batch_format="pyarrow")
+
     def event_cents_quantiles_global(sf_dir):
         """Exact GLOBAL quantiles without a sort: iterative histogram
         refinement (one pruned column pass per round, <= 4096 tiny count
@@ -2351,6 +2622,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_percentile_cont": event_percentile_cont,
         "event_type_percentile_cont": event_type_percentile_cont,
         "tpch_q3": tpch_q3,
+        "tpch_q5": tpch_q5,
+        "tpch_q10": tpch_q10,
+        "event_type_corr": event_type_corr,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
         "user_retention": user_retention,
@@ -2408,7 +2682,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalize_docs", "events_pushdown", "pack_docs",
         "warc_extract_tf", "search_near", "search_prefix",
         "search_andnot", "sample_k_per_lang", "curate_corpus",
-        "lineitem_unpivot",
+        "lineitem_unpivot", "tpch_q5", "tpch_q10", "event_type_corr",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2419,14 +2693,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25", "search_batch", "search_phrase", "search_phrase_idx",
         "line_dedup", "pagerank_suppliers", "image_meta_jpeg",
         "image_meta_jpeg420", "image_meta_jpeg_prog", "image_meta_png",
-        # (d) oldest witnesses first: all nine r2-last entries
+        # (d) oldest witnesses first: the r2-last entries (positions 48-50
+        # hold knn_cosine/knn_ivf/knn_lsh; the rest fell outside the 50-row
+        # window when the never-witnessed tpch_q5/tpch_q10/event_type_corr
+        # took their slots — new entries outrank re-witnessing, and these
+        # keep their r2 verdicts)
         "knn_cosine", "knn_ivf", "knn_lsh", "embedding_dup",
         "embedding_dup_blocked", "events_window", "events_hopping",
-        "events_asof",
-        # then r3-last representatives across families (position 51+:
-        # outside the 50-row window; sessionize moved here when
-        # lineitem_unpivot took its slot — it keeps its r2 witness)
-        "sessionize",
+        "events_asof", "sessionize",
         "term_df", "doc_len", "corpus_stats", "top_terms",
         "search_ref_multi", "image_meta", "site_stats", "lang_distribution",
         "langid_simple", "doc_quality", "fingerprint", "token_count",
@@ -3328,6 +3602,72 @@ WHERE o.o_orderdate < TIMESTAMP '1998-06-01'
 GROUP BY 1, 2, 3
 ORDER BY revenue_mc DESC, od_sec, l_orderkey
 LIMIT 10
+"""
+
+    # Q5: same milli-cent revenue contract; the local-supplier constraint
+    # (c_nationkey = s_nationkey) is in the customer join predicate
+    sql["tpch_q5"] = """
+WITH asia AS (
+    SELECT n_nationkey, n_name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+)
+SELECT n_name,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))::BIGINT
+         AS revenue_mc
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN asia     ON s_nationkey = n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+GROUP BY n_name
+ORDER BY revenue_mc DESC, n_name
+"""
+
+    # Q10: returned-item revenue top-20; acctbal surfaces as exact cents
+    sql["tpch_q10"] = """
+WITH rev AS (
+    SELECT o_custkey AS c_custkey,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))::BIGINT
+             AS revenue_mc
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-10-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY o_custkey
+)
+SELECT c.c_custkey, c.c_name, rev.revenue_mc,
+       CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) AS acctbal_c,
+       n.n_name
+FROM rev
+JOIN customer c USING (c_custkey)
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+ORDER BY rev.revenue_mc DESC, c.c_custkey
+LIMIT 20
+"""
+
+    # grouped bivariate moments: every column (incl. the covariance /
+    # variance numerators) is an exact BIGINT on both engines
+    sql["event_type_corr"] = """
+WITH b AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 100) AS BIGINT) AS x,
+           EXTRACT(HOUR FROM ts)::BIGINT AS y
+    FROM events WHERE value IS NOT NULL
+)
+SELECT event_type,
+       COUNT(*)::BIGINT AS n,
+       SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+       SUM(x * x)::BIGINT AS sxx, SUM(y * y)::BIGINT AS syy,
+       SUM(x * y)::BIGINT AS sxy,
+       (COUNT(*) * SUM(x * y) - SUM(x) * SUM(y))::BIGINT AS cov_num,
+       (COUNT(*) * SUM(x * x) - SUM(x) * SUM(x))::BIGINT AS varx_num,
+       (COUNT(*) * SUM(y * y) - SUM(y) * SUM(y))::BIGINT AS vary_num
+FROM b GROUP BY event_type
 """
 
     # exact global quantiles by histogram refinement: quantile_disc is an

@@ -206,3 +206,146 @@ def test_curate_corpus_end_to_end(ray_session):
     # subwords: ceil(len/4) per [a-z]+ token of the ORIGINAL text
     assert rows[1]["n_subwords"] == sum(
         (len(w) + 3) // 4 for w in good.split())
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q5 / Q10 composed joins + grouped bivariate moments: the entry and
+# its SQL oracle replayed over a SYNTHETIC mini-warehouse (FK-consistent,
+# with date-boundary rows and half-cent prices to exercise the floor(+0.5)
+# contract) — the same compare the driver runs, but on controlled data.
+# --------------------------------------------------------------------------
+
+def _entry_module():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "re5_", "/root/repo/__ray_entry__.py")
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m
+
+
+def _mini_tpch(tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(55)
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array([0, 1, 2], pa.int32()),
+        "r_name": pa.array(["AMERICA", "ASIA", "EUROPE"]),
+    }), str(tmp_path / "region.parquet"))
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(list(range(6)), pa.int32()),
+        "n_name": pa.array(["BRAZIL", "CHINA", "INDIA", "JAPAN",
+                            "FRANCE", "GERMANY"]),
+        "n_regionkey": pa.array([0, 1, 1, 1, 2, 2], pa.int32()),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(list(range(1, 21)), pa.int64()),
+        "s_name": pa.array([f"S{i}" for i in range(1, 21)]),
+        "s_nationkey": pa.array(rng.integers(0, 6, 20), pa.int32()),
+        "s_acctbal": pa.array(rng.uniform(-100, 100, 20)),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(list(range(1, 51)), pa.int64()),
+        "c_name": pa.array([f"C{i}" for i in range(1, 51)]),
+        "c_nationkey": pa.array(rng.integers(0, 6, 50), pa.int32()),
+        # exact half cents land on FLOOR(x*100+0.5) both sides
+        "c_acctbal": pa.array(np.round(rng.uniform(-999, 999, 50), 3)),
+        "c_mktsegment": pa.array(rng.choice(["BUILDING", "AUTO"], 50)),
+    }), str(tmp_path / "customer.parquet"))
+    n_ord = 300
+    # dates hit both boundaries: 1996-01-01 inclusive, 1997-01-01 exclusive
+    days = rng.integers(0, 1100, n_ord)
+    dates = (pd.Timestamp("1995-06-01")
+             + pd.to_timedelta(days, unit="D")).astype("datetime64[us]")
+    dates = dates.insert(0, pd.Timestamp("1996-01-01")) \
+        .insert(0, pd.Timestamp("1996-12-31")) \
+        .insert(0, pd.Timestamp("1997-01-01"))
+    n_ord = len(dates)
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(1, n_ord + 1)), pa.int64()),
+        "o_custkey": pa.array(rng.integers(1, 51, n_ord), pa.int64()),
+        "o_orderstatus": pa.array(["O"] * n_ord),
+        "o_totalprice": pa.array(rng.uniform(10, 1000, n_ord)),
+        "o_orderdate": pa.array(dates, pa.timestamp("us")),
+        "o_orderpriority": pa.array(["1-URGENT"] * n_ord),
+    }), str(tmp_path / "orders.parquet"))
+    n_li = 1200
+    ok = rng.integers(1, n_ord + 1, n_li)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(ok, pa.int64()),
+        "l_partkey": pa.array(rng.integers(1, 100, n_li), pa.int64()),
+        "l_suppkey": pa.array(rng.integers(1, 21, n_li), pa.int64()),
+        "l_linenumber": pa.array(rng.integers(1, 5, n_li), pa.int32()),
+        "l_quantity": pa.array(rng.integers(1, 50, n_li).astype(float)),
+        # .995 endings force half-cent rounding decisions
+        "l_extendedprice": pa.array(
+            np.round(rng.uniform(1, 5000, n_li), 2) + 0.005),
+        "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2)),
+        "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n_li), 2)),
+        "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n_li)),
+        "l_linestatus": pa.array(["F"] * n_li),
+        "l_shipdate": pa.array(
+            (pd.Timestamp("1996-01-01") + pd.to_timedelta(
+                rng.integers(0, 900, n_li), unit="D"))
+            .astype("datetime64[us]"), pa.timestamp("us")),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+def _duck_with_views(tmp_path, tables):
+    import duckdb
+
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM "
+                    f"read_parquet('{tmp_path}/{t}.parquet')")
+    return con
+
+
+@pytest.mark.parametrize("name", ["tpch_q5", "tpch_q10"])
+def test_tpch_entry_matches_oracle(ray_session, tmp_path, name):
+    _mini_tpch(tmp_path)
+    m = _entry_module()
+    out = m.queries()[name](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["region", "nation", "supplier",
+                                      "customer", "orders", "lineitem"])
+    exp = con.execute(m.oracle_sql()[name]).df()
+    assert list(sorted(out.columns)) == list(sorted(exp.columns))
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+
+
+def test_event_type_corr_matches_oracle(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    n = 2000
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(n)), pa.int64()),
+        "ts": pa.array((pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 90 * 86400, n), unit="s"))
+            .astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(1, 50, n), pa.int64()),
+        "event_type": pa.array(rng.choice(
+            ["click", "view", "purchase"], n)),
+        "value": pa.array(np.round(rng.uniform(0, 500, n), 2)),
+        "props": pa.array(["{}"] * n),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    out = m.queries()["event_type_corr"](str(tmp_path)).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["event_type_corr"]).df() \
+        .sort_values("event_type").reset_index(drop=True)
+    for c in exp.columns:
+        assert out[c].tolist() == exp[c].tolist(), c
+    # the integer numerators support the float corr exactly
+    r = (out.cov_num / np.sqrt(out.varx_num.astype(float)
+                               * out.vary_num.astype(float)))
+    assert (r.abs() <= 1).all()
