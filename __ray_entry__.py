@@ -1898,6 +1898,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .sort(key=["revenue_mc", "c_custkey"],
                   descending=[True, False]).limit(20)
 
+    def tpch_q18(sf_dir):
+        """TPC-H Q18-shaped large-volume-customer report: groupby-HAVING
+        (per-order quantity > 250) runs FIRST as map-side partials + one
+        orderkey groupby, so the qualifying set (~1%) is tiny before any
+        join; it then joins orders and customer through the
+        hash-partitioned shuffle_hash_join (both are fact-scale at
+        extreme SF — no broadcast).  Deterministic top-100 by (totalprice
+        desc, orderkey); quantities are integral doubles so the int64
+        cast is exact, prices surface as half-up cents."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import shuffle_hash_join
+
+        def partial(b: pa.Table) -> pa.Table:
+            ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            q = b["l_quantity"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            keys, inv = np.unique(ok, return_inverse=True)
+            sums = np.zeros(keys.size, np.int64)
+            np.add.at(sums, inv, q)
+            return pa.table({"l_orderkey": pa.array(keys, pa.int64()),
+                             "q": pa.array(sums, pa.int64())})
+
+        big = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                              columns=["l_orderkey", "l_quantity"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby("l_orderkey") \
+            .aggregate(Sum("q", alias_name="sum_qty")) \
+            .map_batches(lambda b: b.filter(
+                pcm.greater(b["sum_qty"], 250)), batch_format="pyarrow")
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate",
+                     "o_totalprice"])
+        j = shuffle_hash_join(big, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",), how="inner")
+        cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey", "c_name"])
+        j = shuffle_hash_join(j, cust, on=("o_custkey",),
+                              right_on=("c_custkey",), how="inner")
+
+        def shape(b: pa.Table) -> pa.Table:
+            od = b["o_orderdate"].cast(pa.timestamp("us"), safe=False) \
+                .cast(pa.int64())
+            tp = np.floor(b["o_totalprice"].to_numpy(zero_copy_only=False)
+                          * 100.0 + 0.5).astype(np.int64)
+            return pa.table({
+                "c_custkey": b["o_custkey"], "c_name": b["c_name"],
+                "o_orderkey": b["l_orderkey"],
+                "od_sec": pcm.divide(od, 1_000_000).cast(pa.int64()),
+                "totalprice_c": pa.array(tp, pa.int64()),
+                "sum_qty": b["sum_qty"]})
+
+        return j.map_batches(shape, batch_format="pyarrow") \
+            .sort(key=["totalprice_c", "o_orderkey"],
+                  descending=[True, False]).limit(100)
+
     def event_type_corr(sf_dir):
         """Grouped bivariate moments — CORR / COVAR sufficient statistics
         per event type with x = floor value cents, y = hour-of-day: each
@@ -2624,6 +2686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q3": tpch_q3,
         "tpch_q5": tpch_q5,
         "tpch_q10": tpch_q10,
+        "tpch_q18": tpch_q18,
         "event_type_corr": event_type_corr,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
@@ -2682,7 +2745,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_normalize_docs", "events_pushdown", "pack_docs",
         "warc_extract_tf", "search_near", "search_prefix",
         "search_andnot", "sample_k_per_lang", "curate_corpus",
-        "lineitem_unpivot", "tpch_q5", "tpch_q10", "event_type_corr",
+        "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
+        "event_type_corr",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -2693,11 +2757,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_bm25", "search_batch", "search_phrase", "search_phrase_idx",
         "line_dedup", "pagerank_suppliers", "image_meta_jpeg",
         "image_meta_jpeg420", "image_meta_jpeg_prog", "image_meta_png",
-        # (d) oldest witnesses first: the r2-last entries (positions 48-50
-        # hold knn_cosine/knn_ivf/knn_lsh; the rest fell outside the 50-row
-        # window when the never-witnessed tpch_q5/tpch_q10/event_type_corr
-        # took their slots — new entries outrank re-witnessing, and these
-        # keep their r2 verdicts)
+        # (d) oldest witnesses first: the r2-last entries (positions 49-50
+        # hold knn_cosine/knn_ivf; the rest fell outside the 50-row window
+        # when the never-witnessed tpch_q5/q10/q18 + event_type_corr took
+        # their slots — new entries outrank re-witnessing, and these keep
+        # their r2 verdicts)
         "knn_cosine", "knn_ivf", "knn_lsh", "embedding_dup",
         "embedding_dup_blocked", "events_window", "events_hopping",
         "events_asof", "sessionize",
@@ -3648,6 +3712,25 @@ JOIN customer c USING (c_custkey)
 JOIN nation n ON c.c_nationkey = n.n_nationkey
 ORDER BY rev.revenue_mc DESC, c.c_custkey
 LIMIT 20
+"""
+
+    # Q18: groupby-HAVING first (the qualifying set is ~1% before any
+    # join); integral quantities make the BIGINT sum exact
+    sql["tpch_q18"] = """
+WITH big AS (
+    SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+    FROM lineitem GROUP BY l_orderkey
+    HAVING SUM(CAST(l_quantity AS BIGINT)) > 250
+)
+SELECT o.o_custkey AS c_custkey, c.c_name, big.l_orderkey AS o_orderkey,
+       (epoch_us(o.o_orderdate) // 1000000)::BIGINT AS od_sec,
+       CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_c,
+       big.sum_qty
+FROM big
+JOIN orders o   ON big.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+ORDER BY totalprice_c DESC, o_orderkey
+LIMIT 100
 """
 
     # grouped bivariate moments: every column (incl. the covariance /

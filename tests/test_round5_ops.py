@@ -273,6 +273,9 @@ def _mini_tpch(tmp_path):
     }), str(tmp_path / "orders.parquet"))
     n_li = 1200
     ok = rng.integers(1, n_ord + 1, n_li)
+    # two guaranteed large-volume orders so Q18's HAVING > 250 qualifies
+    ok[:16] = 1
+    ok[16:32] = 2
     pq.write_table(pa.table({
         "l_orderkey": pa.array(ok, pa.int64()),
         "l_partkey": pa.array(rng.integers(1, 100, n_li), pa.int64()),
@@ -303,7 +306,7 @@ def _duck_with_views(tmp_path, tables):
     return con
 
 
-@pytest.mark.parametrize("name", ["tpch_q5", "tpch_q10"])
+@pytest.mark.parametrize("name", ["tpch_q5", "tpch_q10", "tpch_q18"])
 def test_tpch_entry_matches_oracle(ray_session, tmp_path, name):
     _mini_tpch(tmp_path)
     m = _entry_module()
