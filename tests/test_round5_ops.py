@@ -271,6 +271,14 @@ def _mini_tpch(tmp_path):
         "o_orderdate": pa.array(dates, pa.timestamp("us")),
         "o_orderpriority": pa.array(["1-URGENT"] * n_ord),
     }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(list(range(1, 100)), pa.int64()),
+        "p_name": pa.array([f"P{i}" for i in range(1, 100)]),
+        "p_brand": pa.array(["B1"] * 99),
+        "p_type": pa.array(rng.choice(["PROMO", "STANDARD", "SMALL"], 99)),
+        "p_size": pa.array(rng.integers(1, 50, 99), pa.int32()),
+        "p_retailprice": pa.array(rng.uniform(100, 2000, 99)),
+    }), str(tmp_path / "part.parquet"))
     n_li = 1200
     ok = rng.integers(1, n_ord + 1, n_li)
     # two guaranteed large-volume orders so Q18's HAVING > 250 qualifies
@@ -306,13 +314,15 @@ def _duck_with_views(tmp_path, tables):
     return con
 
 
-@pytest.mark.parametrize("name", ["tpch_q5", "tpch_q10", "tpch_q18"])
+@pytest.mark.parametrize("name", ["tpch_q5", "tpch_q10", "tpch_q18",
+                                  "promo_revenue_monthly"])
 def test_tpch_entry_matches_oracle(ray_session, tmp_path, name):
     _mini_tpch(tmp_path)
     m = _entry_module()
     out = m.queries()[name](str(tmp_path)).to_pandas()
     con = _duck_with_views(tmp_path, ["region", "nation", "supplier",
-                                      "customer", "orders", "lineitem"])
+                                      "customer", "orders", "lineitem",
+                                      "part"])
     exp = con.execute(m.oracle_sql()[name]).df()
     assert list(sorted(out.columns)) == list(sorted(exp.columns))
     cols = sorted(out.columns)
