@@ -178,6 +178,9 @@ HEADLINE = [
     "jsonl_gz_roundtrip", "nfc_normalize_docs", "events_pushdown",
     "pack_docs", "warc_extract_tf", "search_near", "search_prefix",
     "search_andnot", "sample_k_per_lang",
+    # round-5 second half: composed curation + TPC-H joins + reshape
+    "curate_corpus", "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
+    "promo_revenue_monthly", "event_type_corr",
 ]
 
 
@@ -258,7 +261,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             "spin_effective_cores": eff_cores,
             # cross-round comparability: value covers THIS headline set
             # (ADVICE r4: the set grows each round, readers must detect it)
-            "headline_set": "r5c",   # r5 + the 14 late-round-5 entries
+            "headline_set": "r5d",   # r5c + curation/TPC-H/reshape entries
             "headline_n": len(HEADLINE),
             "detail_file": "BENCH_QUERIES.json",
         }

@@ -362,3 +362,30 @@ def test_event_type_corr_matches_oracle(ray_session, tmp_path):
     r = (out.cov_num / np.sqrt(out.varx_num.astype(float)
                                * out.vary_num.astype(float)))
     assert (r.abs() <= 1).all()
+
+
+def test_props_key_stats_handles_malformed(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    props = ['{"k": 3}', '{"k": -7}', '{"k":12}', 'not json', '{"j": 1}',
+             '{"k": "x"}', '{"k": 0}', '{ "k" : 44 }']
+    n = len(props)
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(n)), pa.int64()),
+        "ts": pa.array([pd.Timestamp("2024-01-01")] * n,
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["a", "a", "b", "b", "a", "b", "a", "b"]),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(props),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    out = m.queries()["props_key_stats"](str(tmp_path)).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["props_key_stats"]).df() \
+        .sort_values("event_type").reset_index(drop=True)
+    for c in exp.columns:
+        assert out[c].tolist() == exp[c].tolist(), c
+    assert out.n_bad.sum() == 3      # 'not json', missing k, string k
