@@ -916,6 +916,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return zscore_outliers(ds, value_col="value", id_col="event_id",
                                z=2)
 
+    def events_user_anomaly(sf_dir):
+        """PER-USER two-pass z-score outliers (the grouped counterpart of
+        events_anomaly, stages/profile grouped_zscore_outliers): per-user
+        (n, S, Q) partials → group-cardinality groupby → stats
+        hash-joined BACK onto the stream (never broadcast — the stats
+        table is user-cardinality) → the stateless exact-integer flag
+        (n·x − S)² > z²(n·Q − S²).  No float mean/variance anywhere, so
+        boundary rows classify identically in numpy and SQL."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.profile import grouped_zscore_outliers
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "user_id", "value"])
+        return grouped_zscore_outliers(ds, group_col="user_id",
+                                       value_col="value",
+                                       id_col="event_id", z=2)
+
     def orders_except_all(sf_dir):
         """Multiset EXCEPT ALL (bag semantics): each custkey keeps
         multiplicity = non-urgent order count; one all-to-all of per-block
@@ -2808,6 +2826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q18": tpch_q18,
         "promo_revenue_monthly": promo_revenue_monthly,
         "props_key_stats": props_key_stats,
+        "events_user_anomaly": events_user_anomaly,
         "event_type_corr": event_type_corr,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
@@ -2867,7 +2886,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract_tf", "search_near", "search_prefix",
         "search_andnot", "sample_k_per_lang", "curate_corpus",
         "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
-        "promo_revenue_monthly", "props_key_stats", "event_type_corr",
+        "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
+        "event_type_corr",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -3868,6 +3888,25 @@ SELECT (EXTRACT(YEAR FROM l_shipdate) * 100
          AS total_mc
 FROM lineitem JOIN part ON l_partkey = p_partkey
 GROUP BY ym
+"""
+
+    # per-user two-pass outliers: same integer inequality as the global
+    # events_anomaly, per group, stats joined back onto the stream
+    sql["events_user_anomaly"] = """
+WITH c AS (
+    SELECT event_id, user_id,
+           CAST(FLOOR(value * 100) AS BIGINT) AS cents
+    FROM events
+),
+s AS (
+    SELECT user_id, COUNT(*)::BIGINT AS n, SUM(cents)::BIGINT AS sm,
+           SUM(cents * cents)::BIGINT AS q
+    FROM c GROUP BY user_id
+)
+SELECT c.event_id, c.user_id, c.cents
+FROM c JOIN s USING (user_id)
+WHERE (s.n * c.cents - s.sm) * (s.n * c.cents - s.sm)
+      > 4 * (s.n * s.q - s.sm * s.sm)
 """
 
     # semi-structured extraction: the SQL side goes through a REAL JSON

@@ -67,6 +67,76 @@ def zscore_outliers(ds: rd.Dataset, *, value_col: str, id_col: str,
     return ds.map_batches(flag, batch_format="pyarrow")
 
 
+def grouped_zscore_outliers(ds: rd.Dataset, *, group_col: str,
+                            value_col: str, id_col: str,
+                            z: int = 3) -> rd.Dataset:
+    """PER-GROUP two-pass z-score outliers — the aggregate→rejoin shape:
+    pass 1 collapses each block to ≤|groups-in-block| (group, n, S, Q)
+    partials and one group-cardinality groupby; the stats table is
+    group-cardinality (at extreme SF too big to broadcast) so it
+    hash-joins BACK onto the stream (`shuffle_hash_join` on the group
+    key), and pass 2 is the same stateless exact-integer inequality as
+    :func:`zscore_outliers`: ``(n*x - S)^2 > z^2 (n*Q - S^2)`` per
+    group.  Int64 bound: ``(n_g * max|x|)^2 < 2^63`` per group ``g``.
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import shuffle_hash_join
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch[group_col].to_numpy(zero_copy_only=False)
+        x = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        keys, inv = np.unique(g, return_inverse=True)
+        s = np.zeros(keys.size, np.int64)
+        q = np.zeros(keys.size, np.int64)
+        np.add.at(s, inv, x)
+        np.add.at(q, inv, x * x)
+        return pa.table({
+            group_col: pa.array(keys),
+            "n": pa.array(np.bincount(inv, minlength=keys.size)
+                          .astype(np.int64)),
+            "s": pa.array(s, pa.int64()),
+            "q": pa.array(q, pa.int64())})
+
+    stats = ds.map_batches(partial, batch_format="pyarrow") \
+        .groupby(group_col) \
+        .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"),
+                   Sum("q", alias_name="q"))
+
+    def shape(batch: pa.Table) -> pa.Table:
+        x = np.floor(batch[value_col].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({id_col: batch[id_col],
+                         group_col: batch[group_col],
+                         "cents": pa.array(x, pa.int64())})
+
+    j = shuffle_hash_join(ds.map_batches(shape, batch_format="pyarrow"),
+                          stats, on=(group_col,), how="inner")
+
+    def flag(batch: pa.Table) -> pa.Table:
+        x = batch["cents"].to_numpy(zero_copy_only=False)
+        n = batch["n"].to_numpy(zero_copy_only=False)
+        s = batch["s"].to_numpy(zero_copy_only=False)
+        q = batch["q"].to_numpy(zero_copy_only=False)
+        lhs = n * x - s
+        keep = lhs * lhs > z * z * (n * q - s * s)
+        return batch.filter(pa.array(keep)) \
+            .select([id_col, group_col, "cents"])
+
+    from .relational import drop_empty_blocks
+
+    # the join can emit zero-column padding blocks that would corrupt the
+    # concatenated schema; the flagged output is outlier-sized, so the
+    # materializing strip is cheap
+    return drop_empty_blocks(
+        j.map_batches(flag, batch_format="pyarrow"),
+        empty_schema=pa.schema([
+            pa.field(id_col, pa.int64()),
+            pa.field(group_col, pa.int64()),
+            pa.field("cents", pa.int64())]))
+
+
 def profile_numeric_columns(ds: rd.Dataset, columns: list[str],
                             ndv: str = "exact") -> pd.DataFrame:
     """(column, n, n_null, n_distinct, min_v, max_v, sum_cents) per

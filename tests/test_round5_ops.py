@@ -389,3 +389,36 @@ def test_props_key_stats_handles_malformed(ray_session, tmp_path):
     for c in exp.columns:
         assert out[c].tolist() == exp[c].tolist(), c
     assert out.n_bad.sum() == 3      # 'not json', missing k, string k
+
+
+def test_grouped_zscore_outliers_boundary_exact(ray_session):
+    """Per-group flags match a brute-force integer reference, including
+    rows EXACTLY on the z^2 boundary (strict >) and constant groups
+    (variance 0 -> nothing flagged)."""
+    from search_engine_ray.stages.profile import grouped_zscore_outliers
+
+    rng = np.random.default_rng(11)
+    g = rng.integers(0, 6, 400)
+    x = rng.integers(-50, 51, 400).astype(np.float64)
+    g[:20] = 7
+    x[:20] = 3.0                                 # constant group: var 0
+    # plant unambiguous spikes (uniform data never exceeds 2 sigma)
+    spike = np.where(g == 2)[0][:3]
+    x[spike] = 4000.0
+    tbl = pa.table({"id": pa.array(list(range(400)), pa.int64()),
+                    "g": pa.array(g, pa.int64()),
+                    "v": pa.array(x / 100.0)})   # cents == x exactly
+    out = grouped_zscore_outliers(
+        rd.from_arrow(tbl).repartition(5), group_col="g", value_col="v",
+        id_col="id", z=2).to_pandas()
+    xi = np.floor(x).astype(np.int64)
+    want = set()
+    for grp in np.unique(g):
+        m = g == grp
+        n, s, q = int(m.sum()), int(xi[m].sum()), int((xi[m] ** 2).sum())
+        for i in np.where(m)[0]:
+            lhs = n * int(xi[i]) - s
+            if lhs * lhs > 4 * (n * q - s * s):
+                want.add(i)
+    assert set(out["id"].tolist()) == want
+    assert not (out["g"] == 7).any()
