@@ -180,7 +180,8 @@ HEADLINE = [
     "search_andnot", "sample_k_per_lang",
     # round-5 second half: composed curation + TPC-H joins + reshape
     "curate_corpus", "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
-    "promo_revenue_monthly", "event_type_corr",
+    "promo_revenue_monthly", "event_type_corr", "props_key_stats",
+    "events_user_anomaly",
 ]
 
 
