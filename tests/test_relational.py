@@ -547,3 +547,45 @@ def test_grouped_percentile_cont_matches_numpy(ray_session):
             hi = lo + 1 if num else lo
             exp = int(vals[lo]) * (100 - num) + int(vals[hi]) * num
             assert r[f"p{p}_x100"] == exp, (r["g"], p)
+
+
+def test_shuffle_hash_join_null_keys_dropped(ray_session):
+    """SQL equi-join semantics: NULL keys never match (inner drops them,
+    left keeps the row with a null payload) — pinned against DuckDB."""
+    import duckdb
+    from search_engine_ray.stages.relational import shuffle_hash_join
+
+    l = pa.table({"k": pa.array([1, 2, None, 3], pa.int64()),
+                  "a": pa.array([10, 20, 30, 40], pa.int64())})
+    r = pa.table({"k": pa.array([1, None, 3, 4], pa.int64()),
+                  "b": pa.array([100, 200, 300, 400], pa.int64())})
+    inner = shuffle_hash_join(rd.from_arrow(l), rd.from_arrow(r),
+                              on=("k",), how="inner").to_pandas() \
+        .sort_values("a").reset_index(drop=True)
+    exp = duckdb.sql("SELECT k, a, b FROM l JOIN r USING (k) "
+                     "ORDER BY a").df()
+    assert inner[["k", "a", "b"]].values.tolist() == exp.values.tolist()
+    left = shuffle_hash_join(rd.from_arrow(l), rd.from_arrow(r),
+                             on=("k",), how="left").to_pandas() \
+        .sort_values("a").reset_index(drop=True)
+    assert len(left) == 4
+    assert left.b.isna().sum() == 2          # null-key + unmatched rows
+
+
+def test_broadcast_hash_join_null_big_keys(ray_session):
+    """NULL big-side keys: inner drops the row, left appends a null
+    payload — same contract as the shuffle join."""
+    from search_engine_ray.stages.relational import broadcast_hash_join
+
+    big = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 3], pa.int64()),
+        "a": pa.array([10, 20, 30], pa.int64())}))
+    small = pa.table({"k": pa.array([1, 3], pa.int64()),
+                      "b": pa.array([100, 300], pa.int64())})
+    inner = broadcast_hash_join(big, small, big_key="k", small_key="k") \
+        .to_pandas().sort_values("a")
+    assert inner.a.tolist() == [10, 30]
+    left = broadcast_hash_join(big, small, big_key="k", small_key="k",
+                               how="left").to_pandas().sort_values("a")
+    assert left.a.tolist() == [10, 20, 30]
+    assert left.b.isna().tolist() == [False, True, False]
