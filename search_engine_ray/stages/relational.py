@@ -821,10 +821,13 @@ def pivot_counts(ds: rd.Dataset, *, group_col: str, pivot_col: str,
 
 def unpivot(ds: rd.Dataset, *, id_cols: tuple[str, ...],
             value_cols: tuple[str, ...], var_name: str = "variable",
-            value_name: str = "value") -> rd.Dataset:
+            value_name: str = "value",
+            include_nulls: bool = False) -> rd.Dataset:
     """Wide -> long reshape (pivot_counts' inverse, SQL UNPIVOT / melt):
     one output row per (input row, value column), carrying the id columns,
-    the column NAME and its value.
+    the column NAME and its value.  NULL cells are DROPPED by default —
+    SQL UNPIVOT semantics — and kept (as null value rows) with
+    ``include_nulls=True`` (pandas ``melt`` semantics).
 
     Scale shape: pure per-batch — the id columns are reused zero-copy per
     value column, the name column is a run-end-compressible constant, and
@@ -845,12 +848,14 @@ def unpivot(ds: rd.Dataset, *, id_cols: tuple[str, ...],
                     else pa.int64()
         parts = []
         for c in value_cols:
-            t = batch.select(list(id_cols))
+            src = batch if include_nulls else batch.filter(
+                pc.is_valid(batch[c]))
+            t = src.select(list(id_cols))
             t = t.append_column(
                 var_name, pa.DictionaryArray.from_arrays(
-                    pa.array(np.zeros(len(batch), np.int32)),
+                    pa.array(np.zeros(len(src), np.int32)),
                     pa.array([c], pa.string())).cast(pa.string()))
-            parts.append(t.append_column(value_name, batch[c].cast(vtype)))
+            parts.append(t.append_column(value_name, src[c].cast(vtype)))
         return pa.concat_tables(parts)
 
     return ds.select_columns(list(id_cols) + list(value_cols)) \

@@ -589,3 +589,22 @@ def test_broadcast_hash_join_null_big_keys(ray_session):
                                how="left").to_pandas().sort_values("a")
     assert left.a.tolist() == [10, 20, 30]
     assert left.b.isna().tolist() == [False, True, False]
+
+
+def test_unpivot_null_cells_sql_semantics(ray_session):
+    """NULL cells are dropped by default (SQL UNPIVOT); include_nulls=True
+    keeps them (pandas melt)."""
+    from search_engine_ray.stages.relational import unpivot
+
+    tbl = pa.table({"id": pa.array([1, 2], pa.int64()),
+                    "m1": pa.array([1.0, None], pa.float64()),
+                    "m2": pa.array([None, 4.0], pa.float64())})
+    out = unpivot(rd.from_arrow(tbl), id_cols=("id",),
+                  value_cols=("m1", "m2")).to_pandas() \
+        .sort_values("id").reset_index(drop=True)
+    assert out.id.tolist() == [1, 2]
+    assert out.variable.tolist() == ["m1", "m2"]
+    assert out.value.tolist() == [1.0, 4.0]
+    kept = unpivot(rd.from_arrow(tbl), id_cols=("id",),
+                   value_cols=("m1", "m2"), include_nulls=True).to_pandas()
+    assert len(kept) == 4 and kept.value.isna().sum() == 2
