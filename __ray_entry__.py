@@ -1843,6 +1843,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ray.data.aggregate import Sum
 
         from search_engine_ray.stages.relational import (broadcast_hash_join,
+                                                         drop_empty_blocks,
                                                          shuffle_hash_join)
 
         lo_us = 844_128_000 * 1_000_000   # 1996-10-01 UTC epoch micros
@@ -1891,6 +1892,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rev = joined.map_batches(partial, batch_format="pyarrow") \
             .groupby("c_custkey") \
             .aggregate(Sum("mc", alias_name="revenue_mc"))
+        # aggregate-into-join: strip zero-column padding blocks so the
+        # downstream join can't capture an empty left schema (see tpch_q18)
+        rev = drop_empty_blocks(rev, empty_schema=pa.schema(
+            [("c_custkey", pa.int64()), ("revenue_mc", pa.int64())]))
 
         cust = rd.read_parquet(
             f"{sf_dir}/customer.parquet",
@@ -1931,7 +1936,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
         from ray.data.aggregate import Sum
 
-        from search_engine_ray.stages.relational import shuffle_hash_join
+        from search_engine_ray.stages.relational import (drop_empty_blocks,
+                                                         shuffle_hash_join)
 
         def partial(b: pa.Table) -> pa.Table:
             ok = b["l_orderkey"].to_numpy(zero_copy_only=False)
@@ -1950,6 +1956,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Sum("q", alias_name="sum_qty")) \
             .map_batches(lambda b: b.filter(
                 pcm.greater(b["sum_qty"], 250)), batch_format="pyarrow")
+        # the HAVING keeps ~1% of orderkeys: at small SF most aggregate
+        # partitions come out EMPTY as zero-column padding blocks, which
+        # crash the downstream join's key resolution — strip them (the
+        # qualifying set is tiny, the materialize is cheap at any SF)
+        big = drop_empty_blocks(big, empty_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("sum_qty", pa.int64())]))
 
         orders = rd.read_parquet(
             f"{sf_dir}/orders.parquet",
@@ -1957,6 +1969,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                      "o_totalprice"])
         j = shuffle_hash_join(big, orders, on=("l_orderkey",),
                               right_on=("o_orderkey",), how="inner")
+        # join-after-join: a hash-shuffle join emits zero-column padding
+        # for its EMPTY partitions, and if the first bundle reaching the
+        # NEXT join is padding the captured left schema is empty and key
+        # resolution crashes (scheduling-order flaky).  The qualifying
+        # set is ~1%, so the strip is cheap.
+        j = drop_empty_blocks(j, empty_schema=pa.schema(
+            [("l_orderkey", pa.int64()), ("sum_qty", pa.int64()),
+             ("o_custkey", pa.int64()),
+             ("o_orderdate", pa.timestamp("us")),
+             ("o_totalprice", pa.float64())]))
         cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
                                columns=["c_custkey", "c_name"])
         j = shuffle_hash_join(j, cust, on=("o_custkey",),
@@ -2041,6 +2063,240 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .groupby("ym") \
             .aggregate(Sum("promo_mc", alias_name="promo_mc"),
                        Sum("total_mc", alias_name="total_mc"))
+
+    def tpch_q6(sf_dir):
+        """TPC-H Q6-shaped forecasting-revenue delta: the single-table
+        multi-predicate scan-aggregate that witnesses predicate pushdown
+        COMPOSING with the exact-integer surface.  The shipdate year, the
+        quantity cap and a conservative discount envelope ride into the
+        PyArrow scanner (row groups prune before bytes leave storage); the
+        exact half-up cents band [4, 6] resolves per batch; every block
+        collapses to ONE (revenue_dmc, n_items) partial so the fan-in is
+        metadata-scale.  revenue_dmc = SUM(price_cents * discount_cents)
+        — exact int64, no float in the hash surface."""
+        import datetime as dt
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        # envelope keeps a superset of cents-band [4, 6]; exact band below
+        flt = ((pads.field("l_shipdate") >= dt.datetime(1996, 1, 1))
+               & (pads.field("l_shipdate") < dt.datetime(1997, 1, 1))
+               & (pads.field("l_discount") > 0.03)
+               & (pads.field("l_discount") < 0.07)
+               & (pads.field("l_quantity") < 24.0))
+        ds = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_extendedprice", "l_discount"], filter=flt)
+
+        def partial(b: pa.Table) -> pa.Table:
+            price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc_c = np.floor(
+                b["l_discount"].to_numpy(zero_copy_only=False) * 100.0
+                + 0.5).astype(np.int64)
+            keep = (disc_c >= 4) & (disc_c <= 6)
+            price_c = np.floor(price[keep] * 100.0 + 0.5).astype(np.int64)
+            rev = int((price_c * disc_c[keep]).sum())
+            return pa.table({"g": pa.array([0], pa.int64()),
+                             "revenue_dmc": pa.array([rev], pa.int64()),
+                             "n_items": pa.array([int(keep.sum())],
+                                                 pa.int64())})
+
+        out = ds.map_batches(partial, batch_format="pyarrow") \
+            .groupby("g") \
+            .aggregate(Sum("revenue_dmc", alias_name="revenue_dmc"),
+                       Sum("n_items", alias_name="n_items"))
+        return out.map_batches(
+            lambda b: b.select(["revenue_dmc", "n_items"]),
+            batch_format="pyarrow")
+
+    def tpch_q4(sf_dir):
+        """TPC-H Q4-shaped order-priority check — the EXISTS semi-join
+        witness: orders in 1996H2 that have >=1 returned lineitem,
+        counted per priority.  The returned-lineitem key stream semi-joins
+        orders through the hash-partitioned ``shuffle_hash_join
+        (how="semi")`` (both sides fact-scale at extreme SF — no
+        broadcast, and semi-join semantics absorb key multiplicity so no
+        distinct pass is needed); each surviving block collapses to <=5
+        (priority, n) partials before the metadata-scale groupby.
+        All-string/int hash surface.  (The reference predicate
+        l_commitdate < l_receiptdate is re-expressed on the synthetic
+        schema as l_returnflag = 'R' — same lineitem-local shape.)"""
+        import datetime as dt
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import shuffle_hash_join
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"],
+            filter=((pads.field("o_orderdate") >= dt.datetime(1996, 7, 1))
+                    & (pads.field("o_orderdate") < dt.datetime(1997, 1, 1))))
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet", columns=["l_orderkey"],
+            filter=(pads.field("l_returnflag") == "R"))
+
+        hits = shuffle_hash_join(orders, li, on=("o_orderkey",),
+                                 right_on=("l_orderkey",), how="semi")
+
+        def partial(b: pa.Table) -> pa.Table:
+            pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+            keys, counts = np.unique(pr, return_counts=True)
+            return pa.table({
+                "o_orderpriority": pa.array(keys, pa.string()),
+                "n": pa.array(counts.astype(np.int64), pa.int64())})
+
+        return hits.map_batches(partial, batch_format="pyarrow") \
+            .groupby("o_orderpriority") \
+            .aggregate(Sum("n", alias_name="order_count")) \
+            .sort(key=["o_orderpriority"])
+
+    def tpch_q12(sf_dir):
+        """TPC-H Q12-shaped shipping-priority tally — the conditional-
+        aggregation (CASE ... pivoted counts) witness: 1996-shipped
+        lineitems join orders on the one fact x fact orderkey exchange;
+        the order side pre-collapses to a single ``is_high`` bit BEFORE
+        the shuffle (priority 1-URGENT / 2-HIGH), and each joined block
+        collapses to <=|flags| (returnflag, high, low) partials before
+        the metadata-scale groupby.  All-int64 counts.  (l_returnflag
+        stands in for the synthetic schema's missing l_shipmode; the
+        CASE-split semantics are Q12's.)"""
+        import datetime as dt
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.dataset as pads
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import shuffle_hash_join
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_returnflag"],
+            filter=((pads.field("l_shipdate") >= dt.datetime(1996, 1, 1))
+                    & (pads.field("l_shipdate") < dt.datetime(1997, 1, 1))))
+
+        def ord_shape(b: pa.Table) -> pa.Table:
+            hi = pcm.is_in(b["o_orderpriority"],
+                           value_set=pa.array(["1-URGENT", "2-HIGH"]))
+            return pa.table({"o_orderkey": b["o_orderkey"],
+                             "is_high": hi.cast(pa.int64())})
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_orderpriority"]) \
+            .map_batches(ord_shape, batch_format="pyarrow")
+
+        j = shuffle_hash_join(li, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",), how="inner")
+
+        def partial(b: pa.Table) -> pa.Table:
+            fl = b["l_returnflag"].to_numpy(zero_copy_only=False)
+            hi = b["is_high"].to_numpy(zero_copy_only=False)
+            keys, inv = np.unique(fl, return_inverse=True)
+            high = np.zeros(keys.size, np.int64)
+            low = np.zeros(keys.size, np.int64)
+            np.add.at(high, inv, hi)
+            np.add.at(low, inv, 1 - hi)
+            return pa.table({
+                "l_returnflag": pa.array(keys, pa.string()),
+                "h": pa.array(high, pa.int64()),
+                "l": pa.array(low, pa.int64())})
+
+        return j.map_batches(partial, batch_format="pyarrow") \
+            .groupby("l_returnflag") \
+            .aggregate(Sum("h", alias_name="high_line_count"),
+                       Sum("l", alias_name="low_line_count")) \
+            .sort(key=["l_returnflag"])
+
+    def tpch_q19(sf_dir):
+        """TPC-H Q19-shaped discounted-revenue over a DISJUNCTION of
+        brand/size/quantity clauses — the multi-clause predicate-join
+        witness: part collapses driver-side to a (p_partkey, clause)
+        payload holding ONLY parts that satisfy some clause's brand+size
+        arm (ships once via ray.put; broadcast guard: partkeys are dense,
+        so past worker heap this becomes a shuffle join on partkey);
+        lineitem streams with the quantity envelope pushed into the
+        scanner, the per-clause quantity bands resolve vectorized, and
+        each block collapses to ONE (revenue_mc, n_items) partial.
+        Exact int64 milli-cents."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import broadcast_hash_join
+
+        # (brand, size_lo..size_hi, qty_lo..qty_hi) per clause
+        clauses = [("Brand#12", 1, 15, 1, 15),
+                   ("Brand#15", 1, 20, 10, 25),
+                   ("Brand#23", 1, 25, 20, 35)]
+
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand", "p_size"])
+        brand = part["p_brand"].to_numpy(zero_copy_only=False)
+        size = part["p_size"].to_numpy(zero_copy_only=False)
+        clause = np.zeros(len(part), np.int64)
+        for i, (b_, s_lo, s_hi, _, _) in enumerate(clauses, start=1):
+            clause[(brand == b_) & (size >= s_lo) & (size <= s_hi)] = i
+        keep = clause > 0
+        small = pa.table({
+            "p_partkey": pa.array(
+                part["p_partkey"].to_numpy(zero_copy_only=False)[keep],
+                pa.int64()),
+            "clause": pa.array(clause[keep], pa.int64())})
+
+        q_lo = min(c[3] for c in clauses)
+        q_hi = max(c[4] for c in clauses)
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice",
+                     "l_discount"],
+            filter=((pads.field("l_quantity") >= float(q_lo))
+                    & (pads.field("l_quantity") <= float(q_hi))))
+        li = broadcast_hash_join(li, small, big_key="l_partkey",
+                                 small_key="p_partkey",
+                                 select=["clause"])
+
+        q_band = {i: (c[3], c[4]) for i, c in enumerate(clauses, start=1)}
+
+        def partial(b: pa.Table) -> pa.Table:
+            cl = b["clause"].to_numpy(zero_copy_only=False)
+            qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+            keep = np.zeros(len(cl), bool)
+            for i, (lo, hi) in q_band.items():
+                keep |= (cl == i) & (qty >= lo) & (qty <= hi)
+            price = b["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[keep]
+            disc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+            mc = np.floor(price * 100.0 + 0.5).astype(np.int64) \
+                * (100 - np.floor(disc * 100.0 + 0.5).astype(np.int64))
+            return pa.table({"g": pa.array([0], pa.int64()),
+                             "revenue_mc": pa.array([int(mc.sum())],
+                                                    pa.int64()),
+                             "n_items": pa.array([int(keep.sum())],
+                                                 pa.int64())})
+
+        out = li.map_batches(partial, batch_format="pyarrow") \
+            .groupby("g") \
+            .aggregate(Sum("revenue_mc", alias_name="revenue_mc"),
+                       Sum("n_items", alias_name="n_items"))
+        return out.map_batches(
+            lambda b: b.select(["revenue_mc", "n_items"]),
+            batch_format="pyarrow")
 
     def props_key_stats(sf_dir):
         """Semi-structured JSON extraction over the events `props` column
@@ -2824,6 +3080,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q5": tpch_q5,
         "tpch_q10": tpch_q10,
         "tpch_q18": tpch_q18,
+        "tpch_q4": tpch_q4,
+        "tpch_q6": tpch_q6,
+        "tpch_q12": tpch_q12,
+        "tpch_q19": tpch_q19,
         "promo_revenue_monthly": promo_revenue_monthly,
         "props_key_stats": props_key_stats,
         "events_user_anomaly": events_user_anomaly,
@@ -2886,6 +3146,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract_tf", "search_near", "search_prefix",
         "search_andnot", "sample_k_per_lang", "curate_corpus",
         "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
+        "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
         "event_type_corr",
         # (b) r5-touched paths (stop-term df threading, banded verify,
@@ -3872,6 +4133,63 @@ JOIN orders o   ON big.l_orderkey = o.o_orderkey
 JOIN customer c ON o.o_custkey = c.c_custkey
 ORDER BY totalprice_c DESC, o_orderkey
 LIMIT 100
+"""
+
+    # Q6: single-table multi-predicate scan-aggregate; the Ray side
+    # pushes the envelope into the scanner, the SQL states the exact band
+    sql["tpch_q6"] = """
+SELECT COALESCE(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)), 0)::BIGINT
+         AS revenue_dmc,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 4 AND 6
+  AND l_quantity < 24
+"""
+
+    # Q4: EXISTS semi-join (returned-lineitem proxy for the synthetic
+    # schema's missing commit/receipt dates)
+    sql["tpch_q4"] = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+    # Q12: conditional-aggregation CASE split per returnflag (stands in
+    # for the synthetic schema's missing l_shipmode)
+    sql["tpch_q12"] = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+    # Q19: disjunctive brand/size/quantity clauses over the part join
+    sql["tpch_q19"] = """
+SELECT COALESCE(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT))),
+                0)::BIGINT AS revenue_mc,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 1 AND 15)
+   OR (p_brand = 'Brand#15' AND p_size BETWEEN 1 AND 20
+       AND l_quantity BETWEEN 10 AND 25)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+       AND l_quantity BETWEEN 20 AND 35)
 """
 
     # Q14: the part dimension's single-bit payload; the promo ratio is a

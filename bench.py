@@ -182,6 +182,7 @@ HEADLINE = [
     "curate_corpus", "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
     "promo_revenue_monthly", "event_type_corr", "props_key_stats",
     "events_user_anomaly",
+    "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19",
 ]
 
 
@@ -262,7 +263,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             "spin_effective_cores": eff_cores,
             # cross-round comparability: value covers THIS headline set
             # (ADVICE r4: the set grows each round, readers must detect it)
-            "headline_set": "r5d",   # r5c + curation/TPC-H/reshape entries
+            "headline_set": "r5e",   # r5d + Q4/Q6/Q12/Q19 shapes
             "headline_n": len(HEADLINE),
             "detail_file": "BENCH_QUERIES.json",
         }

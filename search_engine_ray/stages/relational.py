@@ -29,6 +29,55 @@ import ray
 import ray.data as rd
 
 
+def _patch_hash_shuffle_schema_broadcast() -> None:
+    """Fix a Ray 2.49 hash-shuffle schema-broadcast race.
+
+    ``groupby().aggregate`` and ``Dataset.join`` emit ZERO-COLUMN padding
+    blocks for empty partitions.  The hash-shuffle operator broadcasts a
+    schema to its aggregator pool exactly ONCE — using whichever input
+    block arrives first (``hash_shuffle.py`` ``_do_add_input_inner``:
+    ``should_broadcast_schemas`` latches on the first block).  When that
+    first block is padding, every aggregator whose partition receives no
+    real shard builds a schema-less empty table, and a downstream join's
+    key resolution crashes with "No match ... for key field reference" —
+    nondeterministically, because it depends on bundle arrival order
+    (observed on aggregate->join and join->join compositions at small SF).
+
+    The patch skips the latch for zero-column bundles so the one-shot
+    broadcast is spent on the first REAL schema.  A side whose blocks are
+    ALL padding still has no schema to broadcast — that is the documented
+    ``drop_empty_blocks(empty_schema=...)`` case.
+    """
+    try:
+        from ray.data._internal.execution.operators.hash_shuffle import (
+            HashShufflingOperatorBase,
+        )
+    except ImportError:  # pragma: no cover - future Ray refactor
+        return
+    if getattr(HashShufflingOperatorBase, "_serx_schema_patch", False):
+        return
+    orig = HashShufflingOperatorBase._do_add_input_inner
+
+    def patched(self, input_bundle, input_index):
+        sch = input_bundle.schema
+        names = getattr(sch, "names", None) if sch is not None else None
+        zero_col = names is not None and len(names) == 0
+        if zero_col and not self._has_schemas_broadcasted[input_index]:
+            # spend the broadcast on the first REAL schema instead
+            self._has_schemas_broadcasted[input_index] = True
+            try:
+                return orig(self, input_bundle, input_index)
+            finally:
+                self._has_schemas_broadcasted[input_index] = False
+        return orig(self, input_bundle, input_index)
+
+    HashShufflingOperatorBase._do_add_input_inner = patched
+    HashShufflingOperatorBase._serx_schema_patch = True
+
+
+_patch_hash_shuffle_schema_broadcast()
+
+
 def _small_table(small: "rd.Dataset | pa.Table") -> pa.Table:
     if isinstance(small, pa.Table):
         return small

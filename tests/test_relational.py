@@ -608,3 +608,33 @@ def test_unpivot_null_cells_sql_semantics(ray_session):
     kept = unpivot(rd.from_arrow(tbl), id_cols=("id",),
                    value_cols=("m1", "m2"), include_nulls=True).to_pandas()
     assert len(kept) == 4 and kept.value.isna().sum() == 2
+
+
+def test_join_tolerates_zero_column_padding_block_first(ray_session):
+    """Regression: a zero-column padding block (what groupby().aggregate
+    and Dataset.join emit for empty partitions) arriving FIRST at a join
+    input used to latch an empty schema in the hash-shuffle broadcast,
+    crashing key resolution on every partition that received no real
+    shard.  The relational-module patch spends the one-shot broadcast on
+    the first REAL schema instead."""
+    import ray as _ray
+
+    from search_engine_ray.stages.relational import shuffle_hash_join
+
+    t = pa.table({"k": pa.array([1, 2, 3], pa.int64()),
+                  "v": pa.array([10, 20, 30], pa.int64())})
+    pad = pa.table({})
+    left = rd.from_arrow_refs([_ray.put(pad), _ray.put(t), _ray.put(pad)])
+    right = rd.from_arrow(pa.table({
+        "k": pa.array([2, 3, 4], pa.int64()),
+        "w": pa.array([5, 6, 7], pa.int64())}))
+    out = shuffle_hash_join(left, right, on=("k",), how="inner",
+                            num_partitions=8).to_pandas().sort_values("k")
+    assert out.k.tolist() == [2, 3]
+    assert out.w.tolist() == [5, 6]
+    # padding-first on the RIGHT side as well
+    out2 = shuffle_hash_join(
+        right, rd.from_arrow_refs([_ray.put(pad), _ray.put(t)]),
+        on=("k",), right_on=("k",), how="inner",
+        num_partitions=8).to_pandas().sort_values("k")
+    assert out2.k.tolist() == [2, 3]

@@ -269,12 +269,15 @@ def _mini_tpch(tmp_path):
         "o_orderstatus": pa.array(["O"] * n_ord),
         "o_totalprice": pa.array(rng.uniform(10, 1000, n_ord)),
         "o_orderdate": pa.array(dates, pa.timestamp("us")),
-        "o_orderpriority": pa.array(["1-URGENT"] * n_ord),
+        "o_orderpriority": pa.array(rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+             "5-LOW"], n_ord)),
     }), str(tmp_path / "orders.parquet"))
     pq.write_table(pa.table({
         "p_partkey": pa.array(list(range(1, 100)), pa.int64()),
         "p_name": pa.array([f"P{i}" for i in range(1, 100)]),
-        "p_brand": pa.array(["B1"] * 99),
+        "p_brand": pa.array(rng.choice(
+            ["Brand#12", "Brand#15", "Brand#23", "Brand#31"], 99)),
         "p_type": pa.array(rng.choice(["PROMO", "STANDARD", "SMALL"], 99)),
         "p_size": pa.array(rng.integers(1, 50, 99), pa.int32()),
         "p_retailprice": pa.array(rng.uniform(100, 2000, 99)),
@@ -315,7 +318,9 @@ def _duck_with_views(tmp_path, tables):
 
 
 @pytest.mark.parametrize("name", ["tpch_q5", "tpch_q10", "tpch_q18",
-                                  "promo_revenue_monthly"])
+                                  "promo_revenue_monthly",
+                                  "tpch_q4", "tpch_q6", "tpch_q12",
+                                  "tpch_q19"])
 def test_tpch_entry_matches_oracle(ray_session, tmp_path, name):
     _mini_tpch(tmp_path)
     m = _entry_module()
