@@ -934,6 +934,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                        value_col="value",
                                        id_col="event_id", z=2)
 
+    def events_type_mad(sf_dir):
+        """PER-TYPE robust (median/MAD) outliers — the robust-statistics
+        complement to the z-score entries: mean/stddev blow up under the
+        very outliers they hunt, median/MAD have a 50% breakdown point.
+        Two exact grouped medians (the PERCENTILE_CONT integer contract)
+        each rejoin onto the stream by the group key; the flag
+        100·dev > 3·mad_x10000 is pure int64 — no float hash surface."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.profile import grouped_mad_outliers
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "event_type", "value"])
+        return grouped_mad_outliers(ds, group_col="event_type",
+                                    value_col="value", id_col="event_id",
+                                    k_num=3, k_den=1)
+
     def orders_except_all(sf_dir):
         """Multiset EXCEPT ALL (bag semantics): each custkey keeps
         multiplicity = non-urgent order count; one all-to-all of per-block
@@ -3087,6 +3104,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "promo_revenue_monthly": promo_revenue_monthly,
         "props_key_stats": props_key_stats,
         "events_user_anomaly": events_user_anomaly,
+        "events_type_mad": events_type_mad,
         "event_type_corr": event_type_corr,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
@@ -3148,7 +3166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
         "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
-        "event_type_corr",
+        "events_type_mad", "event_type_corr",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -4229,6 +4247,53 @@ WHERE (s.n * c.cents - s.sm) * (s.n * c.cents - s.sm)
 
     # semi-structured extraction: the SQL side goes through a REAL JSON
     # parser (json_extract_string) — the regex fast path must agree
+    # robust per-type outliers: two exact rank-arithmetic medians (the
+    # same ROW_NUMBER contract as event_type_percentile_cont), then the
+    # all-integer MAD inequality
+    sql["events_type_mad"] = """
+WITH c AS (
+    SELECT event_id, event_type, CAST(FLOOR(value * 100) AS BIGINT) AS cents
+    FROM events WHERE value IS NOT NULL
+),
+n1 AS (SELECT event_type, COUNT(*)::BIGINT AS n FROM c GROUP BY event_type),
+o1 AS (SELECT event_type, cents,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY cents) AS rk
+       FROM c),
+m1 AS (
+    SELECT n1.event_type,
+           (lo.cents * (100 - ((n1.n - 1) * 50) % 100)
+            + hi.cents * (((n1.n - 1) * 50) % 100))::BIGINT AS med_x100
+    FROM n1
+    JOIN o1 lo ON lo.event_type = n1.event_type
+              AND lo.rk = ((n1.n - 1) * 50) // 100 + 1
+    JOIN o1 hi ON hi.event_type = n1.event_type
+              AND hi.rk = CASE WHEN ((n1.n - 1) * 50) % 100 = 0
+                               THEN ((n1.n - 1) * 50) // 100 + 1
+                               ELSE ((n1.n - 1) * 50) // 100 + 2 END),
+d AS (
+    SELECT c.event_id, c.event_type, c.cents, m1.med_x100,
+           ABS(100 * c.cents - m1.med_x100)::BIGINT AS dev
+    FROM c JOIN m1 USING (event_type)
+),
+o2 AS (SELECT event_type, dev,
+              ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY dev) AS rk
+       FROM d),
+m2 AS (
+    SELECT n1.event_type,
+           (lo.dev * (100 - ((n1.n - 1) * 50) % 100)
+            + hi.dev * (((n1.n - 1) * 50) % 100))::BIGINT AS mad_x10000
+    FROM n1
+    JOIN o2 lo ON lo.event_type = n1.event_type
+              AND lo.rk = ((n1.n - 1) * 50) // 100 + 1
+    JOIN o2 hi ON hi.event_type = n1.event_type
+              AND hi.rk = CASE WHEN ((n1.n - 1) * 50) % 100 = 0
+                               THEN ((n1.n - 1) * 50) // 100 + 1
+                               ELSE ((n1.n - 1) * 50) // 100 + 2 END)
+SELECT d.event_id, d.event_type, d.cents, d.med_x100, m2.mad_x10000
+FROM d JOIN m2 USING (event_type)
+WHERE 100 * d.dev > 3 * m2.mad_x10000
+"""
+
     sql["props_key_stats"] = """
 WITH e AS (
     SELECT event_type,

@@ -182,7 +182,7 @@ HEADLINE = [
     "curate_corpus", "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
     "promo_revenue_monthly", "event_type_corr", "props_key_stats",
     "events_user_anomaly",
-    "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19",
+    "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19", "events_type_mad",
 ]
 
 

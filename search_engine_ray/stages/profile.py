@@ -137,6 +137,86 @@ def grouped_zscore_outliers(ds: rd.Dataset, *, group_col: str,
             pa.field("cents", pa.int64())]))
 
 
+def grouped_mad_outliers(ds: rd.Dataset, *, group_col: str,
+                         value_col: str, id_col: str,
+                         k_num: int = 3, k_den: int = 1,
+                         group_type: "pa.DataType | None" = None
+                         ) -> rd.Dataset:
+    """PER-GROUP robust outliers by median absolute deviation — the
+    robust-statistics complement to :func:`grouped_zscore_outliers`
+    (mean/stddev blow up under the very outliers they hunt; median/MAD
+    have a 50% breakdown point).  Two exact grouped medians
+    (:func:`~.relational.grouped_percentile_cont`, the PERCENTILE_CONT
+    integer-exact contract) each REJOIN onto the stream by the group key
+    (aggregate→rejoin, group-cardinality stats never broadcast):
+
+        cents      = floor(value * 100)                  (int64)
+        med_x100   = 100 * median(cents)                 (exact, pass 1)
+        dev        = |100*cents - med_x100|              (cents×100)
+        mad_x10000 = 100 * median(dev)                   (exact, pass 2)
+        outlier   ⇔ k_den * 100 * dev > k_num * mad_x10000
+
+    — all-int64, no float in the hash surface.  Scale note: the grouped
+    median sorts each group in one worker (the documented
+    ``grouped_percentile_cont`` caveat); at corpus scale swap in the
+    ``_global_rank_select`` histogram-refinement rank selection per
+    group — same integer contract, no single-worker sort.
+    """
+    from .relational import (drop_empty_blocks, grouped_percentile_cont,
+                             shuffle_hash_join)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        b = batch.filter(pc.is_valid(batch[value_col]))
+        x = np.floor(b[value_col].to_numpy(zero_copy_only=False)
+                     * 100.0).astype(np.int64)
+        return pa.table({id_col: b[id_col], group_col: b[group_col],
+                         "cents": pa.array(x, pa.int64())})
+
+    base = ds.map_batches(shape, batch_format="pyarrow")
+
+    med = grouped_percentile_cont(base, group_col=group_col,
+                                  value_col="cents", ps=(50,),
+                                  count_alias="n_med") \
+        .map_batches(lambda b: pa.table({
+            group_col: b[group_col],
+            "med_x100": b["p50_x100"]}), batch_format="pyarrow")
+    j1 = shuffle_hash_join(base, med, on=(group_col,), how="inner")
+
+    def dev_shape(b: pa.Table) -> pa.Table:
+        c = b["cents"].to_numpy(zero_copy_only=False)
+        m = b["med_x100"].to_numpy(zero_copy_only=False)
+        return pa.table({id_col: b[id_col], group_col: b[group_col],
+                         "cents": b["cents"], "med_x100": b["med_x100"],
+                         "dev": pa.array(np.abs(100 * c - m), pa.int64())})
+
+    devds = j1.map_batches(dev_shape, batch_format="pyarrow")
+
+    mad = grouped_percentile_cont(devds, group_col=group_col,
+                                  value_col="dev", ps=(50,),
+                                  count_alias="n_mad") \
+        .map_batches(lambda b: pa.table({
+            group_col: b[group_col],
+            "mad_x10000": b["p50_x100"]}), batch_format="pyarrow")
+    j2 = shuffle_hash_join(devds, mad, on=(group_col,), how="inner")
+
+    def flag(b: pa.Table) -> pa.Table:
+        dev = b["dev"].to_numpy(zero_copy_only=False)
+        madv = b["mad_x10000"].to_numpy(zero_copy_only=False)
+        keep = k_den * 100 * dev > k_num * madv
+        return b.filter(pa.array(keep)) \
+            .select([id_col, group_col, "cents", "med_x100",
+                     "mad_x10000"])
+
+    gt = group_type if group_type is not None else pa.string()
+    return drop_empty_blocks(
+        j2.map_batches(flag, batch_format="pyarrow"),
+        empty_schema=pa.schema([
+            pa.field(id_col, pa.int64()), pa.field(group_col, gt),
+            pa.field("cents", pa.int64()),
+            pa.field("med_x100", pa.int64()),
+            pa.field("mad_x10000", pa.int64())]))
+
+
 def profile_numeric_columns(ds: rd.Dataset, columns: list[str],
                             ndv: str = "exact") -> pd.DataFrame:
     """(column, n, n_null, n_distinct, min_v, max_v, sum_cents) per

@@ -427,3 +427,36 @@ def test_grouped_zscore_outliers_boundary_exact(ray_session):
                 want.add(i)
     assert set(out["id"].tolist()) == want
     assert not (out["g"] == 7).any()
+
+
+def test_events_type_mad_matches_oracle(ray_session, tmp_path):
+    """Grouped median/MAD outliers: even-sized groups force interpolated
+    medians, duplicated values force rank ties — both must land on the
+    same integer surface as the rank-arithmetic SQL."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(11)
+    n = 1501  # odd total, mixed odd/even per group
+    vals = np.round(rng.uniform(0, 300, n), 2)
+    vals[:50] = 7.77            # heavy tie block at one value
+    vals[50:60] = 5000.0        # genuine outliers
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(n)), pa.int64()),
+        "ts": pa.array((pd.Timestamp("2024-01-01") + pd.to_timedelta(
+            rng.integers(0, 86400, n), unit="s"))
+            .astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(1, 40, n), pa.int64()),
+        "event_type": pa.array(rng.choice(["a", "b", "c"], n)),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * n),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    out = m.queries()["events_type_mad"](str(tmp_path)).to_pandas() \
+        .sort_values("event_id").reset_index(drop=True)
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["events_type_mad"]).df() \
+        .sort_values("event_id").reset_index(drop=True)
+    assert len(out) == len(exp) and len(out) > 0
+    for c in exp.columns:
+        assert out[c].tolist() == exp[c].tolist(), c
