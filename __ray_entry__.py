@@ -951,6 +951,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     value_col="value", id_col="event_id",
                                     k_num=3, k_den=1)
 
+    def events_spearman(sf_dir):
+        """Per-type Spearman rank correlation of (ts, value) — the
+        rank-statistics complement to event_type_corr's Pearson moments:
+        monotone-but-nonlinear drift shows up here first.  Rows rank by
+        (x, event_id) / (y, event_id) so every rank is a deterministic
+        exact int (ROW_NUMBER semantics BOTH sides, no tie-averaging);
+        each group collapses to (n, sum_d2) and rho = 1 - 6·sum_d2 /
+        (n(n²-1)) is one float division away — int64-only hash surface."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import ray.data as rd
+
+        from search_engine_ray.stages.regression import grouped_spearman
+
+        def shape(b: pa.Table) -> pa.Table:
+            b = b.filter(pcm.and_(pcm.is_valid(b["ts"]),
+                                  pcm.is_valid(b["value"])))
+            x = b["ts"].cast(pa.timestamp("us"), safe=False).cast(pa.int64())
+            y = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0).astype(np.int64)
+            return pa.table({"event_id": b["event_id"],
+                             "event_type": b["event_type"],
+                             "x": x, "y": pa.array(y, pa.int64())})
+
+        ds = rd.read_parquet(
+            f"{sf_dir}/events.parquet",
+            columns=["event_id", "event_type", "ts", "value"]) \
+            .map_batches(shape, batch_format="pyarrow")
+        return grouped_spearman(ds, group_col="event_type", x_col="x",
+                                y_col="y", id_col="event_id") \
+            .sort(key=["event_type"])
+
     def orders_except_all(sf_dir):
         """Multiset EXCEPT ALL (bag semantics): each custkey keeps
         multiplicity = non-urgent order count; one all-to-all of per-block
@@ -3105,6 +3138,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_key_stats": props_key_stats,
         "events_user_anomaly": events_user_anomaly,
         "events_type_mad": events_type_mad,
+        "events_spearman": events_spearman,
         "event_type_corr": event_type_corr,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
@@ -3166,7 +3200,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
         "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
-        "events_type_mad", "event_type_corr",
+        "events_type_mad", "events_spearman", "event_type_corr",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -4292,6 +4326,28 @@ m2 AS (
 SELECT d.event_id, d.event_type, d.cents, d.med_x100, m2.mad_x10000
 FROM d JOIN m2 USING (event_type)
 WHERE 100 * d.dev > 3 * m2.mad_x10000
+"""
+
+    # per-type Spearman: ROW_NUMBER ranks with the SAME deterministic
+    # (value, event_id) tie-break as the numpy lexsort
+    sql["events_spearman"] = """
+WITH c AS (
+    SELECT event_id, event_type,
+           epoch_us(ts)::BIGINT AS x,
+           CAST(FLOOR(value * 100) AS BIGINT) AS y
+    FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+),
+r AS (
+    SELECT event_type,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY x, event_id) AS rx,
+           ROW_NUMBER() OVER (PARTITION BY event_type
+                              ORDER BY y, event_id) AS ry
+    FROM c
+)
+SELECT event_type, COUNT(*)::BIGINT AS n,
+       SUM((rx - ry) * (rx - ry))::BIGINT AS sum_d2
+FROM r GROUP BY event_type ORDER BY event_type
 """
 
     sql["props_key_stats"] = """

@@ -23,7 +23,8 @@ import numpy as np
 import pyarrow as pa
 import ray.data as rd
 
-__all__ = ["linreg_sufficient_stats", "solve_ridge_3x3"]
+__all__ = ["linreg_sufficient_stats", "solve_ridge_3x3",
+           "grouped_spearman"]
 
 _STAT_COLS = ["n", "sx1", "sx2", "sy", "s11", "s12", "s22", "sx1y", "sx2y"]
 
@@ -80,3 +81,40 @@ def solve_ridge_3x3(stats: dict[str, int], *, lam: int = 0
           - a12 * (a12 * v3 - v2 * a13)
           + v1 * (a12 * a23 - a22 * a13))
     return det, d0 / det, d1 / det, d2 / det
+
+
+def grouped_spearman(ds: rd.Dataset, *, group_col: str, x_col: str,
+                     y_col: str, id_col: str) -> rd.Dataset:
+    """Per-group Spearman rank-correlation sufficient statistic with an
+    all-integer surface: rows rank by ``(x, id)`` and ``(y, id)`` (the
+    deterministic tie-break makes every rank an exact int — both sides
+    compute ROW_NUMBER semantics, not tie-averaged ranks), and the group
+    collapses to ``(n, sum_d2)`` where ``sum_d2 = Σ(rank_x - rank_y)²``.
+    Spearman's ``rho = 1 - 6·sum_d2 / (n(n²-1))`` is one float division
+    away and stays OFF the hash surface (the Q14-ratio pattern).
+
+    Scale note: each group ranks in one worker (``map_groups``, the same
+    documented caveat as ``grouped_percentile_cont``); a corpus-scale
+    group would use two distributed sorts + ``ordered_prefix_sum``-style
+    block-offset ranking — same integer contract.  Int64 bound:
+    ``n·(n-1)² < 2^63`` per group.
+    """
+
+    def per_group(g: pa.Table) -> pa.Table:
+        key = g[group_col][0].as_py()
+        x = g[x_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = g[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        i = g[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        n = x.size
+        rx = np.empty(n, np.int64)
+        rx[np.lexsort((i, x))] = np.arange(1, n + 1)
+        ry = np.empty(n, np.int64)
+        ry[np.lexsort((i, y))] = np.arange(1, n + 1)
+        d = rx - ry
+        return pa.table({group_col: pa.array([key]),
+                         "n": pa.array([n], pa.int64()),
+                         "sum_d2": pa.array([int((d * d).sum())],
+                                            pa.int64())})
+
+    return ds.select_columns([group_col, x_col, y_col, id_col]) \
+        .groupby(group_col).map_groups(per_group, batch_format="pyarrow")

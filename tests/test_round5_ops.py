@@ -460,3 +460,40 @@ def test_events_type_mad_matches_oracle(ray_session, tmp_path):
     assert len(out) == len(exp) and len(out) > 0
     for c in exp.columns:
         assert out[c].tolist() == exp[c].tolist(), c
+
+
+def test_events_spearman_matches_oracle_and_monotone(ray_session, tmp_path):
+    """Heavy x/y ties must resolve identically through numpy lexsort and
+    SQL ROW_NUMBER (both tie-break on event_id); a perfectly monotone
+    group must collapse to sum_d2 == 0 (rho = 1)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    n = 1200
+    ts = (pd.Timestamp("2024-01-01") + pd.to_timedelta(
+        rng.integers(0, 500, n), unit="s")).astype("datetime64[us]")
+    vals = np.round(rng.choice([1.0, 2.5, 7.77, 100.0], n), 2)
+    types = rng.choice(["a", "b"], n)
+    # group "mono": value strictly increases with ts -> rho exactly 1
+    ts_m = (pd.Timestamp("2024-02-01") + pd.to_timedelta(
+        np.arange(50), unit="s")).astype("datetime64[us]")
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(n + 50)), pa.int64()),
+        "ts": pa.array(np.concatenate([np.asarray(ts), np.asarray(ts_m)]),
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * (n + 50), pa.int64()),
+        "event_type": pa.array(list(types) + ["mono"] * 50),
+        "value": pa.array(np.concatenate([vals, np.arange(50) * 1.5])),
+        "props": pa.array(["{}"] * (n + 50)),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    out = m.queries()["events_spearman"](str(tmp_path)).to_pandas() \
+        .sort_values("event_type").reset_index(drop=True)
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["events_spearman"]).df() \
+        .sort_values("event_type").reset_index(drop=True)
+    for c in exp.columns:
+        assert out[c].tolist() == exp[c].tolist(), c
+    mono = out[out.event_type == "mono"].iloc[0]
+    assert mono.n == 50 and mono.sum_d2 == 0
