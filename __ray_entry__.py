@@ -984,6 +984,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 y_col="y", id_col="event_id") \
             .sort(key=["event_type"])
 
+    def events_iso_weekly(sf_dir):
+        """ISO-8601 week rollup — the calendar-arithmetic parity witness
+        (ISO weeks cross Gregorian year boundaries: 2021-01-01 is
+        (2020, W53)).  The Thursday rule runs vectorized in pure integer
+        numpy: weekday = (epoch_day + 3) mod 7, the week's Thursday picks
+        both the ISO year and, via its day-of-year, the week index
+        ((doy-1) // 7 + 1).  Each block collapses to ≤|weeks| partials;
+        all-int64 surface vs DuckDB's ISOYEAR/WEEK extracts."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        def partial(b: pa.Table) -> pa.Table:
+            b = b.filter(pcm.and_(pcm.is_valid(b["ts"]),
+                                  pcm.is_valid(b["value"])))
+            us = b["ts"].cast(pa.timestamp("us"), safe=False) \
+                .cast(pa.int64()).to_numpy(zero_copy_only=False)
+            day = us // 86_400_000_000
+            wd = (day + 3) % 7                    # 0 = Monday
+            thu = (day - wd + 3).astype("datetime64[D]")
+            yr = thu.astype("datetime64[Y]")
+            iso_year = yr.astype(np.int64) + 1970
+            doy = (thu - yr.astype("datetime64[D]")).astype(np.int64) + 1
+            iso_week = (doy - 1) // 7 + 1
+            cents = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                             * 100.0).astype(np.int64)
+            ym = iso_year * 100 + iso_week
+            keys, inv = np.unique(ym, return_inverse=True)
+            s = np.zeros(keys.size, np.int64)
+            np.add.at(s, inv, cents)
+            return pa.table({
+                "iso_year": pa.array(keys // 100, pa.int64()),
+                "iso_week": pa.array(keys % 100, pa.int64()),
+                "n": pa.array(np.bincount(inv, minlength=keys.size)
+                              .astype(np.int64)),
+                "cents": pa.array(s, pa.int64())})
+
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["ts", "value"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby(["iso_year", "iso_week"]) \
+            .aggregate(Sum("n", alias_name="n_events"),
+                       Sum("cents", alias_name="sum_cents"))
+
     def orders_except_all(sf_dir):
         """Multiset EXCEPT ALL (bag semantics): each custkey keeps
         multiplicity = non-urgent order count; one all-to-all of per-block
@@ -3139,6 +3185,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_user_anomaly": events_user_anomaly,
         "events_type_mad": events_type_mad,
         "events_spearman": events_spearman,
+        "events_iso_weekly": events_iso_weekly,
         "event_type_corr": event_type_corr,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
@@ -3200,7 +3247,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
         "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
-        "events_type_mad", "events_spearman", "event_type_corr",
+        "events_type_mad", "events_spearman", "events_iso_weekly",
+        "event_type_corr",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -4348,6 +4396,16 @@ r AS (
 SELECT event_type, COUNT(*)::BIGINT AS n,
        SUM((rx - ry) * (rx - ry))::BIGINT AS sum_d2
 FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+    # ISO week rollup: DuckDB WEEK is the ISO week, ISOYEAR its year
+    sql["events_iso_weekly"] = """
+SELECT EXTRACT(ISOYEAR FROM ts)::BIGINT AS iso_year,
+       EXTRACT(WEEK FROM ts)::BIGINT AS iso_week,
+       COUNT(*)::BIGINT AS n_events,
+       SUM(CAST(FLOOR(value * 100) AS BIGINT))::BIGINT AS sum_cents
+FROM events WHERE ts IS NOT NULL AND value IS NOT NULL
+GROUP BY 1, 2
 """
 
     sql["props_key_stats"] = """

@@ -497,3 +497,34 @@ def test_events_spearman_matches_oracle_and_monotone(ray_session, tmp_path):
         assert out[c].tolist() == exp[c].tolist(), c
     mono = out[out.event_type == "mono"].iloc[0]
     assert mono.n == 50 and mono.sum_d2 == 0
+
+
+def test_events_iso_weekly_year_boundaries(ray_session, tmp_path):
+    """ISO weeks crossing Gregorian years: 2021-01-01 -> (2020, W53),
+    2016-01-03 -> (2015, W53), 2001-12-31 -> (2002, W1), plus a leap-year
+    sweep — the Thursday-rule kernel must agree with DuckDB ISOYEAR/WEEK
+    on every day of 1995-2024."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    days = pd.date_range("1995-01-01", "2024-12-31", freq="D")
+    n = len(days)
+    pq.write_table(pa.table({
+        "event_id": pa.array(list(range(n)), pa.int64()),
+        "ts": pa.array(days.values.astype("datetime64[us]"),
+                       pa.timestamp("us")),
+        "user_id": pa.array([1] * n, pa.int64()),
+        "event_type": pa.array(["t"] * n),
+        "value": pa.array([1.0] * n),
+        "props": pa.array(["{}"] * n),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    cols = ["iso_year", "iso_week"]
+    out = m.queries()["events_iso_weekly"](str(tmp_path)).to_pandas() \
+        .sort_values(cols).reset_index(drop=True)
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["events_iso_weekly"]).df() \
+        .sort_values(cols).reset_index(drop=True)
+    assert len(out) == len(exp) > 1500
+    for c in exp.columns:
+        assert out[c].tolist() == exp[c].tolist(), c
