@@ -813,6 +813,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["o_orderkey", "o_custkey", "c_name", "c_mktsegment",
              "o_totalprice"])
 
+    def customer_orders_merge(sf_dir):
+        """The same join answered by the RANGE-PARTITIONED SORT-MERGE
+        plan (stages/relational range_merge_join): a bounded key sample
+        picks equal-frequency boundaries, both sides tag a range id with
+        one searchsorted per batch, and co-ranged pairs merge-join
+        vectorized — ordered runs out, clustered keys stay range-local.
+        Must produce exactly the hash plan's rows."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import range_merge_join
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = rd.read_parquet(
+            f"{sf_dir}/customer.parquet",
+            columns=["c_custkey", "c_name", "c_mktsegment"])
+        return range_merge_join(
+            orders, cust, on="o_custkey", right_on="c_custkey",
+            how="inner", num_partitions=8).select_columns(
+            ["o_orderkey", "o_custkey", "c_name", "c_mktsegment",
+             "o_totalprice"])
+
     def customer_orders_skew(sf_dir):
         """The same join answered by the skew-aware plan: the orders-side
         key histogram classifies hot custkeys (threshold forced low here so
@@ -3143,6 +3166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "urgent_lineitems_bloom": urgent_lineitems_bloom,
         "events_range_join": events_range_join,
         "customer_orders": customer_orders,
+        "customer_orders_merge": customer_orders_merge,
         "customer_orders_skew": customer_orders_skew,
         "customer_orders_full": customer_orders_full,
         "customers_no_urgent": customers_no_urgent,
@@ -3248,7 +3272,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
         "events_type_mad", "events_spearman", "events_iso_weekly",
-        "event_type_corr",
+        "customer_orders_merge", "event_type_corr",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -3845,6 +3869,9 @@ FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
 
     # the skew-aware plan must produce exactly the plain join's rows
     sql["customer_orders_skew"] = sql["customer_orders"]
+
+    # ...and so must the range-partitioned sort-merge plan
+    sql["customer_orders_merge"] = sql["customer_orders"]
 
     # right side restricted to urgent orders so BOTH unmatched directions
     # actually occur (customers with no urgent order -> NULL o_orderkey)

@@ -183,7 +183,7 @@ HEADLINE = [
     "promo_revenue_monthly", "event_type_corr", "props_key_stats",
     "events_user_anomaly",
     "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19", "events_type_mad",
-    "events_spearman", "events_iso_weekly",
+    "events_spearman", "events_iso_weekly", "customer_orders_merge",
 ]
 
 

@@ -1114,3 +1114,157 @@ def global_percentile_cont(ds: rd.Dataset, *, value_col: str,
              "interp_x100"]
     return pa.table({nm: pa.array(list(c), pa.int64())
                      for nm, c in zip(names, cols)})
+
+
+def range_merge_join(left: rd.Dataset, right: rd.Dataset, *,
+                     on: str, right_on: str | None = None,
+                     how: str = "inner",
+                     num_partitions: int | None = None,
+                     sample_per_block: int = 64) -> rd.Dataset:
+    """Range-partitioned SORT-MERGE equi-join — the ordered complement to
+    :func:`shuffle_hash_join`.
+
+    Plan: (1) a bounded deterministic key sample of the left side (every
+    n/``sample_per_block``-th key per block — ``blocks × 64`` scalars on
+    the driver, never row-proportional) picks ``num_partitions - 1``
+    equal-frequency BOUNDARIES, so clustered / monotone key
+    distributions that a hash partitioner would scatter stay range-local
+    and ranges balance by observed row count; (2) both sides tag a range
+    id with ONE vectorized ``searchsorted`` per batch and exchange on
+    it; (3) each co-ranged pair merge-joins locally, fully vectorized
+    (sort both sides by key, ``searchsorted`` lo/hi bounds per left row,
+    ``np.repeat`` pair expansion — no per-row Python).  Output rows come
+    out key-sorted WITHIN each range (downstream merges / ordered writes
+    read runs, not shuffles).
+
+    SQL NULL-key contract (pinned for the other two join primitives):
+    ``inner`` drops null-key rows on both sides; ``left`` keeps left
+    rows with a null payload.  ``how``: inner | left.  Non-key column
+    names must be disjoint.  The sample pass re-executes the left
+    upstream once (the documented recompute-over-materialize tradeoff —
+    same as the substring-dedup df pass).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError("range_merge_join supports how = inner | left")
+    rkey = right_on or on
+    if num_partitions is None:
+        num_partitions = max(2, int(ray.cluster_resources().get("CPU", 8)))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        col = batch[on].drop_null()
+        n = len(col)
+        if n == 0:
+            return pa.table({on: col})
+        step = max(1, n // sample_per_block)
+        return pa.table({on: col.take(pa.array(
+            np.arange(0, n, step, dtype=np.int64)))})
+
+    sampled = left.select_columns([on]) \
+        .map_batches(sample, batch_format="pyarrow").take_all()
+    keys = np.sort(np.array([r[on] for r in sampled]))
+    if keys.size:
+        qs = np.linspace(0, keys.size - 1, num_partitions + 1)[1:-1]
+        bounds = np.unique(keys[qs.astype(np.int64)])
+    else:
+        bounds = keys[:0]
+
+    def tag(batch: pa.Table, side: int, key: str,
+            other_cols: list[tuple[str, pa.DataType]]) -> pa.Table:
+        valid = pc.is_valid(batch[key])
+        if side == 1 or how == "inner":
+            batch = batch.filter(valid)
+            k = batch[key].to_numpy(zero_copy_only=False)
+            rid = np.searchsorted(bounds, k, side="right").astype(np.int64)
+        else:  # left outer keeps null-key left rows, own range
+            k = batch[key].to_numpy(zero_copy_only=False)
+            rid = np.where(
+                valid.to_numpy(zero_copy_only=False),
+                np.searchsorted(
+                    bounds,
+                    np.where(valid.to_numpy(zero_copy_only=False), k, bounds[0] if bounds.size else 0),
+                    side="right"),
+                -1).astype(np.int64)
+        out = {"_rid": pa.array(rid, pa.int64()),
+               "_side": pa.array(np.full(len(batch), side, np.int64),
+                                 pa.int64())}
+        for name in batch.column_names:
+            out[name] = batch[name]
+        for name, typ in other_cols:
+            out[name] = pa.nulls(len(batch), typ)
+        return pa.table(out)
+
+    lschema, rschema = left.schema(), right.schema()
+    lcols = list(zip(lschema.names, lschema.types))
+    rcols = [(n, t) for n, t in zip(rschema.names, rschema.types)
+             if n != rkey]
+    # rcols excludes the right key (it merges onto ``on``), so ANY name
+    # shared with the left — including a right payload column named like
+    # ``on`` — is a genuine collision
+    overlap = {n for n, _ in lcols} & {n for n, _ in rcols}
+    if overlap:
+        raise ValueError(f"range_merge_join: overlapping non-key columns "
+                         f"{sorted(overlap)}")
+
+    tagged_l = left.map_batches(
+        lambda b: tag(b, 0, on, rcols), batch_format="pyarrow")
+    # the right key column is renamed onto the left's so the merged
+    # output carries ONE key column (USING semantics, like Dataset.join)
+    def shape_right(b: pa.Table) -> pa.Table:
+        if rkey != on:
+            b = b.rename_columns(
+                [on if c == rkey else c for c in b.column_names])
+        return tag(b, 1, on, [(n, t) for n, t in lcols if n != on])
+
+    tagged_r = right.map_batches(shape_right, batch_format="pyarrow")
+    unioned = tagged_l.union(tagged_r)
+
+    l_names = [n for n, _ in lcols]
+    r_names = [n for n, _ in rcols if n != on]
+
+    def merge(g: pa.Table) -> pa.Table:
+        side = g["_side"].to_numpy(zero_copy_only=False)
+        lt = g.filter(pa.array(side == 0)).select(l_names)
+        rt = g.filter(pa.array(side == 1)).select([on] + r_names)
+        if len(lt) == 0:
+            # a range with only right-side rows joins to nothing
+            return pa.table({**{n: lt[n] for n in l_names},
+                             **{n: pa.nulls(0, rt[n].type)
+                                for n in r_names}})
+        lk = lt[on].to_numpy(zero_copy_only=False)
+        lorder = np.argsort(lk, kind="stable")
+        lt = lt.take(pa.array(lorder))
+        lk = lk[lorder]
+        rk = rt[on].to_numpy(zero_copy_only=False)
+        rorder = np.argsort(rk, kind="stable")
+        rt = rt.take(pa.array(rorder))
+        rk = rk[rorder]
+        # null-key left rows (how="left", rid == -1 groups) match nothing
+        lvalid = pc.is_valid(lt[on]).to_numpy(zero_copy_only=False)
+        lo = np.searchsorted(rk, lk, side="left")
+        hi = np.searchsorted(rk, lk, side="right")
+        cnt = np.where(lvalid, hi - lo, 0)
+        total = int(cnt.sum())
+        l_idx = np.repeat(np.arange(lk.size, dtype=np.int64), cnt)
+        starts = np.repeat(np.cumsum(cnt) - cnt, cnt)
+        r_idx = np.repeat(lo, cnt) + (np.arange(total, dtype=np.int64)
+                                      - starts)
+        out_l = lt.take(pa.array(l_idx, pa.int64()))
+        out_r = rt.take(pa.array(r_idx, pa.int64()))
+        cols = {n: out_l[n] for n in l_names}
+        for n in r_names:
+            cols[n] = out_r[n]
+        matched = pa.table(cols)
+        if how == "inner":
+            return matched
+        miss = cnt == 0
+        if not miss.any():
+            return matched
+        lt_miss = lt.filter(pa.array(miss))
+        mcols = {n: lt_miss[n] for n in l_names}
+        for n in r_names:
+            mcols[n] = pa.nulls(len(lt_miss), rt[n].type)
+        return pa.concat_tables([matched, pa.table(mcols)],
+                                promote_options="permissive")
+
+    return unioned.groupby("_rid").map_groups(merge,
+                                              batch_format="pyarrow")

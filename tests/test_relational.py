@@ -638,3 +638,64 @@ def test_join_tolerates_zero_column_padding_block_first(ray_session):
         on=("k",), right_on=("k",), how="inner",
         num_partitions=8).to_pandas().sort_values("k")
     assert out2.k.tolist() == [2, 3]
+
+
+def test_range_merge_join_matches_hash_join(ray_session):
+    """The range-partitioned sort-merge plan must produce EXACTLY the
+    hash plan's rows: duplicate keys both sides, a hot key, keys outside
+    the sampled boundary range, string keys, and the pinned NULL-key
+    contract (inner drops, left keeps with null payload)."""
+    import duckdb
+    import numpy as np
+
+    from search_engine_ray.stages.relational import (range_merge_join,
+                                                     shuffle_hash_join)
+
+    rng = np.random.default_rng(5)
+    n, m = 4000, 700
+    lk = rng.integers(0, 250, n)
+    lk[:400] = 9                     # hot key
+    l = pa.table({"k": pa.array(lk, pa.int64()),
+                  "a": pa.array(np.arange(n), pa.int64())})
+    r = pa.table({"rk": pa.array(rng.integers(-20, 300, m), pa.int64()),
+                  "b": pa.array(np.arange(m) * 3, pa.int64())})
+    L, R = rd.from_arrow(l).repartition(6), rd.from_arrow(r).repartition(3)
+    got = range_merge_join(L, R, on="k", right_on="rk", how="inner",
+                           num_partitions=8).to_pandas()
+    ref = shuffle_hash_join(L, R, on=("k",), right_on=("rk",),
+                            how="inner").to_pandas()
+    cols = ["k", "a", "b"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    e = ref[cols].sort_values(cols).reset_index(drop=True)
+    assert len(g) == len(e) > 0
+    assert g.equals(e.astype(g.dtypes.to_dict()))
+
+    # left join: null key kept with null payload; unmatched kept
+    lt = rd.from_arrow(pa.table({
+        "k": pa.array([1, None, 7, 99], pa.int64()),
+        "a": pa.array([10, 20, 30, 40], pa.int64())}))
+    rt = rd.from_arrow(pa.table({
+        "k": pa.array([1, 7, 7], pa.int64()),
+        "b": pa.array([100, 200, 300], pa.int64())}))
+    left = range_merge_join(lt, rt, on="k", how="left",
+                            num_partitions=4).to_pandas() \
+        .sort_values(["a", "b"]).reset_index(drop=True)
+    assert left.a.tolist() == [10, 20, 30, 30, 40]
+    assert left.b.fillna(-1).tolist() == [100, -1, 200, 300, -1]
+
+    # string keys rank and merge through the same searchsorted path
+    ls = rd.from_arrow(pa.table({"k": pa.array(["aa", "bb", "cc", "bb"]),
+                                 "a": pa.array([1, 2, 3, 4], pa.int64())}))
+    rs = rd.from_arrow(pa.table({"k": pa.array(["bb", "cc", "dd"]),
+                                 "b": pa.array([10, 20, 30], pa.int64())}))
+    s = range_merge_join(ls, rs, on="k", how="inner",
+                         num_partitions=3).to_pandas().sort_values("a")
+    assert s.a.tolist() == [2, 3, 4] and s.b.tolist() == [10, 20, 10]
+
+    with pytest.raises(ValueError, match="overlapping"):
+        range_merge_join(
+            rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                    "x": pa.array([1], pa.int64())})),
+            rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
+                                    "x": pa.array([2], pa.int64())})),
+            on="k", how="inner", num_partitions=2)
