@@ -1007,6 +1007,159 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 y_col="y", id_col="event_id") \
             .sort(key=["event_type"])
 
+    def tpch_q7(sf_dir):
+        """TPC-H Q7-shaped bilateral shipping volume — the ROLE-PLAYING
+        dimension witness: the SAME nation table binds twice (supplier
+        nation and customer nation), each through its own region-filtered
+        broadcast key map (ships once via ray.put; guard: at extreme SF
+        both switch to shuffle joins); the only all-to-all is lineitem ×
+        orders on orderkey, the (s_nat, c_nat) pair condition is a
+        stateless post-join filter, and blocks collapse to
+        ≤|pairs × years| partials.  Exact int64 milli-cents."""
+        import datetime as dt
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import (broadcast_hash_join,
+                                                         shuffle_hash_join)
+
+        nat_a, nat_b = "NATION_1", "NATION_2"
+        nat = pq.read_table(f"{sf_dir}/nation.parquet",
+                            columns=["n_nationkey", "n_name"])
+        keep = pcm.is_in(nat["n_name"],
+                         value_set=pa.array([nat_a, nat_b]))
+        nat = nat.filter(keep)
+        name_of = dict(zip(nat["n_nationkey"].to_pylist(),
+                           nat["n_name"].to_pylist()))
+        nkeys = nat["n_nationkey"].combine_chunks()
+
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+        supp = supp.filter(pcm.is_in(supp["s_nationkey"],
+                                     value_set=nkeys))
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        cust = cust.filter(pcm.is_in(cust["c_nationkey"],
+                                     value_set=nkeys))
+
+        def li_shape(b: pa.Table) -> pa.Table:
+            price = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = b["l_discount"].to_numpy(zero_copy_only=False)
+            mc = np.floor(price * 100.0 + 0.5).astype(np.int64) \
+                * (100 - np.floor(disc * 100.0 + 0.5).astype(np.int64))
+            sd = b["l_shipdate"].cast(pa.timestamp("us"), safe=False)
+            return pa.table({"l_orderkey": b["l_orderkey"],
+                             "l_suppkey": b["l_suppkey"],
+                             "l_year": pcm.year(sd).cast(pa.int64()),
+                             "mc": pa.array(mc, pa.int64())})
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount", "l_shipdate"],
+            filter=((pads.field("l_shipdate") >= dt.datetime(1996, 1, 1))
+                    & (pads.field("l_shipdate")
+                       < dt.datetime(1998, 1, 1)))) \
+            .map_batches(li_shape, batch_format="pyarrow")
+        li = broadcast_hash_join(li, supp, big_key="l_suppkey",
+                                 small_key="s_suppkey",
+                                 select=["s_nationkey"])
+
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_custkey"])
+        orders = broadcast_hash_join(orders, cust, big_key="o_custkey",
+                                     small_key="c_custkey",
+                                     select=["c_nationkey"])
+
+        j = shuffle_hash_join(li, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",), how="inner")
+
+        def partial(b: pa.Table) -> pa.Table:
+            sn = b["s_nationkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            cn = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            keep = sn != cn          # (A,B) or (B,A), never domestic
+            sn, cn = sn[keep], cn[keep]
+            yr = b["l_year"].to_numpy(zero_copy_only=False)[keep]
+            mc = b["mc"].to_numpy(zero_copy_only=False)[keep]
+            key = (sn * 100 + cn) * 10_000 + yr
+            keys, inv = np.unique(key, return_inverse=True)
+            sums = np.zeros(keys.size, np.int64)
+            np.add.at(sums, inv, mc)
+            return pa.table({"k": pa.array(keys, pa.int64()),
+                             "mc": pa.array(sums, pa.int64())})
+
+        agg = j.map_batches(partial, batch_format="pyarrow") \
+            .groupby("k").aggregate(Sum("mc", alias_name="revenue_mc"))
+
+        def shape(b: pa.Table) -> pa.Table:
+            k = b["k"].to_numpy(zero_copy_only=False)
+            sn = k // 1_000_000
+            cn = (k // 10_000) % 100
+            return pa.table({
+                "supp_nation": pa.array(
+                    [name_of[int(x)] for x in sn], pa.string()),
+                "cust_nation": pa.array(
+                    [name_of[int(x)] for x in cn], pa.string()),
+                "l_year": pa.array(k % 10_000, pa.int64()),
+                "revenue_mc": b["revenue_mc"]})
+
+        return agg.map_batches(shape, batch_format="pyarrow") \
+            .sort(key=["supp_nation", "cust_nation", "l_year"])
+
+    def embedding_dim_stats(sf_dir):
+        """Per-DIMENSION profiling of the list<float> embedding column —
+        the list-column data-shape witness: the Arrow ListArray flattens
+        zero-copy (values buffer + offsets, no per-row Python), dimension
+        indices derive vectorized from the offsets, and each block
+        collapses to ≤64 (dim, n, min, max, sum) partials.  Values
+        surface as floor(x·1e6) int64 (float32→float64 is exact, so the
+        double multiply matches DuckDB bit-for-bit)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Max, Min, Sum
+
+        def partial(b: pa.Table) -> pa.Table:
+            col = b["embedding"].combine_chunks()
+            flat = col.values.to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            off = col.offsets.to_numpy(zero_copy_only=False)
+            counts = np.diff(off)
+            starts = np.repeat(off[:-1], counts)
+            dims = np.arange(flat.size, dtype=np.int64) - starts
+            u = np.floor(flat * 1_000_000.0).astype(np.int64)
+            nd = int(dims.max()) + 1 if dims.size else 0
+            mn = np.full(nd, np.iinfo(np.int64).max, np.int64)
+            mx = np.full(nd, np.iinfo(np.int64).min, np.int64)
+            sm = np.zeros(nd, np.int64)
+            cn = np.zeros(nd, np.int64)
+            np.minimum.at(mn, dims, u)
+            np.maximum.at(mx, dims, u)
+            np.add.at(sm, dims, u)
+            np.add.at(cn, dims, 1)
+            return pa.table({"dim": pa.array(np.arange(nd), pa.int64()),
+                             "n": pa.array(cn, pa.int64()),
+                             "mn": pa.array(mn, pa.int64()),
+                             "mx": pa.array(mx, pa.int64()),
+                             "sm": pa.array(sm, pa.int64())})
+
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["embedding"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby("dim") \
+            .aggregate(Sum("n", alias_name="n"),
+                       Min("mn", alias_name="min_u"),
+                       Max("mx", alias_name="max_u"),
+                       Sum("sm", alias_name="sum_u"))
+
     def events_iso_weekly(sf_dir):
         """ISO-8601 week rollup — the calendar-arithmetic parity witness
         (ISO weeks cross Gregorian year boundaries: 2021-01-01 is
@@ -3210,6 +3363,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_type_mad": events_type_mad,
         "events_spearman": events_spearman,
         "events_iso_weekly": events_iso_weekly,
+        "embedding_dim_stats": embedding_dim_stats,
+        "tpch_q7": tpch_q7,
         "event_type_corr": event_type_corr,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
@@ -3269,10 +3424,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_extract_tf", "search_near", "search_prefix",
         "search_andnot", "sample_k_per_lang", "curate_corpus",
         "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
-        "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19",
+        "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19", "tpch_q7",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
         "events_type_mad", "events_spearman", "events_iso_weekly",
-        "customer_orders_merge", "event_type_corr",
+        "customer_orders_merge", "embedding_dim_stats",
+        "event_type_corr",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -4423,6 +4579,44 @@ r AS (
 SELECT event_type, COUNT(*)::BIGINT AS n,
        SUM((rx - ry) * (rx - ry))::BIGINT AS sum_d2
 FROM r GROUP BY event_type ORDER BY event_type
+"""
+
+    # Q7: the same nation dim binds twice (supplier vs customer role)
+    sql["tpch_q7"] = """
+WITH nat AS (SELECT n_nationkey, n_name FROM nation
+             WHERE n_name IN ('NATION_1', 'NATION_2'))
+SELECT s.n_name AS supp_nation, c.n_name AS cust_nation,
+       EXTRACT(YEAR FROM l_shipdate)::BIGINT AS l_year,
+       SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))::BIGINT
+         AS revenue_mc
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nat s    ON s_nationkey = s.n_nationkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nat c    ON c_nationkey = c.n_nationkey
+WHERE s.n_name <> c.n_name
+  AND l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+    # list-column profiling: per-dimension stats via unnest + subscripts
+    sql["embedding_dim_stats"] = """
+SELECT (ord - 1)::BIGINT AS dim,
+       COUNT(*)::BIGINT AS n,
+       MIN(u)::BIGINT AS min_u,
+       MAX(u)::BIGINT AS max_u,
+       SUM(u)::BIGINT AS sum_u
+FROM (
+    SELECT generate_subscripts(embedding, 1) AS ord,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS u
+    FROM embeddings
+)
+GROUP BY 1
 """
 
     # ISO week rollup: DuckDB WEEK is the ISO week, ISOYEAR its year

@@ -236,7 +236,7 @@ def _mini_tpch(tmp_path):
     }), str(tmp_path / "region.parquet"))
     pq.write_table(pa.table({
         "n_nationkey": pa.array(list(range(6)), pa.int32()),
-        "n_name": pa.array(["BRAZIL", "CHINA", "INDIA", "JAPAN",
+        "n_name": pa.array(["BRAZIL", "NATION_1", "NATION_2", "JAPAN",
                             "FRANCE", "GERMANY"]),
         "n_regionkey": pa.array([0, 1, 1, 1, 2, 2], pa.int32()),
     }), str(tmp_path / "nation.parquet"))
@@ -320,7 +320,7 @@ def _duck_with_views(tmp_path, tables):
 @pytest.mark.parametrize("name", ["tpch_q5", "tpch_q10", "tpch_q18",
                                   "promo_revenue_monthly",
                                   "tpch_q4", "tpch_q6", "tpch_q12",
-                                  "tpch_q19"])
+                                  "tpch_q19", "tpch_q7"])
 def test_tpch_entry_matches_oracle(ray_session, tmp_path, name):
     _mini_tpch(tmp_path)
     m = _entry_module()
@@ -526,5 +526,30 @@ def test_events_iso_weekly_year_boundaries(ray_session, tmp_path):
     exp = con.execute(m.oracle_sql()["events_iso_weekly"]).df() \
         .sort_values(cols).reset_index(drop=True)
     assert len(out) == len(exp) > 1500
+    for c in exp.columns:
+        assert out[c].tolist() == exp[c].tolist(), c
+
+
+def test_embedding_dim_stats_ragged_lists(ray_session, tmp_path):
+    """List-column profiling must agree with SQL unnest/subscripts on
+    RAGGED lists (variable lengths, including empty), not just the
+    fixed-64 fixture shape."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(31)
+    vecs = [list(np.round(rng.uniform(-1, 1, int(rng.integers(0, 9))), 6))
+            for _ in range(200)]
+    pq.write_table(pa.table({
+        "vec_id": pa.array(list(range(200)), pa.int64()),
+        "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        "label": pa.array([0] * 200, pa.int32()),
+    }), str(tmp_path / "embeddings.parquet"))
+    m = _entry_module()
+    out = m.queries()["embedding_dim_stats"](str(tmp_path)).to_pandas() \
+        .sort_values("dim").reset_index(drop=True)
+    con = _duck_with_views(tmp_path, ["embeddings"])
+    exp = con.execute(m.oracle_sql()["embedding_dim_stats"]).df() \
+        .sort_values("dim").reset_index(drop=True)
+    assert len(out) == len(exp) > 0
     for c in exp.columns:
         assert out[c].tolist() == exp[c].tolist(), c
