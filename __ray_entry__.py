@@ -1160,6 +1160,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
                        Max("mx", alias_name="max_u"),
                        Sum("sm", alias_name="sum_u"))
 
+    def jaccard_prefix(sf_dir):
+        """EXACT all-pairs n-gram Jaccard >= 0.5 with NO df cap — the
+        prefix-filtering production path (Bayardo et al. WWW'07):
+        shingles order globally by (df asc, hash), only each doc's first
+        |d| - ceil(t·|d|) + 1 shingles generate candidates (hot shingles
+        sort last and stay out of prefixes — no bucket cap, no dropped
+        pairs), and verification is pure relational algebra (pairs
+        explode against doc_a's shingle rows, inner-join on (doc_b,
+        shingle) = the intersection).  Closes the scale gap where the
+        co-occurrence plan needs its hot-shingle cap."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import jaccard_prefix_pairs
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text"])
+        out = jaccard_prefix_pairs(ds, n=3, threshold=0.5)
+        return out.map_batches(
+            lambda b: b.select(["doc_a", "doc_b", "n_inter"]),
+            batch_format="pyarrow")
+
     def events_iso_weekly(sf_dir):
         """ISO-8601 week rollup — the calendar-arithmetic parity witness
         (ISO weeks cross Gregorian year boundaries: 2021-01-01 is
@@ -3365,6 +3386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_iso_weekly": events_iso_weekly,
         "embedding_dim_stats": embedding_dim_stats,
         "tpch_q7": tpch_q7,
+        "jaccard_prefix": jaccard_prefix,
         "event_type_corr": event_type_corr,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
@@ -3420,6 +3442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_percentile_cont",
         "tpch_q3", "substring_dedup", "substring_dedup_clean",
         "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
+        "jaccard_prefix",
         "nfc_normalize_docs", "events_pushdown", "pack_docs",
         "warc_extract_tf", "search_near", "search_prefix",
         "search_andnot", "sample_k_per_lang", "curate_corpus",
@@ -4107,6 +4130,36 @@ FROM documents GROUP BY md5(text)
     sql["ngram_jaccard"] = f"""
 WITH {_JACCARD_CTES}
 SELECT doc_a, doc_b, n_inter FROM jpairs
+"""
+
+    # the prefix-filter plan is exact with NO df cap: the oracle is the
+    # plain quadratic Jaccard (the cap-free contract the co-occurrence
+    # plan cannot afford at scale)
+    sql["jaccard_prefix"] = """
+WITH toks AS (
+    SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS words
+    FROM documents
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS shingle
+    FROM toks, UNNEST(range(1, len(words) - 1)) AS r(i)
+    WHERE len(words) >= 3
+),
+sizes AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n FROM shingles GROUP BY doc_id
+),
+pairs AS (
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*)::BIGINT AS n_inter
+    FROM shingles a
+    JOIN shingles b ON b.shingle = a.shingle AND b.doc_id > a.doc_id
+    GROUP BY a.doc_id, b.doc_id
+)
+SELECT p.doc_a, p.doc_b, p.n_inter
+FROM pairs p
+JOIN sizes sa ON sa.doc_id = p.doc_a
+JOIN sizes sb ON sb.doc_id = p.doc_b
+WHERE CAST(p.n_inter AS DOUBLE) / (sa.n + sb.n - p.n_inter) >= 0.5
 """
 
     # one-sided Jaccard: same shingle/df-cap CTEs, containment predicate

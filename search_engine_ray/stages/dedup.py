@@ -1254,3 +1254,232 @@ def _substring_dedup_shuffle(narrow: rd.Dataset, dup_ds: rd.Dataset, *,
         return pa.table(out)
 
     return joined.map_batches(fill, batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Exact Jaccard all-pairs via PREFIX FILTERING (PPJoin-style)
+# --------------------------------------------------------------------------
+
+def jaccard_prefix_pairs(ds: rd.Dataset, *, n: int = 3,
+                         threshold: float = 0.5,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> rd.Dataset:
+    """EXACT word-n-gram Jaccard >= threshold, all pairs, NO df cap —
+    the production-shaped exact path (prefix filtering, Chaudhuri et al.
+    SSJoin / Bayardo et al. WWW'07 all-pairs), closing the gap where
+    :func:`ngram_jaccard_pairs`'s co-occurrence plan needs a hot-shingle
+    cap to bound its candidate volume.
+
+    Theorem used: order all shingles by one GLOBAL total order (here
+    (df asc, shingle asc) — rarest first, any total order is correct);
+    a doc of size s with Jaccard >= t against ANY partner must share at
+    least ceil(t*s) shingles with it, so two qualifying docs always
+    share a shingle inside each one's first ``s - ceil(t*s) + 1``
+    ordered shingles.  Only those PREFIX shingles generate candidates:
+    hot shingles sort last and essentially never enter a prefix, so
+    candidate buckets stay small WITHOUT dropping pairs.
+
+    Plan (every exchange hash-partitioned, nothing driver-side):
+    shingle stream -> df groupby -> df join back -> per-doc prefix
+    selection (coarse doc-part groupby, vectorized run walk) ->
+    candidate pairs per prefix shingle (run-triu expansion) -> pair
+    dedup + length filter (min >= t*max) -> verification join against
+    per-doc sorted shingle arrays -> exact intersection count.  The
+    verify stage touches only surviving candidates (k-scale after the
+    length filter), so its per-pair searchsorted loop is bounded the
+    same way the banded-hamming verifiers are.
+    """
+    from ray.data.aggregate import Sum
+
+    from .relational import shuffle_hash_join
+
+    def shingle_i64(b: pa.Table) -> pa.Table:
+        # Ray's groupby/aggregate pickles uint64 keys into an extension
+        # type the join can't key on — reinterpret the hash bits as int64
+        # for this operator (any total order works for the prefix)
+        t = _ShingleStage(n=n, text_col=text_col, id_col=id_col)(b)
+        sh = t["shingle"].to_numpy().view(np.int64)
+        return pa.table({"doc_id": t["doc_id"],
+                         "shingle": pa.array(sh, pa.int64()),
+                         "n_shingles": t["n_shingles"]})
+
+    shingles = ds.map_batches(shingle_i64, batch_format="pyarrow")
+
+    def df_partial(b: pa.Table) -> pa.Table:
+        sh = b["shingle"].to_numpy()
+        keys, counts = np.unique(sh, return_counts=True)
+        return pa.table({"shingle": pa.array(keys, pa.int64()),
+                         "c": pa.array(counts.astype(np.int64), pa.int64())})
+
+    df = shingles.map_batches(df_partial, batch_format="pyarrow") \
+        .groupby("shingle").aggregate(Sum("c", alias_name="df"))
+
+    enriched = shuffle_hash_join(shingles, df, on=("shingle",), how="inner")
+
+    n_parts = _shuffle_parts()
+
+    def add_dpart(b: pa.Table) -> pa.Table:
+        d = b["doc_id"].to_numpy()
+        return b.append_column(
+            "dpart", pa.array((d % n_parts).astype(np.int32), pa.int32()))
+
+    def prefix_select(g: pa.Table) -> pa.Table:
+        """All docs routed to this part: per doc-run, keep the first
+        ``s - ceil(t*s) + 1`` shingles under the global (df, shingle)
+        order — one lexsort, one vectorized rank-within-run compare."""
+        d = g["doc_id"].to_numpy()
+        sh = g["shingle"].to_numpy()
+        dfv = g["df"].to_numpy()
+        ns = g["n_shingles"].to_numpy()
+        # sort by (doc, df, shingle) but RUN by doc alone: the (df,
+        # shingle) tail is the global prefix order within each doc
+        order = np.lexsort((sh, dfv, d))
+        d_s = d[order]
+        change = np.concatenate(([True], d_s[1:] != d_s[:-1]))
+        starts = np.flatnonzero(change)
+        ends = np.concatenate((starts[1:], [d.size]))
+        pos = np.arange(d.size, dtype=np.int64)
+        run_start = np.repeat(starts, ends - starts)
+        rank = pos - run_start                       # 0-based within doc
+        s = ns[order].astype(np.int64)
+        alpha = np.ceil(threshold * s - 1e-12).astype(np.int64)
+        p = np.maximum(s - alpha + 1, 1)
+        keep = rank < p
+        idx = order[keep]
+        return pa.table({
+            "shingle": pa.array(sh[idx], pa.int64()),
+            "doc_id": pa.array(d[idx], pa.int64()),
+            "n_shingles": pa.array(ns[idx], pa.int64())})
+
+    prefixes = enriched.map_batches(add_dpart, batch_format="pyarrow") \
+        .groupby("dpart").map_groups(prefix_select, batch_format="pyarrow")
+
+    def add_spart(b: pa.Table) -> pa.Table:
+        sh = b["shingle"].to_numpy().view(np.uint64)
+        return b.append_column(
+            "spart", pa.array((sh % np.uint64(n_parts)).astype(np.int32),
+                              pa.int32()))
+
+    def emit_candidates(g: pa.Table) -> pa.Table:
+        """Per prefix-shingle run: triu pair expansion (same run-length
+        batching as the co-occurrence core) + the length filter
+        min(na, nb) >= t * max(na, nb)."""
+        sh = g["shingle"].to_numpy()
+        ids = g["doc_id"].to_numpy()
+        ns = g["n_shingles"].to_numpy()
+        # runs by SHINGLE alone (ids sorted within for determinism)
+        order = np.lexsort((ids, sh))
+        sh_s = sh[order]
+        change = np.concatenate(([True], sh_s[1:] != sh_s[:-1]))
+        starts = np.flatnonzero(change)
+        ends = np.concatenate((starts[1:], [sh.size]))
+        ids_s, ns_s = ids[order], ns[order]
+        m = ends - starts
+        keep = m >= 2
+        ms, ss = m[keep], starts[keep]
+        a_out, b_out, na_out, nb_out = [], [], [], []
+        for mm in np.unique(ms):
+            rs = ss[ms == mm]
+            block_ids = ids_s[rs[:, None] + np.arange(mm)]
+            block_ns = ns_s[rs[:, None] + np.arange(mm)]
+            iu, ju = np.triu_indices(int(mm), k=1)
+            a_out.append(block_ids[:, iu].ravel())
+            b_out.append(block_ids[:, ju].ravel())
+            na_out.append(block_ns[:, iu].ravel())
+            nb_out.append(block_ns[:, ju].ravel())
+        if a_out:
+            a = np.concatenate(a_out)
+            b = np.concatenate(b_out)
+            na = np.concatenate(na_out)
+            nb = np.concatenate(nb_out)
+            swap = a > b
+            a2 = np.where(swap, b, a)
+            b2 = np.where(swap, a, b)
+            na2 = np.where(swap, nb, na)
+            nb2 = np.where(swap, na, nb)
+            ok = (a2 != b2) & (np.minimum(na2, nb2)
+                               >= threshold * np.maximum(na2, nb2))
+            a2, b2, na2, nb2 = a2[ok], b2[ok], na2[ok], nb2[ok]
+        else:
+            a2 = b2 = na2 = nb2 = np.empty(0, np.int64)
+        return pa.table({"doc_a": pa.array(a2, pa.int64()),
+                         "doc_b": pa.array(b2, pa.int64()),
+                         "na": pa.array(na2, pa.int64()),
+                         "nb": pa.array(nb2, pa.int64())})
+
+    cands = prefixes.map_batches(add_spart, batch_format="pyarrow") \
+        .groupby("spart").map_groups(emit_candidates,
+                                     batch_format="pyarrow")
+
+    def dedup_pairs(g: pa.Table) -> pa.Table:
+        a = g["doc_a"].to_numpy()
+        b = g["doc_b"].to_numpy()
+        na = g["na"].to_numpy()
+        nb = g["nb"].to_numpy()
+        order, starts, _ = _key_runs(a, b)
+        first = order[starts]
+        return pa.table({"doc_a": pa.array(a[first], pa.int64()),
+                         "doc_b": pa.array(b[first], pa.int64()),
+                         "na": pa.array(na[first], pa.int64()),
+                         "nb": pa.array(nb[first], pa.int64())})
+
+    def add_ppart(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy()
+        return b.append_column(
+            "ppart", pa.array((a % n_parts).astype(np.int32), pa.int32()))
+
+    pairs = cands.map_batches(add_ppart, batch_format="pyarrow") \
+        .groupby("ppart").map_groups(dedup_pairs, batch_format="pyarrow")
+    # candidate pairs are k-scale after the length filter; the strip also
+    # covers the corpus-with-no-duplicates case (an ALL-empty join side
+    # has no schema to broadcast)
+    from .relational import drop_empty_blocks
+    pairs = drop_empty_blocks(pairs, empty_schema=pa.schema(
+        [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+         ("na", pa.int64()), ("nb", pa.int64())]))
+
+    # Verification as PURE relational algebra (Acero joins carry no list
+    # columns, and this needs no per-pair loop at all): explode the
+    # candidate pairs against doc_a's shingle rows, then inner-join on
+    # (doc_b, shingle) — surviving rows ARE the intersection; count per
+    # pair.  Exchange volume is Σ|A| over surviving candidates (k-scale
+    # after the length filter), never corpus-shaped.
+    sh_rows = shingles.map_batches(
+        lambda b: b.select(["doc_id", "shingle"]), batch_format="pyarrow")
+    exp = shuffle_hash_join(pairs, sh_rows, on=("doc_a",),
+                            right_on=("doc_id",), how="inner")
+    hits = shuffle_hash_join(exp, sh_rows, on=("doc_b", "shingle"),
+                             right_on=("doc_id", "shingle"), how="inner")
+
+    from ray.data.aggregate import Max
+
+    def count_partial(b: pa.Table) -> pa.Table:
+        a = b["doc_a"].to_numpy()
+        d2 = b["doc_b"].to_numpy()
+        na = b["na"].to_numpy()
+        nb = b["nb"].to_numpy()
+        order, starts, ends = _key_runs(a, d2)
+        first = order[starts]
+        return pa.table({"doc_a": pa.array(a[first], pa.int64()),
+                         "doc_b": pa.array(d2[first], pa.int64()),
+                         "na": pa.array(na[first], pa.int64()),
+                         "nb": pa.array(nb[first], pa.int64()),
+                         "ni": pa.array(ends - starts, pa.int64())})
+
+    counted = hits.map_batches(count_partial, batch_format="pyarrow") \
+        .groupby(["doc_a", "doc_b"]) \
+        .aggregate(Sum("ni", alias_name="n_inter"),
+                   Max("na", alias_name="na"),
+                   Max("nb", alias_name="nb"))
+
+    def finalize(b: pa.Table) -> pa.Table:
+        ni = b["n_inter"].to_numpy(zero_copy_only=False)
+        na = b["na"].to_numpy(zero_copy_only=False)
+        nb = b["nb"].to_numpy(zero_copy_only=False)
+        jac = ni / (na + nb - ni)
+        out = pa.table({"doc_a": b["doc_a"], "doc_b": b["doc_b"],
+                        "n_inter": pa.array(ni, pa.int64()),
+                        "jaccard": pa.array(jac, pa.float64())})
+        return out.filter(pa.array(jac >= threshold))
+
+    return counted.map_batches(finalize, batch_format="pyarrow")

@@ -553,3 +553,50 @@ def test_embedding_dim_stats_ragged_lists(ray_session, tmp_path):
     assert len(out) == len(exp) > 0
     for c in exp.columns:
         assert out[c].tolist() == exp[c].tolist(), c
+
+
+def test_jaccard_prefix_matches_bruteforce(ray_session):
+    """Prefix-filtered exact Jaccard == brute force at several
+    thresholds: shuffled near-duplicates, a high-df shingle cluster,
+    identical docs, disjoint docs — NO df cap anywhere."""
+    import itertools
+    import re
+
+    from search_engine_ray.stages.dedup import jaccard_prefix_pairs
+
+    def brute(texts, n, t):
+        sets = {}
+        for d, s in texts.items():
+            w = re.findall(r"[a-z]+", s.lower())
+            sets[d] = set(tuple(w[i:i + n]) for i in range(len(w) - n + 1))
+        out = []
+        for a, b in itertools.combinations(sorted(texts), 2):
+            A, B = sets[a], sets[b]
+            if not A or not B:
+                continue
+            i = len(A & B)
+            if i / (len(A) + len(B) - i) >= t:
+                out.append((a, b, i))
+        return sorted(out)
+
+    rng = np.random.default_rng(9)
+    texts = {}
+    base = ("the quick brown fox jumps over the lazy dog near "
+            "the river bank today").split()
+    for d in range(40):
+        w = list(base)
+        rng.shuffle(w)
+        if d % 4 == 0:
+            w = base[:12] + [f"extra{d % 3}"]
+        texts[d] = " ".join(w)
+    texts[100] = "completely different words entirely unrelated here now"
+    texts[101] = "completely different words entirely unrelated here now"
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array([texts[d] for d in texts], pa.string())})) \
+        .repartition(5)
+    for n, t in ((3, 0.5), (2, 0.3), (2, 0.9)):
+        got = jaccard_prefix_pairs(ds, n=n, threshold=t).to_pandas()
+        g = sorted((int(r.doc_a), int(r.doc_b), int(r.n_inter))
+                   for r in got.itertuples())
+        assert g == brute(texts, n, t), (n, t)
