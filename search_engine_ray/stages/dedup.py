@@ -1263,7 +1263,9 @@ def _substring_dedup_shuffle(narrow: rd.Dataset, dup_ds: rd.Dataset, *,
 def jaccard_prefix_pairs(ds: rd.Dataset, *, n: int = 3,
                          threshold: float = 0.5,
                          text_col: str = "text",
-                         id_col: str = "doc_id") -> rd.Dataset:
+                         id_col: str = "doc_id",
+                         broadcast_df_max: int = 5_000_000,
+                         force_shuffle: bool = False) -> rd.Dataset:
     """EXACT word-n-gram Jaccard >= threshold, all pairs, NO df cap —
     the production-shaped exact path (prefix filtering, Chaudhuri et al.
     SSJoin / Bayardo et al. WWW'07 all-pairs), closing the gap where
@@ -1279,15 +1281,20 @@ def jaccard_prefix_pairs(ds: rd.Dataset, *, n: int = 3,
     hot shingles sort last and essentially never enter a prefix, so
     candidate buckets stay small WITHOUT dropping pairs.
 
-    Plan (every exchange hash-partitioned, nothing driver-side):
-    shingle stream -> df groupby -> df join back -> per-doc prefix
-    selection (coarse doc-part groupby, vectorized run walk) ->
-    candidate pairs per prefix shingle (run-triu expansion) -> pair
-    dedup + length filter (min >= t*max) -> verification join against
-    per-doc sorted shingle arrays -> exact intersection count.  The
-    verify stage touches only surviving candidates (k-scale after the
-    length filter), so its per-pair searchsorted loop is bounded the
-    same way the banded-hamming verifiers are.
+    Plan: shingle stream -> df groupby -> prefix selection -> candidate
+    pairs per prefix shingle (run-triu expansion) -> pair dedup + length
+    filter (min >= t*max) -> relational verification (pairs explode
+    against doc_a's shingle rows, inner-join on (doc_b, shingle) = the
+    intersection) -> per-pair count groupby.
+
+    The df table attaches by GUARDED BROADCAST (it is vocabulary-scale;
+    under ``broadcast_df_max`` distinct shingles it ships once via
+    ``ray.put`` and prefix selection runs per BATCH, because
+    ``_ShingleStage`` keeps each doc's shingles inside one batch — two
+    exchanges saved); past the guard, or with ``force_shuffle=True``
+    (parity tests), it hash-joins back and prefix selection runs per
+    doc-part group.  Either way every other exchange is
+    hash-partitioned; nothing row-proportional touches the driver.
     """
     from ray.data.aggregate import Sum
 
@@ -1314,8 +1321,6 @@ def jaccard_prefix_pairs(ds: rd.Dataset, *, n: int = 3,
     df = shingles.map_batches(df_partial, batch_format="pyarrow") \
         .groupby("shingle").aggregate(Sum("c", alias_name="df"))
 
-    enriched = shuffle_hash_join(shingles, df, on=("shingle",), how="inner")
-
     n_parts = _shuffle_parts()
 
     def add_dpart(b: pa.Table) -> pa.Table:
@@ -1323,16 +1328,10 @@ def jaccard_prefix_pairs(ds: rd.Dataset, *, n: int = 3,
         return b.append_column(
             "dpart", pa.array((d % n_parts).astype(np.int32), pa.int32()))
 
-    def prefix_select(g: pa.Table) -> pa.Table:
-        """All docs routed to this part: per doc-run, keep the first
-        ``s - ceil(t*s) + 1`` shingles under the global (df, shingle)
-        order — one lexsort, one vectorized rank-within-run compare."""
-        d = g["doc_id"].to_numpy()
-        sh = g["shingle"].to_numpy()
-        dfv = g["df"].to_numpy()
-        ns = g["n_shingles"].to_numpy()
-        # sort by (doc, df, shingle) but RUN by doc alone: the (df,
-        # shingle) tail is the global prefix order within each doc
+    def _prefix_core(d, sh, dfv, ns):
+        """Sort rows by (doc, df, shingle) but RUN by doc alone: the
+        (df, shingle) tail is the global prefix order within each doc;
+        keep the first ``s - ceil(t*s) + 1`` per doc."""
         order = np.lexsort((sh, dfv, d))
         d_s = d[order]
         change = np.concatenate(([True], d_s[1:] != d_s[:-1]))
@@ -1349,10 +1348,45 @@ def jaccard_prefix_pairs(ds: rd.Dataset, *, n: int = 3,
         return pa.table({
             "shingle": pa.array(sh[idx], pa.int64()),
             "doc_id": pa.array(d[idx], pa.int64()),
-            "n_shingles": pa.array(ns[idx], pa.int64())})
+            "n_shingles": pa.array(ns[idx], pa.int64()),
+            "rank": pa.array(rank[keep], pa.int64())})
 
-    prefixes = enriched.map_batches(add_dpart, batch_format="pyarrow") \
-        .groupby("dpart").map_groups(prefix_select, batch_format="pyarrow")
+    df = df.materialize()        # consumed twice: count + collect/join
+    n_distinct = df.count()
+    if n_distinct <= broadcast_df_max and not force_shuffle:
+        # vocabulary fits a worker heap: ship (sorted keys, df) once and
+        # select prefixes per BATCH — _ShingleStage keeps each doc's
+        # shingles inside one output batch, so no doc-part exchange
+        df_tbl = pa.concat_tables(
+            ray.get(df.to_arrow_refs()), promote_options="permissive")
+        keys = df_tbl["shingle"].to_numpy(zero_copy_only=False)
+        vals = df_tbl["df"].to_numpy(zero_copy_only=False)
+        order = np.argsort(keys, kind="stable")
+        ref = ray.put((keys[order], vals[order]))
+
+        def prefix_batch(b: pa.Table) -> pa.Table:
+            g_keys, g_vals = ray.get(ref)
+            sh = b["shingle"].to_numpy()
+            dfv = g_vals[np.searchsorted(g_keys, sh)]
+            return _prefix_core(b["doc_id"].to_numpy(), sh, dfv,
+                                b["n_shingles"].to_numpy())
+
+        prefixes = shingles.map_batches(prefix_batch,
+                                        batch_format="pyarrow")
+    else:
+        enriched = shuffle_hash_join(shingles, df, on=("shingle",),
+                                     how="inner")
+
+        def prefix_select(g: pa.Table) -> pa.Table:
+            return _prefix_core(g["doc_id"].to_numpy(),
+                                g["shingle"].to_numpy(),
+                                g["df"].to_numpy(),
+                                g["n_shingles"].to_numpy())
+
+        prefixes = enriched.map_batches(add_dpart,
+                                        batch_format="pyarrow") \
+            .groupby("dpart").map_groups(prefix_select,
+                                         batch_format="pyarrow")
 
     def add_spart(b: pa.Table) -> pa.Table:
         sh = b["shingle"].to_numpy().view(np.uint64)
@@ -1362,44 +1396,58 @@ def jaccard_prefix_pairs(ds: rd.Dataset, *, n: int = 3,
 
     def emit_candidates(g: pa.Table) -> pa.Table:
         """Per prefix-shingle run: triu pair expansion (same run-length
-        batching as the co-occurrence core) + the length filter
-        min(na, nb) >= t * max(na, nb)."""
+        batching as the co-occurrence core) + two loss-free prunes —
+        the LENGTH filter (Jaccard >= t needs min(na, nb) >= t*max)
+        and the POSITIONAL filter (this shared shingle sits at global
+        rank i in A and j in B, so at most min(na - i, nb - j) matches
+        remain; a qualifying pair needs ceil(t/(1+t)(na+nb)) and its
+        first shared prefix element always passes the bound)."""
         sh = g["shingle"].to_numpy()
         ids = g["doc_id"].to_numpy()
         ns = g["n_shingles"].to_numpy()
+        rk = g["rank"].to_numpy()
         # runs by SHINGLE alone (ids sorted within for determinism)
         order = np.lexsort((ids, sh))
         sh_s = sh[order]
         change = np.concatenate(([True], sh_s[1:] != sh_s[:-1]))
         starts = np.flatnonzero(change)
         ends = np.concatenate((starts[1:], [sh.size]))
-        ids_s, ns_s = ids[order], ns[order]
+        ids_s, ns_s, rk_s = ids[order], ns[order], rk[order]
         m = ends - starts
         keep = m >= 2
         ms, ss = m[keep], starts[keep]
-        a_out, b_out, na_out, nb_out = [], [], [], []
+        cols = [[], [], [], [], [], []]   # a, b, na, nb, ra, rb
         for mm in np.unique(ms):
             rs = ss[ms == mm]
             block_ids = ids_s[rs[:, None] + np.arange(mm)]
             block_ns = ns_s[rs[:, None] + np.arange(mm)]
+            block_rk = rk_s[rs[:, None] + np.arange(mm)]
             iu, ju = np.triu_indices(int(mm), k=1)
-            a_out.append(block_ids[:, iu].ravel())
-            b_out.append(block_ids[:, ju].ravel())
-            na_out.append(block_ns[:, iu].ravel())
-            nb_out.append(block_ns[:, ju].ravel())
-        if a_out:
-            a = np.concatenate(a_out)
-            b = np.concatenate(b_out)
-            na = np.concatenate(na_out)
-            nb = np.concatenate(nb_out)
+            for c, blk, sel in ((0, block_ids, iu), (1, block_ids, ju),
+                                (2, block_ns, iu), (3, block_ns, ju),
+                                (4, block_rk, iu), (5, block_rk, ju)):
+                cols[c].append(blk[:, sel].ravel())
+        if cols[0]:
+            a, b, na, nb, ra, rb = (np.concatenate(c) for c in cols)
             swap = a > b
             a2 = np.where(swap, b, a)
             b2 = np.where(swap, a, b)
             na2 = np.where(swap, nb, na)
             nb2 = np.where(swap, na, nb)
-            ok = (a2 != b2) & (np.minimum(na2, nb2)
-                               >= threshold * np.maximum(na2, nb2))
+            ra2 = np.where(swap, rb, ra)
+            rb2 = np.where(swap, ra, rb)
+            alpha = np.ceil(threshold / (1.0 + threshold)
+                            * (na2 + nb2) - 1e-12)
+            ok = ((a2 != b2)
+                  & (np.minimum(na2, nb2)
+                     >= threshold * np.maximum(na2, nb2))
+                  & (np.minimum(na2 - ra2, nb2 - rb2) >= alpha))
             a2, b2, na2, nb2 = a2[ok], b2[ok], na2[ok], nb2[ok]
+            # per-group dedup before the pair exchange (cross-group
+            # duplicates remain; the ppart groupby removes those)
+            order2, starts2, _ = _key_runs(a2, b2)
+            first = order2[starts2]
+            a2, b2, na2, nb2 = a2[first], b2[first], na2[first], nb2[first]
         else:
             a2 = b2 = na2 = nb2 = np.empty(0, np.int64)
         return pa.table({"doc_a": pa.array(a2, pa.int64()),

@@ -600,3 +600,9 @@ def test_jaccard_prefix_matches_bruteforce(ray_session):
         g = sorted((int(r.doc_a), int(r.doc_b), int(r.n_inter))
                    for r in got.itertuples())
         assert g == brute(texts, n, t), (n, t)
+    # the df-shuffle plan (past the broadcast guard) returns the same rows
+    got = jaccard_prefix_pairs(ds, n=3, threshold=0.5,
+                               force_shuffle=True).to_pandas()
+    g = sorted((int(r.doc_a), int(r.doc_b), int(r.n_inter))
+               for r in got.itertuples())
+    assert g == brute(texts, 3, 0.5)
