@@ -2787,6 +2787,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return grouped_percentile_cont(cents, group_col="event_type",
                                        value_col="c", ps=(50, 90))
 
+    def event_type_percentile_refined(sf_dir):
+        """The SAME per-group PERCENTILE_CONT answered WITHOUT any
+        one-worker-per-group sort — the corpus-scale histogram-refinement
+        rank selection run per group (every block bins vectorized against
+        broadcast per-(group, rank) bounds; ranges shrink ×1024 per
+        round).  Must match event_type_percentile_cont bit-for-bit."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import (
+            grouped_percentile_cont_refined)
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            t = b.filter(pc.is_valid(b["value"]))
+            v = t["value"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_type": t["event_type"],
+                "c": pa.array(np.floor(v * 100.0).astype(np.int64))})
+
+        cents = ds.map_batches(to_cents, batch_format="pyarrow")
+        return grouped_percentile_cont_refined(
+            cents, group_col="event_type", value_col="c", ps=(50, 90))
+
     def pack_docs(sf_dir):
         """Training-sequence packing via a distributed ordered prefix
         sum (two-pass parallel scan: per-block sums -> driver offsets ->
@@ -3387,6 +3415,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": embedding_dim_stats,
         "tpch_q7": tpch_q7,
         "jaccard_prefix": jaccard_prefix,
+        "event_type_percentile_refined": event_type_percentile_refined,
         "event_type_corr": event_type_corr,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
@@ -3439,7 +3468,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # (a) r4-red rows, reworked this round; + the round's new windows
         "events_analytic", "events_rolling", "events_first_last",
         "event_cents_quantiles_global", "event_percentile_cont",
-        "event_type_percentile_cont",
+        "event_type_percentile_cont", "event_type_percentile_refined",
         "tpch_q3", "substring_dedup", "substring_dedup_clean",
         "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
         "jaccard_prefix",
@@ -4784,6 +4813,10 @@ SELECT event_type, n,
        MAX(CASE WHEN p = 90 THEN x100 END)::BIGINT AS p90_x100
 FROM res GROUP BY event_type, n
 """
+
+    # the refined (histogram rank-selection) plan must land on EXACTLY
+    # the sort-based plan's integer surface
+    sql["event_type_percentile_refined"] = sql["event_type_percentile_cont"]
 
     # FIRST/LAST/NTH over the unbounded frame: values copied verbatim from
     # the frame row (integer cents both sides, NULL if that row is NULL)

@@ -699,3 +699,31 @@ def test_range_merge_join_matches_hash_join(ray_session):
             rd.from_arrow(pa.table({"k": pa.array([1], pa.int64()),
                                     "x": pa.array([2], pa.int64())})),
             on="k", how="inner", num_partitions=2)
+
+
+def test_grouped_percentile_refined_matches_sort_plan(ray_session):
+    """The per-group histogram-refinement rank selection must land on
+    EXACTLY the sort-based plan's integer surface: heavy ties, negative
+    values, a singleton group, p0/p100 endpoints."""
+    import numpy as np
+
+    from search_engine_ray.stages.relational import (
+        grouped_percentile_cont, grouped_percentile_cont_refined)
+
+    rng = np.random.default_rng(13)
+    n = 20000
+    g = rng.choice(["a", "b", "c", "x", "big"], n,
+                   p=[.2, .2, .2, .0001, .3999])
+    v = rng.integers(-500_000, 500_000, n)
+    v[g == "a"] = rng.choice([7, 7, 7, 9], int((g == "a").sum()))
+    ds = rd.from_arrow(pa.table({"g": pa.array(g),
+                                 "c": pa.array(v, pa.int64())})) \
+        .repartition(7)
+    ps = (0, 25, 50, 90, 100)
+    ref = grouped_percentile_cont(ds, group_col="g", value_col="c",
+                                  ps=ps).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    got = grouped_percentile_cont_refined(
+        ds, group_col="g", value_col="c", ps=ps).to_pandas() \
+        .sort_values("g").reset_index(drop=True)
+    assert ref.equals(got.astype(ref.dtypes.to_dict()))
