@@ -347,7 +347,9 @@ def grouped_percentile_cont(ds: rd.Dataset, *, group_col: str,
     :func:`global_percentile_cont` for the global / too-big-to-sort
     variant of the same contract).  Same scale shape and caveat as
     :func:`grouped_quantiles`: only two pruned columns shuffle, each
-    group sorts in one worker.
+    group sorts in one worker — when a group outgrows a worker, swap in
+    :func:`grouped_percentile_cont_refined` (bit-identical output, no
+    per-group sort).
     """
     for p in ps:
         if not (0 <= int(p) <= 100):
