@@ -469,6 +469,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          batch_format="pyarrow", batch_size=256,
                          concurrency=(1, 4), num_cpus=1)
 
+    def audio_spectral(sf_dir):
+        """REAL framed-STFT path: synthetic stationary tones at EXACT
+        frame-bin frequencies (f_bin = 3 + doc_id mod 60 cycles per
+        256-sample frame, so every hop-aligned frame sees the same bin)
+        are written as real WAV bytes, decoded and FFT'd by the
+        SpectralFeatures actor pool; the SQL oracle replays n_samples /
+        n_frames / peak_bin from the doc_id arithmetic — a wrong decode,
+        frame size, hop, or FFT all break the integer surface."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.stages.multimodal import (SpectralFeatures,
+                                                         encode_wav)
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+
+        def attach(batch: pa.Table) -> pa.Table:
+            payloads = []
+            for did in batch["doc_id"].to_pylist():
+                n = 1024 + (did % 8) * 256
+                f_bin = 3 + did % 60
+                i = np.arange(n, dtype=np.float64)
+                s = np.round(2000.0 * np.sin(
+                    2.0 * np.pi * f_bin * i / 256.0)).astype(np.int16)
+                payloads.append(encode_wav(s, rate=8000))
+            return batch.append_column("payload",
+                                       pa.array(payloads, pa.binary()))
+
+        return ds.map_batches(attach, batch_format="pyarrow",
+                              batch_size=256) \
+            .map_batches(SpectralFeatures,
+                         fn_constructor_kwargs={"frame": 256, "hop": 128},
+                         batch_format="pyarrow", batch_size=256,
+                         concurrency=(1, 4), num_cpus=1)
+
     def lang_distribution(sf_dir):
         import ray.data as rd
         from ray.data.aggregate import Count
@@ -3416,6 +3453,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q7": tpch_q7,
         "jaccard_prefix": jaccard_prefix,
         "event_type_percentile_refined": event_type_percentile_refined,
+        "audio_spectral": audio_spectral,
         "event_type_corr": event_type_corr,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
@@ -3479,7 +3517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19", "tpch_q7",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
         "events_type_mad", "events_spearman", "events_iso_weekly",
-        "customer_orders_merge", "embedding_dim_stats",
+        "customer_orders_merge", "embedding_dim_stats", "audio_spectral",
         "event_type_corr",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
@@ -4683,6 +4721,16 @@ WHERE s.n_name <> c.n_name
   AND l_shipdate <  TIMESTAMP '1998-01-01'
 GROUP BY 1, 2, 3
 ORDER BY 1, 2, 3
+"""
+
+    # framed STFT: the oracle replays the synthesis arithmetic — the Ray
+    # side must actually decode + FFT to land on the same integers
+    sql["audio_spectral"] = """
+SELECT doc_id,
+       (1024 + (doc_id % 8) * 256)::BIGINT AS n_samples,
+       ((1024 + (doc_id % 8) * 256 - 256) // 128 + 1)::BIGINT AS n_frames,
+       (3 + doc_id % 60)::BIGINT AS peak_bin
+FROM documents
 """
 
     # list-column profiling: per-dimension stats via unnest + subscripts

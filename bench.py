@@ -185,7 +185,7 @@ HEADLINE = [
     "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19", "events_type_mad",
     "events_spearman", "events_iso_weekly", "customer_orders_merge",
     "tpch_q7", "embedding_dim_stats", "jaccard_prefix",
-    "event_type_percentile_refined",
+    "event_type_percentile_refined", "audio_spectral",
 ]
 
 

@@ -557,3 +557,33 @@ def test_jpeg_422_440_tiled_exact_and_lossy():
             .astype(np.uint8)
         d = decode_jpeg(encode_jpeg(grad, quality=75, subsampling=sub))
         assert np.abs(d.astype(int) - grad.astype(int)).mean() < 20, sub
+
+
+def test_spectral_features_stft(ray_session):
+    """Framed-STFT stage: exact-bin tones land on their bin, the louder
+    of two tones wins the argmax, and sub-frame payloads report
+    (0 frames, -1 peak)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.stages.multimodal import (SpectralFeatures,
+                                                     encode_wav)
+
+    i = np.arange(1024, dtype=np.float64)
+    tone = lambda f, a: np.round(a * np.sin(2 * np.pi * f * i / 256.0))
+    payloads = [
+        encode_wav(tone(7, 2000).astype(np.int16)),           # pure bin 7
+        encode_wav((tone(5, 500) + tone(40, 1800))
+                   .astype(np.int16)),                        # 40 louder
+        encode_wav(np.zeros(100, np.int16)),                  # sub-frame
+    ]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "payload": pa.array(payloads, pa.binary())}))
+    rows = {r["doc_id"]: r for r in ds.map_batches(
+        SpectralFeatures, fn_constructor_kwargs={"frame": 256, "hop": 128},
+        batch_format="pyarrow", concurrency=1).take_all()}
+    assert rows[1]["peak_bin"] == 7 and rows[1]["n_frames"] == 7
+    assert rows[2]["peak_bin"] == 40
+    assert rows[3]["n_frames"] == 0 and rows[3]["peak_bin"] == -1
