@@ -3508,7 +3508,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_cents_quantiles_global", "event_percentile_cont",
         "event_type_percentile_cont", "event_type_percentile_refined",
         "tpch_q3", "substring_dedup", "substring_dedup_clean",
-        "jsonl_gz_roundtrip", "ngram_containment", "ngram_jaccard",
+        # ngram_jaccard keeps its r4 witness (code unchanged); the slot
+        # goes to the never-witnessed progressive-JPEG entry
+        "jsonl_gz_roundtrip", "ngram_containment", "image_meta_jpeg_prog",
         "jaccard_prefix",
         "nfc_normalize_docs", "events_pushdown", "pack_docs",
         "warc_extract_tf", "search_near", "search_prefix",
