@@ -2489,6 +2489,291 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Sum("n", alias_name="order_count")) \
             .sort(key=["o_orderpriority"])
 
+    def tpch_q13(sf_dir):
+        """TPC-H Q13-shaped customer order-count distribution — the LEFT
+        OUTER join witness where the join predicate (priority <>
+        '1-URGENT') lives IN the join, not the WHERE, so zero-order
+        customers survive into the c_count=0 bucket.  Orders collapse to
+        per-custkey counts first (map-side partials + one custkey
+        groupby — customer-scale output), customer LEFT-joins that
+        through the hash-partitioned exchange, nulls fill to 0, and the
+        distribution is a second metadata-scale groupby.  All-integer
+        hash surface."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import (drop_empty_blocks,
+                                                         shuffle_hash_join)
+
+        def count_partial(b: pa.Table) -> pa.Table:
+            ck = b["o_custkey"].to_numpy(zero_copy_only=False)
+            keys, counts = np.unique(ck, return_counts=True)
+            return pa.table({"o_custkey": pa.array(keys, pa.int64()),
+                             "n": pa.array(counts.astype(np.int64),
+                                           pa.int64())})
+
+        counts = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"]) \
+            .filter(expr="o_orderpriority != '1-URGENT'") \
+            .map_batches(count_partial, batch_format="pyarrow") \
+            .groupby("o_custkey") \
+            .aggregate(Sum("n", alias_name="c_count"))
+        # aggregate partitions with no keys emit zero-column padding
+        # blocks that crash the downstream join's key resolution
+        counts = drop_empty_blocks(counts, empty_schema=pa.schema(
+            [("o_custkey", pa.int64()), ("c_count", pa.int64())]))
+
+        cust = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_custkey"])
+        j = shuffle_hash_join(cust, counts, on=("c_custkey",),
+                              right_on=("o_custkey",), how="left")
+
+        def dist_partial(b: pa.Table) -> pa.Table:
+            cc = pcm.fill_null(b["c_count"], 0) \
+                .to_numpy(zero_copy_only=False)
+            keys, counts_ = np.unique(cc, return_counts=True)
+            return pa.table({"c_count": pa.array(keys, pa.int64()),
+                             "custdist": pa.array(
+                                 counts_.astype(np.int64), pa.int64())})
+
+        return j.map_batches(dist_partial, batch_format="pyarrow") \
+            .groupby("c_count") \
+            .aggregate(Sum("custdist", alias_name="custdist"))
+
+    def tpch_q16(sf_dir):
+        """TPC-H Q16-shaped supplier count per part attribute — the
+        grouped COUNT(DISTINCT) witness.  The part-supplier relation is
+        proxied by DISTINCT (l_partkey, l_suppkey) from lineitem (the
+        synthetic schema has no partsupp; reference parity per SURVEY
+        §2.11).  Plan: per-batch unique-pair partials, one two-key
+        groupby for the global distinct (fact-scale exchange, the only
+        big shuffle), a broadcast is_in drop of the excluded suppliers
+        (negative acctbal — supplier is dim-scale; at extreme SF this
+        becomes a shuffle anti-join), a broadcast part-attribute lookup,
+        then distinct (brand, type, size, suppkey) and the final count
+        collapse through a part-attribute-scale groupby."""
+        import numpy as np
+        import ray
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Count, Sum
+
+        from search_engine_ray.stages.relational import broadcast_hash_join
+
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_acctbal"])
+        bad = supp.filter(pcm.less(supp["s_acctbal"], 0.0))["s_suppkey"] \
+            .to_numpy(zero_copy_only=False)
+        bad_ref = ray.put(np.sort(bad))
+
+        part = pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_brand", "p_type", "p_size"])
+        part = part.filter(pcm.not_equal(part["p_brand"], "Brand#23"))
+
+        def pair_partial(b: pa.Table) -> pa.Table:
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            keep = ~np.isin(sk, ray.get(bad_ref))
+            pk, sk = pk[keep], sk[keep]
+            pairs = np.unique(np.stack([pk, sk], axis=1), axis=0)
+            return pa.table({
+                "l_partkey": pa.array(pairs[:, 0], pa.int64()),
+                "l_suppkey": pa.array(pairs[:, 1], pa.int64())})
+
+        ps = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_partkey", "l_suppkey"]) \
+            .map_batches(pair_partial, batch_format="pyarrow") \
+            .groupby(["l_partkey", "l_suppkey"]) \
+            .aggregate(Count(alias_name="_n")) \
+            .map_batches(lambda b: b.drop_columns(["_n"]),
+                         batch_format="pyarrow")
+
+        ps = broadcast_hash_join(
+            ps, part, big_key="l_partkey", small_key="p_partkey",
+            select=["p_brand", "p_type", "p_size"])
+
+        # distinct (brand, type, size, suppkey): same pair can reach a
+        # group through many parts sharing the attribute triple
+        dedup = ps.map_batches(
+            lambda b: b.select(["p_brand", "p_type", "p_size",
+                                "l_suppkey"]),
+            batch_format="pyarrow") \
+            .groupby(["p_brand", "p_type", "p_size", "l_suppkey"]) \
+            .aggregate(Count(alias_name="_n"))
+
+        def grp_partial(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "p_brand": b["p_brand"], "p_type": b["p_type"],
+                "p_size": b["p_size"],
+                "one": pa.array(np.ones(b.num_rows, np.int64),
+                                pa.int64())})
+
+        return dedup.map_batches(grp_partial, batch_format="pyarrow") \
+            .groupby(["p_brand", "p_type", "p_size"]) \
+            .aggregate(Sum("one", alias_name="supplier_cnt")) \
+            .map_batches(lambda b: b.set_column(
+                b.schema.get_field_index("p_size"), "p_size",
+                b["p_size"].cast(pa.int64())), batch_format="pyarrow")
+
+    def tpch_q17(sf_dir):
+        """TPC-H Q17-shaped small-quantity-order revenue — the
+        aggregate-rejoin per-key-threshold witness: per-part average
+        quantity gates which lineitems count, with the division
+        rewritten exact-integer (qty < 0.2*avg  ⇔  5*qty*cnt < sum_qty,
+        quantities are integral doubles).  Pass 1 computes (sum_qty,
+        cnt) per Brand#23 partkey (broadcast partkey prefilter, map-side
+        partials, one dim-scale groupby); the stats table is
+        brand-sliced part-scale, so it broadcasts via ray.put (guard: at
+        extreme SF this becomes a shuffle join on partkey) and pass 2
+        filters + collapses to ONE (price_c, n_small) row."""
+        import numpy as np
+        import ray
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_brand"])
+        brand_keys = np.sort(part.filter(
+            pcm.equal(part["p_brand"], "Brand#23"))["p_partkey"]
+            .to_numpy(zero_copy_only=False))
+        keys_ref = ray.put(brand_keys)
+
+        def stat_partial(b: pa.Table) -> pa.Table:
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            keep = np.isin(pk, ray.get(keys_ref))
+            pk = pk[keep]
+            q = b["l_quantity"].to_numpy(zero_copy_only=False)[keep] \
+                .astype(np.int64)
+            keys, inv = np.unique(pk, return_inverse=True)
+            sq = np.zeros(keys.size, np.int64)
+            cnt = np.zeros(keys.size, np.int64)
+            np.add.at(sq, inv, q)
+            np.add.at(cnt, inv, 1)
+            return pa.table({"l_partkey": pa.array(keys, pa.int64()),
+                             "sq": pa.array(sq, pa.int64()),
+                             "cnt": pa.array(cnt, pa.int64())})
+
+        stats = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=["l_partkey", "l_quantity"]) \
+            .map_batches(stat_partial, batch_format="pyarrow") \
+            .groupby("l_partkey") \
+            .aggregate(Sum("sq", alias_name="sq"),
+                       Sum("cnt", alias_name="cnt")) \
+            .take_all()  # brand-sliced part dimension: ~|part|/25 rows
+        skeys = np.array([r["l_partkey"] for r in stats], np.int64)
+        order = np.argsort(skeys)
+        skeys = skeys[order]
+        ssq = np.array([r["sq"] for r in stats], np.int64)[order]
+        scnt = np.array([r["cnt"] for r in stats], np.int64)[order]
+        stats_ref = ray.put((skeys, ssq, scnt))
+
+        def small_partial(b: pa.Table) -> pa.Table:
+            ks, sq, cnt = ray.get(stats_ref)
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(ks, pk)
+            pos_c = np.clip(pos, 0, max(0, ks.size - 1))
+            hit = (ks.size > 0) & (ks[pos_c] == pk)
+            q = b["l_quantity"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            small = hit & (5 * q * cnt[pos_c] < sq[pos_c])
+            price = b["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[small]
+            pc = int(np.floor(price * 100.0 + 0.5).astype(np.int64).sum())
+            return pa.table({"g": pa.array([0], pa.int64()),
+                             "price_c": pa.array([pc], pa.int64()),
+                             "n_small": pa.array([int(small.sum())],
+                                                 pa.int64())})
+
+        out = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_quantity", "l_extendedprice"]) \
+            .map_batches(small_partial, batch_format="pyarrow") \
+            .groupby("g") \
+            .aggregate(Sum("price_c", alias_name="price_c"),
+                       Sum("n_small", alias_name="n_small"))
+        return out.map_batches(
+            lambda b: b.select(["price_c", "n_small"]),
+            batch_format="pyarrow")
+
+    def tpch_q22(sf_dir):
+        """TPC-H Q22-shaped global-relationship opportunity — the
+        scalar-subquery broadcast + NOT EXISTS anti-join witness:
+        customers whose balance beats the positive-balance average
+        (threshold as exact integers: bal_c * n > sum_c) and who placed
+        no urgent order, tallied per nation.  The scalar pair reduces in
+        one single-row groupby; the anti side is the hash-partitioned
+        shuffle_hash_join(how='anti') against the urgent-order custkey
+        stream; the final nation rollup is metadata-scale."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import shuffle_hash_join
+
+        def bal_c(tbl: pa.Table) -> np.ndarray:
+            return np.floor(tbl["c_acctbal"].to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+
+        def scalar_partial(b: pa.Table) -> pa.Table:
+            bc = bal_c(b)
+            pos = bc[bc > 0]
+            return pa.table({"g": pa.array([0], pa.int64()),
+                             "s": pa.array([int(pos.sum())], pa.int64()),
+                             "n": pa.array([int(pos.size)], pa.int64())})
+
+        cust_cols = ["c_custkey", "c_nationkey", "c_acctbal"]
+        scal = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=["c_acctbal"]) \
+            .map_batches(scalar_partial, batch_format="pyarrow") \
+            .groupby("g").aggregate(Sum("s", alias_name="s"),
+                                    Sum("n", alias_name="n")) \
+            .take_all()  # exactly one row: the global scalar pair
+        g_sum, g_n = int(scal[0]["s"]), int(scal[0]["n"])
+
+        def rich_filter(b: pa.Table) -> pa.Table:
+            keep = bal_c(b) * g_n > g_sum
+            return b.filter(pa.array(keep))
+
+        rich = rd.read_parquet(f"{sf_dir}/customer.parquet",
+                               columns=cust_cols) \
+            .map_batches(rich_filter, batch_format="pyarrow")
+        urgent = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_custkey", "o_orderpriority"]) \
+            .filter(expr="o_orderpriority == '1-URGENT'") \
+            .select_columns(["o_custkey"])
+        kept = shuffle_hash_join(rich, urgent, on=("c_custkey",),
+                                 right_on=("o_custkey",), how="anti")
+
+        def nation_partial(b: pa.Table) -> pa.Table:
+            nk = b["c_nationkey"].to_numpy(zero_copy_only=False) \
+                .astype(np.int64)
+            bc = bal_c(b)
+            keys, inv = np.unique(nk, return_inverse=True)
+            tot = np.zeros(keys.size, np.int64)
+            cnt = np.zeros(keys.size, np.int64)
+            np.add.at(tot, inv, bc)
+            np.add.at(cnt, inv, 1)
+            return pa.table({"nationkey": pa.array(keys, pa.int64()),
+                             "numcust": pa.array(cnt, pa.int64()),
+                             "totbal_c": pa.array(tot, pa.int64())})
+
+        return kept.map_batches(nation_partial, batch_format="pyarrow") \
+            .groupby("nationkey") \
+            .aggregate(Sum("numcust", alias_name="numcust"),
+                       Sum("totbal_c", alias_name="totbal_c"))
+
     def tpch_q12(sf_dir):
         """TPC-H Q12-shaped shipping-priority tally — the conditional-
         aggregation (CASE ... pivoted counts) witness: 1996-shipped
@@ -3443,6 +3728,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q6": tpch_q6,
         "tpch_q12": tpch_q12,
         "tpch_q19": tpch_q19,
+        "tpch_q13": tpch_q13,
+        "tpch_q16": tpch_q16,
+        "tpch_q17": tpch_q17,
+        "tpch_q22": tpch_q22,
         "promo_revenue_monthly": promo_revenue_monthly,
         "props_key_stats": props_key_stats,
         "events_user_anomaly": events_user_anomaly,
@@ -3517,6 +3806,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_andnot", "sample_k_per_lang", "curate_corpus",
         "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
         "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19", "tpch_q7",
+        "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q22",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
         "events_type_mad", "events_spearman", "events_iso_weekly",
         "customer_orders_merge", "embedding_dim_stats", "audio_spectral",
@@ -4552,6 +4842,67 @@ WHERE l_shipdate >= TIMESTAMP '1996-01-01'
   AND l_shipdate <  TIMESTAMP '1997-01-01'
   AND CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT) BETWEEN 4 AND 6
   AND l_quantity < 24
+"""
+
+    # Q13: LEFT OUTER with the priority predicate IN the join (zero-order
+    # customers land in the c_count=0 bucket)
+    sql["tpch_q13"] = """
+WITH pc AS (
+    SELECT c.c_custkey, COUNT(o.o_orderkey)::BIGINT AS c_count
+    FROM customer c LEFT JOIN orders o
+      ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+    GROUP BY c.c_custkey)
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM pc GROUP BY c_count
+"""
+
+    # Q16: grouped COUNT(DISTINCT) with a NOT IN supplier exclusion;
+    # partsupp proxied by DISTINCT (l_partkey, l_suppkey) from lineitem
+    sql["tpch_q16"] = """
+SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+       COUNT(DISTINCT ps.l_suppkey)::BIGINT AS supplier_cnt
+FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+JOIN part p ON p.p_partkey = ps.l_partkey
+WHERE p.p_brand <> 'Brand#23'
+  AND ps.l_suppkey NOT IN
+      (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p.p_brand, p.p_type, p.p_size
+"""
+
+    # Q17: per-part average-quantity threshold, division rewritten exact
+    # integer (qty < 0.2*avg  <=>  5*qty*cnt < sum_qty)
+    sql["tpch_q17"] = """
+WITH bp AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23'),
+ st AS (SELECT l_partkey,
+               SUM(CAST(l_quantity AS BIGINT))::BIGINT AS sq,
+               COUNT(*)::BIGINT AS cnt
+        FROM lineitem JOIN bp ON l_partkey = p_partkey
+        GROUP BY l_partkey)
+SELECT COALESCE(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)),
+                0)::BIGINT AS price_c,
+       COUNT(*)::BIGINT AS n_small
+FROM lineitem l JOIN st ON l.l_partkey = st.l_partkey
+WHERE 5 * CAST(l.l_quantity AS BIGINT) * st.cnt < st.sq
+"""
+
+    # Q22: scalar-subquery broadcast threshold (integer-exact: bal_c * n
+    # > sum_c over the positive balances) + NOT EXISTS anti-join
+    sql["tpch_q22"] = """
+WITH pos AS (
+    SELECT SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))::BIGINT AS s,
+           COUNT(*)::BIGINT AS n
+    FROM customer
+    WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) > 0)
+SELECT CAST(c_nationkey AS BIGINT) AS nationkey,
+       COUNT(*)::BIGINT AS numcust,
+       SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT))::BIGINT
+         AS totbal_c
+FROM customer, pos
+WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * pos.n > pos.s
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+GROUP BY c_nationkey
 """
 
     # Q4: EXISTS semi-join (returned-lineitem proxy for the synthetic

@@ -186,6 +186,7 @@ HEADLINE = [
     "events_spearman", "events_iso_weekly", "customer_orders_merge",
     "tpch_q7", "embedding_dim_stats", "jaccard_prefix",
     "event_type_percentile_refined", "audio_spectral",
+    "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q22",
 ]
 
 
@@ -266,7 +267,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             "spin_effective_cores": eff_cores,
             # cross-round comparability: value covers THIS headline set
             # (ADVICE r4: the set grows each round, readers must detect it)
-            "headline_set": "r5e",   # r5d + Q4/Q6/Q12/Q19 shapes
+            "headline_set": "r5f",   # r5e + Q13/Q16/Q17/Q22 shapes
             "headline_n": len(HEADLINE),
             "detail_file": "BENCH_QUERIES.json",
         }
