@@ -2774,6 +2774,129 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Sum("numcust", alias_name="numcust"),
                        Sum("totbal_c", alias_name="totbal_c"))
 
+    def tpch_q15(sf_dir):
+        """TPC-H Q15-shaped top supplier — the argmax-with-ties witness:
+        revenue per supplier over 1996Q1 (scanner-pushed date window,
+        map-side partials, one supplier-scale groupby), then rows EQUAL
+        to the global max survive (SQL's `WHERE total = (SELECT MAX...)`
+        keeps ties, unlike LIMIT 1).  The revenue table is supplier-scale
+        so it materializes once (object store, not driver) and is read
+        twice — max scalar + equality filter; names attach by broadcast
+        lookup.  Exact int64 milli-cents end to end."""
+        import datetime as dt
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import broadcast_hash_join
+
+        flt = ((pads.field("l_shipdate") >= dt.datetime(1996, 1, 1))
+               & (pads.field("l_shipdate") < dt.datetime(1996, 4, 1)))
+
+        def partial(b: pa.Table) -> pa.Table:
+            sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            price_c = np.floor(b["l_extendedprice"].to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            disc_c = np.floor(b["l_discount"].to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            mc = price_c * (100 - disc_c)
+            keys, inv = np.unique(sk, return_inverse=True)
+            tot = np.zeros(keys.size, np.int64)
+            np.add.at(tot, inv, mc)
+            return pa.table({"l_suppkey": pa.array(keys, pa.int64()),
+                             "total_mc": pa.array(tot, pa.int64())})
+
+        rev = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_suppkey", "l_extendedprice", "l_discount"],
+            filter=flt) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby("l_suppkey") \
+            .aggregate(Sum("total_mc", alias_name="total_mc")) \
+            .materialize()  # supplier-scale: read twice below
+        top = int(rev.max("total_mc"))
+        best = rev.filter(expr=f"total_mc == {top}")
+
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_name"])
+        out = broadcast_hash_join(best, supp, big_key="l_suppkey",
+                                  small_key="s_suppkey",
+                                  select=["s_name"])
+        return out.map_batches(
+            lambda b: pa.table({"s_suppkey": b["l_suppkey"],
+                                "s_name": b["s_name"],
+                                "total_mc": b["total_mc"]}),
+            batch_format="pyarrow")
+
+    def tpch_q11(sf_dir):
+        """TPC-H Q11-shaped important-stock scan — the HAVING-against-a-
+        global-scalar witness: per-part inventory value (price_c × qty,
+        suppliers of a nation subset only) keeps rows whose value beats
+        2× the mean group value, stated integer-exact as
+        ``v·n_groups > 2·Σv`` (the classic Q11 fraction is SF-dependent;
+        the mean-multiple form is scale-free).  Supplier keys broadcast
+        (dim-scale); the value table is part-scale and materializes once
+        for the scalar pass + the filter pass."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.parquet as pq
+        import ray
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+        keys = np.sort(supp.filter(
+            pcm.less(supp["s_nationkey"], 12))["s_suppkey"]
+            .to_numpy(zero_copy_only=False))
+        keys_ref = ray.put(keys)
+
+        def partial(b: pa.Table) -> pa.Table:
+            sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            keep = np.isin(sk, ray.get(keys_ref))
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+            price_c = np.floor(b["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[keep] * 100.0 + 0.5).astype(np.int64)
+            qty = b["l_quantity"].to_numpy(
+                zero_copy_only=False)[keep].astype(np.int64)
+            v = price_c * qty
+            gk, inv = np.unique(pk, return_inverse=True)
+            tot = np.zeros(gk.size, np.int64)
+            np.add.at(tot, inv, v)
+            return pa.table({"l_partkey": pa.array(gk, pa.int64()),
+                             "value_c": pa.array(tot, pa.int64())})
+
+        val = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_partkey", "l_suppkey", "l_extendedprice",
+                     "l_quantity"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby("l_partkey") \
+            .aggregate(Sum("value_c", alias_name="value_c")) \
+            .materialize()  # part-scale: scalar pass + filter pass
+
+        def scal_partial(b: pa.Table) -> pa.Table:
+            v = b["value_c"].to_numpy(zero_copy_only=False)
+            return pa.table({"g": pa.array([0], pa.int64()),
+                             "s": pa.array([int(v.sum())], pa.int64()),
+                             "n": pa.array([int(v.size)], pa.int64())})
+
+        scal = val.map_batches(scal_partial, batch_format="pyarrow") \
+            .groupby("g").aggregate(Sum("s", alias_name="s"),
+                                    Sum("n", alias_name="n")).take_all()
+        g_sum, g_n = int(scal[0]["s"]), int(scal[0]["n"])
+
+        def keep_hot(b: pa.Table) -> pa.Table:
+            v = b["value_c"].to_numpy(zero_copy_only=False)
+            return b.filter(pa.array(v * g_n > 2 * g_sum))
+
+        return val.map_batches(keep_hot, batch_format="pyarrow")
+
     def tpch_q12(sf_dir):
         """TPC-H Q12-shaped shipping-priority tally — the conditional-
         aggregation (CASE ... pivoted counts) witness: 1996-shipped
@@ -3732,6 +3855,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q16": tpch_q16,
         "tpch_q17": tpch_q17,
         "tpch_q22": tpch_q22,
+        "tpch_q15": tpch_q15,
+        "tpch_q11": tpch_q11,
         "promo_revenue_monthly": promo_revenue_monthly,
         "props_key_stats": props_key_stats,
         "events_user_anomaly": events_user_anomaly,
@@ -3807,6 +3932,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
         "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19", "tpch_q7",
         "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q22",
+        "tpch_q15", "tpch_q11",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
         "events_type_mad", "events_spearman", "events_iso_weekly",
         "customer_orders_merge", "embedding_dim_stats", "audio_spectral",
@@ -4903,6 +5029,38 @@ WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * pos.n > pos.s
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
+"""
+
+    # Q15: argmax WITH ties (WHERE total = (SELECT MAX ...), not LIMIT 1)
+    sql["tpch_q15"] = """
+WITH rev AS (
+    SELECT l_suppkey,
+           SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+               * (100 - CAST(FLOOR(l_discount * 100 + 0.5) AS BIGINT)))
+             ::BIGINT AS total_mc
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-04-01'
+    GROUP BY l_suppkey)
+SELECT s.s_suppkey, s.s_name, rev.total_mc
+FROM rev JOIN supplier s ON s.s_suppkey = rev.l_suppkey
+WHERE rev.total_mc = (SELECT MAX(total_mc) FROM rev)
+"""
+
+    # Q11: HAVING against a global scalar of the SAME aggregate —
+    # integer-exact above-2x-mean form (the classic fraction is
+    # SF-dependent; the mean multiple is scale-free)
+    sql["tpch_q11"] = """
+WITH sn AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 12),
+ val AS (SELECT l_partkey,
+                SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)
+                    * CAST(l_quantity AS BIGINT))::BIGINT AS value_c
+         FROM lineitem JOIN sn ON l_suppkey = s_suppkey
+         GROUP BY l_partkey),
+ tot AS (SELECT SUM(value_c)::BIGINT AS s, COUNT(*)::BIGINT AS n FROM val)
+SELECT val.l_partkey, val.value_c
+FROM val, tot
+WHERE val.value_c * tot.n > 2 * tot.s
 """
 
     # Q4: EXISTS semi-join (returned-lineitem proxy for the synthetic

@@ -187,6 +187,7 @@ HEADLINE = [
     "tpch_q7", "embedding_dim_stats", "jaccard_prefix",
     "event_type_percentile_refined", "audio_spectral",
     "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q22",
+    "tpch_q15", "tpch_q11",
 ]
 
 
@@ -267,7 +268,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             "spin_effective_cores": eff_cores,
             # cross-round comparability: value covers THIS headline set
             # (ADVICE r4: the set grows each round, readers must detect it)
-            "headline_set": "r5f",   # r5e + Q13/Q16/Q17/Q22 shapes
+            "headline_set": "r5g",   # r5f + Q15/Q11 shapes
             "headline_n": len(HEADLINE),
             "detail_file": "BENCH_QUERIES.json",
         }
