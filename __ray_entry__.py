@@ -1378,6 +1378,136 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = ngram_jaccard_pairs(ds, n=3, threshold=0.5, max_shingle_df=50)
         return connected_components(pairs)
 
+    def dedup_survivors(sf_dir):
+        """The dedup family's production FINISH: near-dup clusters ->
+        keep ONE representative per cluster by quality (longest text,
+        doc_id tie-break) — including every singleton doc (cluster =
+        its own id via LEFT join + null-fill), so the output is the
+        full surviving corpus, one row per kept doc.  Plan: pair gen +
+        connected components as in ``dedup_clusters``; labels attach by
+        hash-partitioned LEFT join (cluster table is pair-participant-
+        scale, corpus never broadcasts); the argmax is ``grouped_topk``
+        (k=1), whose per-batch partial bounds the exchange to one row
+        per (cluster, block)."""
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import ray.data as rd
+
+        from search_engine_ray.stages.dedup import ngram_jaccard_pairs
+        from search_engine_ray.stages.graph import connected_components
+        from search_engine_ray.stages.relational import (drop_empty_blocks,
+                                                         grouped_topk,
+                                                         shuffle_hash_join)
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5,
+                                    max_shingle_df=50)
+        cc = connected_components(pairs).map_batches(
+            lambda b: b.select(["doc_id", "cluster"]),
+            batch_format="pyarrow")
+        cc = drop_empty_blocks(cc, empty_schema=pa.schema(
+            [("doc_id", pa.int64()), ("cluster", pa.int64())]))
+
+        def with_len(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": b["doc_id"],
+                "n_chars": pcm.utf8_length(b["text"]).cast(pa.int64())})
+
+        sized = docs.map_batches(with_len, batch_format="pyarrow")
+        lab = shuffle_hash_join(sized, cc, on=("doc_id",), how="left")
+
+        def fill(b: pa.Table) -> pa.Table:
+            cl = pcm.coalesce(b["cluster"], b["doc_id"].cast(pa.int64()))
+            return pa.table({"cluster": cl, "doc_id": b["doc_id"],
+                             "n_chars": b["n_chars"]})
+
+        one = grouped_topk(lab.map_batches(fill, batch_format="pyarrow"),
+                           group_col="cluster", order_col="n_chars",
+                           tie_col="doc_id", k=1, descending=True)
+        return one.map_batches(
+            lambda b: b.select(["cluster", "doc_id", "n_chars"]),
+            batch_format="pyarrow")
+
+    def quality_filter_gopher(sf_dir):
+        """Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1
+        repetition/quality heuristics family) — the standard pre-training
+        corpus filter, all four rules integer-exact so the kept set is
+        bit-reproducible: token count in [5, 10000]; mean word length in
+        [2, 12] (as 2·n_tokens ≤ n_letters ≤ 12·n_tokens); stopword share
+        ≥ 5% (20·n_stop ≥ n_tokens); distinct-token share ≥ 30%
+        (10·n_uniq ≥ 3·n_tokens).  One vectorized pass, no exchange."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.functions.textstats import (_TOKEN_RE,
+                                                           QUALITY_STOPWORDS)
+
+        stop = frozenset(QUALITY_STOPWORDS)
+
+        def gate(b: pa.Table) -> pa.Table:
+            texts = b["text"].to_pylist()
+            n = len(texts)
+            n_tok = np.empty(n, np.int64)
+            n_let = np.empty(n, np.int64)
+            n_uniq = np.empty(n, np.int64)
+            n_stop = np.empty(n, np.int64)
+            for i, t in enumerate(texts):
+                toks = _TOKEN_RE.findall((t or "").lower())
+                n_tok[i] = len(toks)
+                n_let[i] = sum(map(len, toks))
+                n_uniq[i] = len(set(toks))
+                n_stop[i] = sum(1 for w in toks if w in stop)
+            keep = ((n_tok >= 5) & (n_tok <= 10000)
+                    & (2 * n_tok <= n_let) & (n_let <= 12 * n_tok)
+                    & (20 * n_stop >= n_tok)
+                    & (10 * n_uniq >= 3 * n_tok))
+            return pa.table({
+                "doc_id": b["doc_id"].filter(pa.array(keep)),
+                "n_tokens": pa.array(n_tok[keep], pa.int64()),
+                "n_letters": pa.array(n_let[keep], pa.int64()),
+                "n_uniq_tokens": pa.array(n_uniq[keep], pa.int64()),
+                "n_stop": pa.array(n_stop[keep], pa.int64())})
+
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+            .map_batches(gate, batch_format="pyarrow")
+
+    def dataset_split(sf_dir):
+        """Deterministic train/val/test split — the reproducible-split
+        op every training pipeline needs: the Knuth multiplicative hash
+        of doc_id (same function as ``sample_k_per_lang``) buckets docs
+        80/10/10 by last decimal digit; per-(lang, split) counts verify
+        the assignment.  Stateless per batch, parallelism-invariant, no
+        RNG — identical splits on every rerun and cluster size."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        def assign(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy()
+            hk = (ids * 2654435761) % 2147483648
+            d = hk % 10
+            split = np.where(d == 0, "val",
+                             np.where(d == 1, "test", "train"))
+            langs = b["lang"].to_numpy(zero_copy_only=False)
+            key = np.char.add(np.char.add(
+                langs.astype("U8"), "|"), split.astype("U8"))
+            ks, counts = np.unique(key, return_counts=True)
+            parts = np.char.partition(ks, "|")
+            return pa.table({
+                "lang": pa.array(parts[:, 0], pa.string()),
+                "split": pa.array(parts[:, 2], pa.string()),
+                "n_docs": pa.array(counts.astype(np.int64), pa.int64())})
+
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "lang"]) \
+            .map_batches(assign, batch_format="pyarrow") \
+            .groupby(["lang", "split"]) \
+            .aggregate(Sum("n_docs", alias_name="n_docs"))
+
     def minhash_lsh(sf_dir):
         import ray.data as rd
 
@@ -3824,6 +3954,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": ngram_jaccard,
         "ngram_containment": ngram_containment,
         "dedup_clusters": dedup_clusters,
+        "dedup_survivors": dedup_survivors,
+        "quality_filter_gopher": quality_filter_gopher,
+        "dataset_split": dataset_split,
         "minhash_lsh": minhash_lsh,
         "simhash_dedup": simhash_dedup,
         "knn_cosine": knn_cosine,
@@ -3933,6 +4066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19", "tpch_q7",
         "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q22",
         "tpch_q15", "tpch_q11",
+        "dedup_survivors", "quality_filter_gopher", "dataset_split",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
         "events_type_mad", "events_spearman", "events_iso_weekly",
         "customer_orders_merge", "embedding_dim_stats", "audio_spectral",
@@ -4656,6 +4790,64 @@ FROM pairs p
 JOIN sizes sa ON sa.doc_id = p.doc_a
 JOIN sizes sb ON sb.doc_id = p.doc_b
 WHERE CAST(p.n_inter AS DOUBLE) / least(sa.n, sb.n) >= 0.8
+"""
+
+    # dedup finish: one representative per cluster by (n_chars desc,
+    # doc_id), singletons keep themselves via the LEFT-join null-fill
+    sql["dedup_survivors"] = f"""
+WITH RECURSIVE {_JACCARD_CTES},
+edges AS (
+    SELECT doc_a AS a, doc_b AS b FROM jpairs
+    UNION ALL
+    SELECT doc_b AS a, doc_a AS b FROM jpairs
+),
+nodes AS (SELECT DISTINCT a AS node FROM edges),
+reach(node, label) AS (
+    SELECT node, node FROM nodes
+    UNION
+    SELECT e.b, r.label FROM reach r JOIN edges e ON e.a = r.node
+),
+clusters AS (SELECT node, MIN(label) AS cluster FROM reach GROUP BY node),
+lab AS (
+    SELECT d.doc_id,
+           COALESCE(c.cluster, d.doc_id)::BIGINT AS cluster,
+           length(d.text)::BIGINT AS n_chars
+    FROM documents d LEFT JOIN clusters c ON c.node = d.doc_id)
+SELECT cluster, doc_id, n_chars FROM (
+    SELECT lab.*, ROW_NUMBER() OVER (
+        PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
+    FROM lab)
+WHERE rn = 1
+"""
+
+    sql["quality_filter_gopher"] = f"""
+WITH toks AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS tok
+    FROM documents
+),
+agg AS (
+    SELECT doc_id,
+           COUNT(*)::BIGINT AS n_tokens,
+           SUM(length(tok))::BIGINT AS n_letters,
+           COUNT(DISTINCT tok)::BIGINT AS n_uniq_tokens,
+           COUNT(*) FILTER (tok IN ({_STOP_LIST_SQL}))::BIGINT AS n_stop
+    FROM toks GROUP BY doc_id
+)
+SELECT doc_id, n_tokens, n_letters, n_uniq_tokens, n_stop
+FROM agg
+WHERE n_tokens BETWEEN 5 AND 10000
+  AND n_letters BETWEEN 2 * n_tokens AND 12 * n_tokens
+  AND 20 * n_stop >= n_tokens
+  AND 10 * n_uniq_tokens >= 3 * n_tokens
+"""
+
+    sql["dataset_split"] = """
+SELECT lang,
+       CASE ((doc_id * 2654435761) % 2147483648) % 10
+            WHEN 0 THEN 'val' WHEN 1 THEN 'test' ELSE 'train' END AS split,
+       COUNT(*)::BIGINT AS n_docs
+FROM documents
+GROUP BY lang, split
 """
 
     # connected components of the >=0.5-Jaccard pair graph: transitive

@@ -188,6 +188,7 @@ HEADLINE = [
     "event_type_percentile_refined", "audio_spectral",
     "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q22",
     "tpch_q15", "tpch_q11",
+    "dedup_survivors", "quality_filter_gopher", "dataset_split",
 ]
 
 
@@ -268,7 +269,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             "spin_effective_cores": eff_cores,
             # cross-round comparability: value covers THIS headline set
             # (ADVICE r4: the set grows each round, readers must detect it)
-            "headline_set": "r5g",   # r5f + Q15/Q11 shapes
+            "headline_set": "r5h",   # r5g + curation trio (survivors/gopher/split)
             "headline_n": len(HEADLINE),
             "detail_file": "BENCH_QUERIES.json",
         }

@@ -608,3 +608,65 @@ def test_jaccard_prefix_matches_bruteforce(ray_session):
     g = sorted((int(r.doc_a), int(r.doc_b), int(r.n_inter))
                for r in got.itertuples())
     assert g == brute(texts, 3, 0.5)
+
+
+# --------------------------------------------------------------------------
+# Corpus-curation trio: Gopher-rule gate, dedup keep-best finish,
+# deterministic split — each replayed against its SQL oracle on a corpus
+# built so every rule/branch fires at least once.
+# --------------------------------------------------------------------------
+
+def _mini_documents(tmp_path):
+    import pyarrow.parquet as pq
+
+    stopful = ("the quick brown fox jumps over the lazy dog and the "
+               "cat sits on the mat with a hat and a bat for fun")
+    rows = [
+        # near-dup family: shared prefix, increasing length -> the
+        # LONGEST (id 3), not the smallest id, must survive
+        (1, "en", stopful),
+        (2, "en", stopful + " extra tail words here"),
+        (3, "en", stopful + " extra tail words here and even more of it"),
+        # singleton that passes every gopher rule
+        (4, "en", "she said that it was all they could do for the day"),
+        # fails token count (< 5 tokens)
+        (5, "de", "too short text"),
+        # fails stopword share (no stopwords at all)
+        (6, "de", " ".join(f"zz{i}qq" for i in range(30))),
+        # fails distinct share (one token repeated)
+        (7, "fr", " ".join(["buffalo"] * 40) + " the and of"),
+        # fails mean word length (> 12 letters per token)
+        (8, "fr", " ".join("x" * 20 for _ in range(10)) + " the of"),
+        # zero-token doc: no agg row in SQL, n_tokens=0 on the Ray side
+        (9, "fr", "!!! ??? 123"),
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+        "lang": pa.array([r[1] for r in rows], pa.string()),
+        "text": pa.array([r[2] for r in rows], pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+
+
+@pytest.mark.parametrize("name", ["dedup_survivors",
+                                  "quality_filter_gopher",
+                                  "dataset_split"])
+def test_curation_entry_matches_oracle(ray_session, tmp_path, name):
+    _mini_documents(tmp_path)
+    m = _entry_module()
+    out = m.queries()[name](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["documents"])
+    exp = con.execute(m.oracle_sql()[name]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    if name == "dedup_survivors":
+        # the near-dup cluster keeps the LONGEST member, not the min id
+        winners = set(a["doc_id"])
+        assert 3 in winners and 1 not in winners and 2 not in winners
+    if name == "quality_filter_gopher":
+        kept = set(a["doc_id"])
+        assert 4 in kept and not kept & {5, 6, 7, 8, 9}
