@@ -1985,6 +1985,118 @@ def queries() -> dict[str, Callable[[str], Any]]:
             arrow_open_stream_args={"compression": "gzip"}) \
             .map_batches(shape, batch_format="pyarrow")
 
+    def orc_roundtrip(sf_dir):
+        """ORC source coverage (Ray Data ships no read_orc): documents
+        written as ORC shards, read back as a file-parallel custom
+        source — a Dataset OF PATHS fans out one decode task per file
+        (`map_batches(batch_size=1)`), exactly how a 100-TB ORC lake
+        would stream in: file-level parallelism, no driver-side decode.
+        The oracle recomputes the columns from parquet, so type and
+        unicode fidelity through the ORC writer/reader are
+        value-checked."""
+        import hashlib
+        import os
+
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.orc as po
+        import pyarrow.parquet as pq
+        import ray.data as rd
+
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        d = f"/tmp/serx_orc_{tag}"
+        os.makedirs(d, exist_ok=True)
+        n_shards = 4
+        idx = docs["doc_id"].to_numpy()
+        for i in range(n_shards):
+            mask = (idx % n_shards) == i
+            po.write_table(docs.filter(pa.array(mask)),
+                           f"{d}/part-{i}.orc")
+        paths = [f"{d}/part-{i}.orc" for i in range(n_shards)]
+
+        def read_shard(b: pa.Table) -> pa.Table:
+            tables = [po.ORCFile(p).read()
+                      for p in b["path"].to_pylist()]
+            t = pa.concat_tables(tables)
+            return pa.table({
+                "doc_id": t["doc_id"].cast(pa.int64()),
+                "lang": t["lang"],
+                "n_chars_rt": pcm.utf8_length(t["text"]).cast(pa.int64()),
+            })
+
+        return rd.from_items([{"path": p} for p in paths]) \
+            .map_batches(read_shard, batch_format="pyarrow", batch_size=1)
+
+    def partitioned_parquet_roundtrip(sf_dir):
+        """Resumable partitioned SINK witness: documents stream through a
+        per-batch hive-style writer (one complete open-write-close file
+        per (lang, block) under `lang=<v>/`, the run-writer pattern —
+        a failed run reruns only unfinished partitions and a duplicate
+        file is discarded with its dir), then read back via
+        `read_parquet` on the root, which restores the partition column
+        from the directory key.  Per-lang counts + char sums
+        value-check the round trip against the source parquet."""
+        import hashlib
+        import os
+        import shutil
+        import uuid as _uuid
+
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        root = f"/tmp/serx_hive_{tag}"
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(root, exist_ok=True)
+
+        def write_part(b: pa.Table) -> pa.Table:
+            langs = b["lang"].to_numpy(zero_copy_only=False)
+            order = np.argsort(langs, kind="stable")
+            bb = b.take(pa.array(order, pa.int64()))
+            ls = langs[order]
+            bounds = np.flatnonzero(ls[1:] != ls[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            ends = np.concatenate((bounds, [ls.size]))
+            out = []
+            for s, e in zip(starts, ends):
+                lang = str(ls[s])
+                d = os.path.join(root, f"lang={lang}")
+                os.makedirs(d, exist_ok=True)
+                tmp = os.path.join(d, f".tmp-{_uuid.uuid4().hex}.parquet")
+                pq.write_table(bb.slice(s, e - s).drop_columns(["lang"]),
+                               tmp)
+                os.rename(tmp, tmp.replace(".tmp-", "blk-"))
+                out.append((lang, e - s))
+            return pa.table({
+                "lang": pa.array([o[0] for o in out], pa.string()),
+                "rows": pa.array([int(o[1]) for o in out], pa.int64())})
+
+        # drain the writer (ack rows only reach the driver)
+        rd.read_parquet(f"{sf_dir}/documents.parquet",
+                        columns=["doc_id", "text", "lang"]) \
+            .map_batches(write_part, batch_format="pyarrow") \
+            .materialize()
+
+        def shape(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "lang": b["lang"].cast(pa.string()),
+                "n_docs": pa.array(np.ones(b.num_rows, np.int64),
+                                   pa.int64()),
+                "sum_chars": pcm.utf8_length(b["text"]).cast(pa.int64()),
+            })
+
+        return rd.read_parquet(root) \
+            .map_batches(shape, batch_format="pyarrow") \
+            .groupby("lang") \
+            .aggregate(Sum("n_docs", alias_name="n_docs"),
+                       Sum("sum_chars", alias_name="sum_chars"))
+
     def events_pushdown(sf_dir):
         """Predicate pushdown at the READ: the row filter rides into the
         PyArrow scanner (row-group stats prune before bytes leave
@@ -4018,6 +4130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "warc_roundtrip": warc_roundtrip,
         "jsonl_roundtrip": jsonl_roundtrip,
         "jsonl_gz_roundtrip": jsonl_gz_roundtrip,
+        "orc_roundtrip": orc_roundtrip,
+        "partitioned_parquet_roundtrip": partitioned_parquet_roundtrip,
         "nfc_normalize_docs": nfc_normalize_docs,
         "events_pushdown": events_pushdown,
         "pack_docs": pack_docs,
@@ -4067,6 +4181,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q22",
         "tpch_q15", "tpch_q11",
         "dedup_survivors", "quality_filter_gopher", "dataset_split",
+        "orc_roundtrip", "partitioned_parquet_roundtrip",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
         "events_type_mad", "events_spearman", "events_iso_weekly",
         "customer_orders_merge", "embedding_dim_stats", "audio_spectral",
@@ -4993,6 +5108,16 @@ SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
 
     sql["jsonl_gz_roundtrip"] = """
 SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
+"""
+
+    sql["orc_roundtrip"] = """
+SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
+"""
+
+    sql["partitioned_parquet_roundtrip"] = """
+SELECT lang, COUNT(*)::BIGINT AS n_docs,
+       SUM(length(text))::BIGINT AS sum_chars
+FROM documents GROUP BY lang
 """
 
     # NFC normalization, verbatim string parity; the decomposed suffix

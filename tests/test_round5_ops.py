@@ -649,7 +649,9 @@ def _mini_documents(tmp_path):
 
 @pytest.mark.parametrize("name", ["dedup_survivors",
                                   "quality_filter_gopher",
-                                  "dataset_split"])
+                                  "dataset_split",
+                                  "orc_roundtrip",
+                                  "partitioned_parquet_roundtrip"])
 def test_curation_entry_matches_oracle(ray_session, tmp_path, name):
     _mini_documents(tmp_path)
     m = _entry_module()
