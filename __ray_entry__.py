@@ -2130,6 +2130,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 Count(alias_name="n_clicks"),
                 Sum("cents", alias_name="sum_cents"))
 
+    def events_watermark(sf_dir):
+        """Event-time WATERMARK with late-data discard — the streaming
+        semantics a batch windower can't express: events process in
+        ARRIVAL order (synthesized deterministically as ts ± a bounded
+        hash jitter, since the fixture arrives ts-sorted), the watermark
+        each row sees is the running max event time over everything that
+        arrived before it (inclusive prefix max = the two-pass parallel
+        scan of ``ordered_prefix_max``), and rows more than 600 s behind
+        their watermark DROP before the tumbling count.  All-integer,
+        parallelism-invariant, and SQL-window-checkable."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import ordered_prefix_max
+
+        def arrival(b: pa.Table) -> pa.Table:
+            ts = b["ts"].cast(pa.timestamp("us"), safe=False) \
+                .cast(pa.int64())
+            ts_sec = pcm.divide(ts, 1_000_000).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            eid = b["event_id"].to_numpy()
+            jit = ((eid * 2654435761) % 2147483648) % 1800 - 900
+            return pa.table({
+                "event_id": pa.array(eid, pa.int64()),
+                "ts_sec": pa.array(ts_sec, pa.int64()),
+                "arr_key": pa.array(ts_sec + jit, pa.int64())})
+
+        arr = rd.read_parquet(f"{sf_dir}/events.parquet",
+                              columns=["event_id", "ts"]) \
+            .map_batches(arrival, batch_format="pyarrow")
+        wm = ordered_prefix_max(arr, order_cols=["arr_key", "event_id"],
+                                value_col="ts_sec", out_col="wm")
+
+        def keep_and_window(b: pa.Table) -> pa.Table:
+            ts = b["ts_sec"].to_numpy(zero_copy_only=False)
+            w = b["wm"].to_numpy(zero_copy_only=False)
+            on_time = ts >= w - 600
+            win = (ts[on_time] // 300) * 300
+            keys, counts = np.unique(win, return_counts=True)
+            return pa.table({
+                "window_start": pa.array(keys, pa.int64()),
+                "n_events": pa.array(counts.astype(np.int64),
+                                     pa.int64())})
+
+        return wm.map_batches(keep_and_window, batch_format="pyarrow") \
+            .groupby("window_start") \
+            .aggregate(Sum("n_events", alias_name="n_events"))
+
     def nfc_normalize_docs(sf_dir):
         """Unicode NFC normalization — the canonicalization step every
         text-dedup family assumes upstream (decomposed e + U+0301 must
@@ -4132,6 +4183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_gz_roundtrip": jsonl_gz_roundtrip,
         "orc_roundtrip": orc_roundtrip,
         "partitioned_parquet_roundtrip": partitioned_parquet_roundtrip,
+        "events_watermark": events_watermark,
         "nfc_normalize_docs": nfc_normalize_docs,
         "events_pushdown": events_pushdown,
         "pack_docs": pack_docs,
@@ -4182,6 +4234,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15", "tpch_q11",
         "dedup_survivors", "quality_filter_gopher", "dataset_split",
         "orc_roundtrip", "partitioned_parquet_roundtrip",
+        "events_watermark",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
         "events_type_mad", "events_spearman", "events_iso_weekly",
         "customer_orders_merge", "embedding_dim_stats", "audio_spectral",
@@ -5108,6 +5161,25 @@ SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
 
     sql["jsonl_gz_roundtrip"] = """
 SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
+"""
+
+    # watermark with late discard: arrival = ts + bounded hash jitter,
+    # watermark = inclusive running max of ts in arrival order
+    sql["events_watermark"] = """
+WITH arr AS (
+    SELECT event_id,
+           (epoch_us(ts) // 1000000)::BIGINT AS ts_sec,
+           (epoch_us(ts) // 1000000
+            + ((event_id * 2654435761) % 2147483648) % 1800 - 900)::BIGINT
+             AS arr_key
+    FROM events),
+wm AS (
+    SELECT *, MAX(ts_sec) OVER (ORDER BY arr_key, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS w
+    FROM arr)
+SELECT (ts_sec // 300) * 300 AS window_start, COUNT(*)::BIGINT AS n_events
+FROM wm WHERE ts_sec >= w - 600
+GROUP BY window_start
 """
 
     sql["orc_roundtrip"] = """

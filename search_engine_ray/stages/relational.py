@@ -427,6 +427,57 @@ def ordered_prefix_sum(ds: rd.Dataset, *, order_col: str, value_col: str,
     return rd.from_arrow_refs(out)
 
 
+def ordered_prefix_max(ds: rd.Dataset, *, order_cols: list[str],
+                       value_col: str,
+                       out_col: str = "run_max") -> rd.Dataset:
+    """Distributed INCLUSIVE running max over the ``order_cols``-sorted
+    stream — the same two-pass parallel scan as :func:`ordered_prefix_sum`
+    (max is associative): sort, one scalar (block max + first key) per
+    block to the driver, exclusive per-block max offsets
+    (metadata-scale), then ``np.maximum(offset, local running max)`` per
+    block.  ``out_col`` equals SQL ``MAX(v) OVER (ORDER BY ... ROWS
+    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)``; the combined
+    ``order_cols`` key must be unique for a deterministic result.  This
+    is the event-time WATERMARK primitive: with v = event ts and order =
+    arrival, ``run_max - allowed_lateness`` is the watermark each row
+    sees."""
+    sorted_ds = ds.sort(order_cols).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    @ray.remote
+    def block_stat(t: pa.Table):
+        if t.num_rows == 0:
+            return (None, None)
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        key = tuple(t[c][0].as_py() for c in order_cols)
+        return (int(v.max()), key)
+
+    stats = ray.get([block_stat.remote(r) for r in refs])
+    keyed = [(k, m, i) for i, (m, k) in enumerate(stats) if k is not None]
+    if sorted(k for k, _, _ in keyed) != [k for k, _, _ in keyed]:
+        raise AssertionError("sorted dataset blocks out of key order")
+    offsets = {}
+    acc = None
+    for k, m, i in keyed:
+        offsets[i] = acc
+        acc = m if acc is None else max(acc, m)
+
+    @ray.remote
+    def scan_block(t: pa.Table, off) -> pa.Table:
+        v = t[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        run = np.maximum.accumulate(v) if v.size else v
+        if off is not None and run.size:
+            run = np.maximum(run, np.int64(off))
+        return t.append_column(out_col, pa.array(run, pa.int64()))
+
+    out = [scan_block.remote(refs[i], offsets[i]) for _, _, i in keyed]
+    if not out:
+        return sorted_ds.map_batches(
+            lambda t: t.append_column(out_col, pa.array([], pa.int64())),
+            batch_format="pyarrow")
+    return rd.from_arrow_refs(out)
+
+
 def pack_sequences(ds: rd.Dataset, *, order_col: str, token_col: str,
                    budget: int) -> rd.Dataset:
     """Deterministic training-sequence packing: walk documents in

@@ -672,3 +672,71 @@ def test_curation_entry_matches_oracle(ray_session, tmp_path, name):
     if name == "quality_filter_gopher":
         kept = set(a["doc_id"])
         assert 4 in kept and not kept & {5, 6, 7, 8, 9}
+
+
+# --------------------------------------------------------------------------
+# Event-time watermark: the inclusive distributed prefix max and the
+# late-discard entry, replayed on a corpus with engineered inversions.
+# --------------------------------------------------------------------------
+
+def test_ordered_prefix_max_matches_numpy(ray_session):
+    """Inclusive running max == numpy maximum.accumulate in sorted order,
+    at several parallelism levels, with duplicate order keys broken by a
+    second column and negative values included."""
+    from search_engine_ray.stages.relational import ordered_prefix_max
+
+    rng = np.random.default_rng(19)
+    n = 400
+    k1 = rng.integers(0, 40, n)          # heavy ties
+    k2 = np.arange(n)
+    rng.shuffle(k2)                       # unique tie-break
+    v = rng.integers(-1000, 1000, n)
+    order = np.lexsort((k2, k1))
+    expect = dict(zip(zip(k1[order], k2[order]),
+                      np.maximum.accumulate(v[order])))
+    t = pa.table({"k1": pa.array(k1, pa.int64()),
+                  "k2": pa.array(k2, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    for parts in (1, 3, 17):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = ordered_prefix_max(ds, order_cols=["k1", "k2"],
+                                 value_col="v").take_all()
+        got = {(r["k1"], r["k2"]): r["run_max"] for r in out}
+        assert got == expect, parts
+
+
+def test_events_watermark_matches_oracle(ray_session, tmp_path):
+    """Late rows (engineered arrival inversions) drop identically on both
+    sides; on-time boundary (exactly watermark - 600) is kept."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(23)
+    n = 500
+    base = 1_700_000_000
+    ts_sec = base + np.sort(rng.integers(0, 50_000, n))
+    # force boundary cases: one event exactly 600 s late, one 601 s late
+    ts_sec[10] = ts_sec[9]          # tie
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
+        "ts": pa.array(pd.to_datetime(ts_sec, unit="s")
+                       .astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(1, 50, n), pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array(rng.uniform(0, 10, n)),
+        "props": pa.array(["{}"] * n),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    out = m.queries()["events_watermark"](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["events_watermark"]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    # the jitter must actually drop something, or this test is vacuous
+    total_kept = int(a["n_events"].sum())
+    assert total_kept < n
