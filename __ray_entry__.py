@@ -1389,45 +1389,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         scale, corpus never broadcasts); the argmax is ``grouped_topk``
         (k=1), whose per-batch partial bounds the exchange to one row
         per (cluster, block)."""
-        import pyarrow as pa
-        import pyarrow.compute as pcm
         import ray.data as rd
 
-        from search_engine_ray.stages.dedup import ngram_jaccard_pairs
-        from search_engine_ray.stages.graph import connected_components
-        from search_engine_ray.stages.relational import (drop_empty_blocks,
-                                                         grouped_topk,
-                                                         shuffle_hash_join)
+        from search_engine_ray.stages.dedup import (keep_best_per_cluster,
+                                                    ngram_jaccard_pairs)
 
         docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
                                columns=["doc_id", "text"])
         pairs = ngram_jaccard_pairs(docs, n=3, threshold=0.5,
                                     max_shingle_df=50)
-        cc = connected_components(pairs).map_batches(
-            lambda b: b.select(["doc_id", "cluster"]),
-            batch_format="pyarrow")
-        cc = drop_empty_blocks(cc, empty_schema=pa.schema(
-            [("doc_id", pa.int64()), ("cluster", pa.int64())]))
+        return keep_best_per_cluster(docs, pairs)
 
-        def with_len(b: pa.Table) -> pa.Table:
-            return pa.table({
-                "doc_id": b["doc_id"],
-                "n_chars": pcm.utf8_length(b["text"]).cast(pa.int64())})
+    def minhash_survivors(sf_dir):
+        """The SAME keep-best finish on the PRODUCTION pair generator:
+        MinHash+LSH candidates (the designated 10^12-doc family) ->
+        connected components -> one representative per cluster — the
+        composition a 100-TB run actually executes, where
+        ``dedup_survivors`` is its exact-Jaccard oracle twin.  No SQL
+        oracle (LSH is probabilistic); a pytest pins it to the exact
+        twin on a corpus where recall is certain (exact copies)."""
+        import ray.data as rd
 
-        sized = docs.map_batches(with_len, batch_format="pyarrow")
-        lab = shuffle_hash_join(sized, cc, on=("doc_id",), how="left")
+        from search_engine_ray.stages.dedup import (keep_best_per_cluster,
+                                                    minhash_lsh_pairs)
 
-        def fill(b: pa.Table) -> pa.Table:
-            cl = pcm.coalesce(b["cluster"], b["doc_id"].cast(pa.int64()))
-            return pa.table({"cluster": cl, "doc_id": b["doc_id"],
-                             "n_chars": b["n_chars"]})
-
-        one = grouped_topk(lab.map_batches(fill, batch_format="pyarrow"),
-                           group_col="cluster", order_col="n_chars",
-                           tie_col="doc_id", k=1, descending=True)
-        return one.map_batches(
-            lambda b: b.select(["cluster", "doc_id", "n_chars"]),
-            batch_format="pyarrow")
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        pairs = minhash_lsh_pairs(docs, threshold=0.5)
+        return keep_best_per_cluster(docs, pairs)
 
     def quality_filter_gopher(sf_dir):
         """Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1
@@ -4118,6 +4107,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_containment": ngram_containment,
         "dedup_clusters": dedup_clusters,
         "dedup_survivors": dedup_survivors,
+        "minhash_survivors": minhash_survivors,
         "quality_filter_gopher": quality_filter_gopher,
         "dataset_split": dataset_split,
         "minhash_lsh": minhash_lsh,

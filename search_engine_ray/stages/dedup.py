@@ -1531,3 +1531,46 @@ def jaccard_prefix_pairs(ds: rd.Dataset, *, n: int = 3,
         return out.filter(pa.array(jac >= threshold))
 
     return counted.map_batches(finalize, batch_format="pyarrow")
+
+
+def keep_best_per_cluster(docs: rd.Dataset, pairs: rd.Dataset, *,
+                          id_col: str = "doc_id",
+                          text_col: str = "text") -> rd.Dataset:
+    """The dedup family's production FINISH, shared by every pair
+    generator (exact Jaccard, MinHash+LSH, SimHash, dHash): connected
+    components over the pair graph, cluster labels LEFT-joined onto the
+    full corpus (a doc in no pair keeps itself — null cluster fills with
+    its own id), then ONE representative per cluster survives by
+    (n_chars desc, id asc) via ``grouped_topk`` k=1, whose per-batch
+    partial bounds the exchange to one row per (cluster, block).
+
+    Output: (cluster, <id_col>, n_chars) — the full surviving corpus."""
+    import pyarrow.compute as pcm
+
+    from .graph import connected_components
+    from .relational import drop_empty_blocks, grouped_topk, shuffle_hash_join
+
+    cc = connected_components(pairs).map_batches(
+        lambda b: b.select([id_col, "cluster"]), batch_format="pyarrow")
+    cc = drop_empty_blocks(cc, empty_schema=pa.schema(
+        [(id_col, pa.int64()), ("cluster", pa.int64())]))
+
+    def with_len(b: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: b[id_col],
+            "n_chars": pcm.utf8_length(b[text_col]).cast(pa.int64())})
+
+    sized = docs.map_batches(with_len, batch_format="pyarrow")
+    lab = shuffle_hash_join(sized, cc, on=(id_col,), how="left")
+
+    def fill(b: pa.Table) -> pa.Table:
+        cl = pcm.coalesce(b["cluster"], b[id_col].cast(pa.int64()))
+        return pa.table({"cluster": cl, id_col: b[id_col],
+                         "n_chars": b["n_chars"]})
+
+    one = grouped_topk(lab.map_batches(fill, batch_format="pyarrow"),
+                       group_col="cluster", order_col="n_chars",
+                       tie_col=id_col, k=1, descending=True)
+    return one.map_batches(
+        lambda b: b.select(["cluster", id_col, "n_chars"]),
+        batch_format="pyarrow")

@@ -740,3 +740,38 @@ def test_events_watermark_matches_oracle(ray_session, tmp_path):
     # the jitter must actually drop something, or this test is vacuous
     total_kept = int(a["n_events"].sum())
     assert total_kept < n
+
+
+def test_keep_best_per_cluster_minhash_matches_exact_twin(ray_session):
+    """On a corpus of EXACT copies (LSH recall is certain: identical
+    texts -> identical signatures -> every band collides) the production
+    path (minhash pairs -> keep_best) returns the same surviving corpus
+    as the exact-Jaccard twin, and both keep min-id per tied cluster and
+    every singleton."""
+    from search_engine_ray.stages.dedup import (keep_best_per_cluster,
+                                                minhash_lsh_pairs,
+                                                ngram_jaccard_pairs)
+
+    a = ("the quick brown fox jumps over the lazy dog and runs far "
+         "away into the deep dark woods tonight")
+    b = ("completely different content about database engines and "
+         "distributed query processing at large scale")
+    docs = {1: a, 2: a, 7: a,            # exact-copy cluster, min id 1
+            4: b, 5: b,                  # second cluster, min id 4
+            6: "a unique singleton document with its own words"}
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(list(docs), pa.int64()),
+        "text": pa.array([docs[d] for d in docs], pa.string())})) \
+        .repartition(3)
+
+    def survivors(pairs):
+        rows = keep_best_per_cluster(ds, pairs).take_all()
+        return sorted((r["cluster"], r["doc_id"], r["n_chars"])
+                      for r in rows)
+
+    got_mh = survivors(minhash_lsh_pairs(ds, threshold=0.5))
+    got_ex = survivors(ngram_jaccard_pairs(ds, n=3, threshold=0.5,
+                                           max_shingle_df=50))
+    assert got_mh == got_ex
+    assert [r[1] for r in got_mh] == sorted([1, 4, 6])
+    assert all(c == d for c, d, _ in got_mh)   # survivor id = cluster id here
