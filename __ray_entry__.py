@@ -2831,13 +2831,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         grouped COUNT(DISTINCT) witness.  The part-supplier relation is
         proxied by DISTINCT (l_partkey, l_suppkey) from lineitem (the
         synthetic schema has no partsupp; reference parity per SURVEY
-        §2.11).  Plan: per-batch unique-pair partials, one two-key
-        groupby for the global distinct (fact-scale exchange, the only
-        big shuffle), a broadcast is_in drop of the excluded suppliers
-        (negative acctbal — supplier is dim-scale; at extreme SF this
-        becomes a shuffle anti-join), a broadcast part-attribute lookup,
-        then distinct (brand, type, size, suppkey) and the final count
-        collapse through a part-attribute-scale groupby."""
+        §2.11).  ALL-INTEGER plan — strings never enter an exchange: the
+        (brand, type, size) triples factorize driver-side to a dense gid
+        (part is dim-scale), a broadcast partkey→gid map replaces the
+        attribute join (excluded/filtered parts get gid −1), the
+        distinct (gid, suppkey) runs as ONE packed-int64 groupby
+        (gid<<32|suppkey; per-batch lexsort-dedup partials bound the
+        exchange), per-gid counts collapse via bincount partials, and
+        the string labels re-attach in the final metadata-scale pass.
+        Excluded suppliers (negative acctbal) drop by broadcast isin
+        (dim-scale; shuffle anti-join past worker heap)."""
         import numpy as np
         import ray
         import pyarrow as pa
@@ -2846,63 +2849,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
         from ray.data.aggregate import Count, Sum
 
-        from search_engine_ray.stages.relational import broadcast_hash_join
-
         supp = pq.read_table(f"{sf_dir}/supplier.parquet",
                              columns=["s_suppkey", "s_acctbal"])
-        bad = supp.filter(pcm.less(supp["s_acctbal"], 0.0))["s_suppkey"] \
-            .to_numpy(zero_copy_only=False)
-        bad_ref = ray.put(np.sort(bad))
+        bad = np.sort(supp.filter(
+            pcm.less(supp["s_acctbal"], 0.0))["s_suppkey"]
+            .to_numpy(zero_copy_only=False))
 
         part = pq.read_table(
             f"{sf_dir}/part.parquet",
             columns=["p_partkey", "p_brand", "p_type", "p_size"])
         part = part.filter(pcm.not_equal(part["p_brand"], "Brand#23"))
+        brand = np.asarray(part["p_brand"].to_pylist())
+        ptype = np.asarray(part["p_type"].to_pylist())
+        psize = part["p_size"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        # factorize (brand, type, size) -> dense gid, deterministically
+        trip = np.char.add(np.char.add(np.char.add(
+            brand, "\x1f"), ptype), psize.astype("U8"))
+        labels, gid_of_part = np.unique(trip, return_inverse=True)
+        first_ix = np.unique(trip, return_index=True)[1]
+        lab_brand, lab_type, lab_size = \
+            brand[first_ix], ptype[first_ix], psize[first_ix]
+        pkeys = part["p_partkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pkeys)
+        map_ref = ray.put((pkeys[order], gid_of_part[order].astype(
+            np.int64), np.sort(bad)))
 
         def pair_partial(b: pa.Table) -> pa.Table:
+            ks, gids, badk = ray.get(map_ref)
             pk = b["l_partkey"].to_numpy(zero_copy_only=False)
             sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
-            keep = ~np.isin(sk, ray.get(bad_ref))
+            keep = ~np.isin(sk, badk)
             pk, sk = pk[keep], sk[keep]
-            pairs = np.unique(np.stack([pk, sk], axis=1), axis=0)
-            return pa.table({
-                "l_partkey": pa.array(pairs[:, 0], pa.int64()),
-                "l_suppkey": pa.array(pairs[:, 1], pa.int64())})
+            pos = np.searchsorted(ks, pk)
+            pos_c = np.clip(pos, 0, max(0, ks.size - 1))
+            hit = (ks.size > 0) & (ks[pos_c] == pk)
+            g = gids[pos_c[hit]]
+            packed = (g << 32) | sk[hit]          # gid, suppkey < 2^31
+            packed = np.unique(packed)            # per-batch dedup
+            return pa.table({"packed": pa.array(packed, pa.int64())})
 
-        ps = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
-                             columns=["l_partkey", "l_suppkey"]) \
+        distinct = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                   columns=["l_partkey", "l_suppkey"]) \
             .map_batches(pair_partial, batch_format="pyarrow") \
-            .groupby(["l_partkey", "l_suppkey"]) \
-            .aggregate(Count(alias_name="_n")) \
-            .map_batches(lambda b: b.drop_columns(["_n"]),
-                         batch_format="pyarrow")
+            .groupby("packed").aggregate(Count(alias_name="_n"))
 
-        ps = broadcast_hash_join(
-            ps, part, big_key="l_partkey", small_key="p_partkey",
-            select=["p_brand", "p_type", "p_size"])
-
-        # distinct (brand, type, size, suppkey): same pair can reach a
-        # group through many parts sharing the attribute triple
-        dedup = ps.map_batches(
-            lambda b: b.select(["p_brand", "p_type", "p_size",
-                                "l_suppkey"]),
-            batch_format="pyarrow") \
-            .groupby(["p_brand", "p_type", "p_size", "l_suppkey"]) \
-            .aggregate(Count(alias_name="_n"))
-
-        def grp_partial(b: pa.Table) -> pa.Table:
+        def gid_partial(b: pa.Table) -> pa.Table:
+            packed = b["packed"].to_numpy(zero_copy_only=False)
+            g = packed >> 32
+            keys, counts = np.unique(g, return_counts=True)
             return pa.table({
-                "p_brand": b["p_brand"], "p_type": b["p_type"],
-                "p_size": b["p_size"],
-                "one": pa.array(np.ones(b.num_rows, np.int64),
-                                pa.int64())})
+                "gid": pa.array(keys, pa.int64()),
+                "n": pa.array(counts.astype(np.int64), pa.int64())})
 
-        return dedup.map_batches(grp_partial, batch_format="pyarrow") \
-            .groupby(["p_brand", "p_type", "p_size"]) \
-            .aggregate(Sum("one", alias_name="supplier_cnt")) \
-            .map_batches(lambda b: b.set_column(
-                b.schema.get_field_index("p_size"), "p_size",
-                b["p_size"].cast(pa.int64())), batch_format="pyarrow")
+        counted = distinct.map_batches(gid_partial,
+                                       batch_format="pyarrow") \
+            .groupby("gid").aggregate(Sum("n", alias_name="supplier_cnt"))
+        lab_ref = ray.put((lab_brand, lab_type, lab_size))
+
+        def attach(b: pa.Table) -> pa.Table:
+            lb, lt, ls = ray.get(lab_ref)
+            g = b["gid"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "p_brand": pa.array(lb[g], pa.string()),
+                "p_type": pa.array(lt[g], pa.string()),
+                "p_size": pa.array(ls[g], pa.int64()),
+                "supplier_cnt": b["supplier_cnt"]})
+
+        return counted.map_batches(attach, batch_format="pyarrow")
 
     def tpch_q17(sf_dir):
         """TPC-H Q17-shaped small-quantity-order revenue — the
