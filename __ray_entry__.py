@@ -1794,6 +1794,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 Count(alias_name="n_terms"),
                 Sum("tf", alias_name="sum_tf"))
 
+    def search_or(sf_dir):
+        """Boolean OR (union) query: docs containing `table` OR `hash`,
+        with per-doc matched-term count and summed tf — the posting-list
+        UNION that completes the AND / AND-NOT / phrase / NEAR / prefix
+        boolean algebra.  At index scale this is a k-way posting-list
+        merge (doc-partitioned segments make it one local pass per
+        part); here the tf stream filters by an `is_in` term set and
+        rolls up per doc."""
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        from ray.data.aggregate import Count, Sum
+
+        tfds = dq.q_tf(sf_dir)
+        terms = pa.array(["table", "hash"], pa.string())
+
+        def pick(b: pa.Table) -> pa.Table:
+            return b.filter(pcm.is_in(b["term"], value_set=terms))
+
+        return tfds.map_batches(pick, batch_format="pyarrow") \
+            .groupby("doc_id").aggregate(
+                Count(alias_name="n_terms"),
+                Sum("tf", alias_name="sum_tf"))
+
     def search_andnot(sf_dir):
         """Boolean AND-NOT: docs containing `table` but NOT `hash` —
         the exclusion join the AND/OR/phrase/NEAR family was missing;
@@ -4195,6 +4218,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "search_near": search_near,
         "search_prefix": search_prefix,
         "search_andnot": search_andnot,
+        "search_or": search_or,
         "sample_k_per_lang": sample_k_per_lang,
         "curate_corpus": curate_corpus,
         "csv_roundtrip": csv_roundtrip,
@@ -4293,6 +4317,12 @@ WITH {_TF_CTE}
 SELECT doc_id, tf FROM tf
 WHERE term = 'table'
   AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'hash')
+"""
+
+    sql["search_or"] = f"""
+WITH {_TF_CTE}
+SELECT doc_id, COUNT(*)::BIGINT AS n_terms, SUM(tf)::BIGINT AS sum_tf
+FROM tf WHERE term IN ('table', 'hash') GROUP BY doc_id
 """
 
     # deterministic k-per-group sample: same Knuth pseudo-hash, same
