@@ -3216,6 +3216,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return val.map_batches(keep_hot, batch_format="pyarrow")
 
+    def tpch_q9(sf_dir):
+        """TPC-H Q9-shaped product-type profit rollup — the widest dim
+        fan (part payload + supplier→nation role + order year) on ONE
+        fact×fact exchange: part collapses driver-side to a (partkey,
+        retail_c) payload holding only name-matching parts (supplycost
+        proxied by p_retailprice — no partsupp in the synthetic schema),
+        supplier collapses to suppkey→nationkey, both ship once via
+        ray.put (guards: shuffle join past worker heap); lineitem joins
+        orders on the hash-partitioned orderkey exchange for the order
+        year; profit_mc = price_c·(100−disc_c) − retail_c·qty·100 stays
+        exact int64; ≤|nations×years| partials per block."""
+        import numpy as np
+        import ray
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import shuffle_hash_join
+
+        part = pq.read_table(f"{sf_dir}/part.parquet",
+                             columns=["p_partkey", "p_name",
+                                      "p_retailprice"])
+        part = part.filter(pcm.match_substring(part["p_name"], "widget"))
+        pk = part["p_partkey"].to_numpy(zero_copy_only=False)
+        order = np.argsort(pk)
+        retail_c = np.floor(part["p_retailprice"].to_numpy(
+            zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+        sk = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+        sorder = np.argsort(sk)
+        snat = supp["s_nationkey"].to_numpy(zero_copy_only=False) \
+            .astype(np.int64)
+        nation = pq.read_table(f"{sf_dir}/nation.parquet",
+                               columns=["n_nationkey", "n_name"])
+        names = {int(k): v for k, v in zip(
+            nation["n_nationkey"].to_pylist(),
+            nation["n_name"].to_pylist())}
+        dims_ref = ray.put((pk[order], retail_c[order],
+                            sk[sorder], snat[sorder]))
+
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_suppkey",
+                     "l_quantity", "l_extendedprice", "l_discount"])
+        orders = rd.read_parquet(f"{sf_dir}/orders.parquet",
+                                 columns=["o_orderkey", "o_orderdate"])
+        j = shuffle_hash_join(li, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",), how="inner")
+
+        def partial(b: pa.Table) -> pa.Table:
+            pks, rc, sks, sn = ray.get(dims_ref)
+            lp = b["l_partkey"].to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(pks, lp), 0,
+                          max(0, pks.size - 1))
+            hit = (pks.size > 0) & (pks[pos] == lp)
+            if not hit.any():
+                return pa.table({"nationkey": pa.array([], pa.int64()),
+                                 "yr": pa.array([], pa.int64()),
+                                 "profit_mc": pa.array([], pa.int64())})
+            t = b.filter(pa.array(hit))
+            rcs = rc[pos[hit]]
+            ls = t["l_suppkey"].to_numpy(zero_copy_only=False)
+            spos = np.clip(np.searchsorted(sks, ls), 0,
+                           max(0, sks.size - 1))
+            nk = sn[spos]
+            price_c = np.floor(t["l_extendedprice"].to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            disc_c = np.floor(t["l_discount"].to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            qty = t["l_quantity"].to_numpy(
+                zero_copy_only=False).astype(np.int64)
+            profit = price_c * (100 - disc_c) - rcs * qty * 100
+            od = t["o_orderdate"].cast(pa.timestamp("us"), safe=False)
+            yr = pcm.year(od).cast(pa.int64()) \
+                .to_numpy(zero_copy_only=False)
+            key = nk * 10_000 + yr
+            keys, inv = np.unique(key, return_inverse=True)
+            tot = np.zeros(keys.size, np.int64)
+            np.add.at(tot, inv, profit)
+            return pa.table({
+                "nationkey": pa.array(keys // 10_000, pa.int64()),
+                "yr": pa.array(keys % 10_000, pa.int64()),
+                "profit_mc": pa.array(tot, pa.int64())})
+
+        agg = j.map_batches(partial, batch_format="pyarrow") \
+            .groupby(["nationkey", "yr"]) \
+            .aggregate(Sum("profit_mc", alias_name="profit_mc"))
+
+        def attach(b: pa.Table) -> pa.Table:
+            nk = b["nationkey"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "n_name": pa.array([names[int(k)] for k in nk],
+                                   pa.string()),
+                "yr": b["yr"], "profit_mc": b["profit_mc"]})
+
+        return agg.map_batches(attach, batch_format="pyarrow")
+
     def tpch_q12(sf_dir):
         """TPC-H Q12-shaped shipping-priority tally — the conditional-
         aggregation (CASE ... pivoted counts) witness: 1996-shipped
@@ -4180,6 +4280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q22": tpch_q22,
         "tpch_q15": tpch_q15,
         "tpch_q11": tpch_q11,
+        "tpch_q9": tpch_q9,
         "promo_revenue_monthly": promo_revenue_monthly,
         "props_key_stats": props_key_stats,
         "events_user_anomaly": events_user_anomaly,
@@ -4259,7 +4360,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
         "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19", "tpch_q7",
         "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q22",
-        "tpch_q15", "tpch_q11",
+        "tpch_q15", "tpch_q11", "tpch_q9",
         "dedup_survivors", "quality_filter_gopher", "dataset_split",
         "orc_roundtrip", "partitioned_parquet_roundtrip",
         "events_watermark",
@@ -5452,6 +5553,23 @@ WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * pos.n > pos.s
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
+"""
+
+    # Q9: widest dim fan (part payload, supplier->nation role, order
+    # year) on one orderkey exchange; supplycost proxied by retailprice
+    sql["tpch_q9"] = """
+SELECT n.n_name, CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+       SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+             * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT))
+           - CAST(FLOOR(p.p_retailprice * 100 + 0.5) AS BIGINT)
+             * CAST(l.l_quantity AS BIGINT) * 100)::BIGINT AS profit_mc
+FROM lineitem l
+JOIN orders o   ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation n   ON s.s_nationkey = n.n_nationkey
+JOIN part p     ON l.l_partkey = p.p_partkey
+WHERE p.p_name LIKE '%widget%'
+GROUP BY n.n_name, yr
 """
 
     # Q15: argmax WITH ties (WHERE total = (SELECT MAX ...), not LIMIT 1)

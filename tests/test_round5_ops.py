@@ -275,7 +275,10 @@ def _mini_tpch(tmp_path):
     }), str(tmp_path / "orders.parquet"))
     pq.write_table(pa.table({
         "p_partkey": pa.array(list(range(1, 100)), pa.int64()),
-        "p_name": pa.array([f"P{i}" for i in range(1, 100)]),
+        # realistic two-word names so LIKE '%widget%' (Q9) has matches
+        "p_name": pa.array(rng.choice(
+            ["cold widget", "small widget", "large bolt",
+             "blue rod", "green gear"], 99)),
         "p_brand": pa.array(rng.choice(
             ["Brand#12", "Brand#15", "Brand#23", "Brand#31"], 99)),
         "p_type": pa.array(rng.choice(["PROMO", "STANDARD", "SMALL"], 99)),
@@ -287,15 +290,18 @@ def _mini_tpch(tmp_path):
     # two guaranteed large-volume orders so Q18's HAVING > 250 qualifies
     ok[:16] = 1
     ok[16:32] = 2
+    lp = rng.integers(1, 100, n_li)
+    lp[:40] = 7                       # hot part: Q11's above-2x-mean gate
+    price = np.round(rng.uniform(1, 5000, n_li), 2) + 0.005
+    price[:40] += 50_000.0            # ... must keep at least one group
     pq.write_table(pa.table({
         "l_orderkey": pa.array(ok, pa.int64()),
-        "l_partkey": pa.array(rng.integers(1, 100, n_li), pa.int64()),
+        "l_partkey": pa.array(lp, pa.int64()),
         "l_suppkey": pa.array(rng.integers(1, 21, n_li), pa.int64()),
         "l_linenumber": pa.array(rng.integers(1, 5, n_li), pa.int32()),
         "l_quantity": pa.array(rng.integers(1, 50, n_li).astype(float)),
         # .995 endings force half-cent rounding decisions
-        "l_extendedprice": pa.array(
-            np.round(rng.uniform(1, 5000, n_li), 2) + 0.005),
+        "l_extendedprice": pa.array(price),
         "l_discount": pa.array(np.round(rng.uniform(0, 0.1, n_li), 2)),
         "l_tax": pa.array(np.round(rng.uniform(0, 0.08, n_li), 2)),
         "l_returnflag": pa.array(rng.choice(["A", "N", "R"], n_li)),
@@ -322,7 +328,8 @@ def _duck_with_views(tmp_path, tables):
                                   "tpch_q4", "tpch_q6", "tpch_q12",
                                   "tpch_q19", "tpch_q7",
                                   "tpch_q13", "tpch_q16", "tpch_q17",
-                                  "tpch_q22", "tpch_q15", "tpch_q11"])
+                                  "tpch_q22", "tpch_q15", "tpch_q11",
+                                  "tpch_q9"])
 def test_tpch_entry_matches_oracle(ray_session, tmp_path, name):
     _mini_tpch(tmp_path)
     m = _entry_module()
