@@ -3216,6 +3216,111 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return val.map_batches(keep_hot, batch_format="pyarrow")
 
+    def tpch_q2(sf_dir):
+        """TPC-H Q2-shaped cheapest-supplier-per-part — the grouped
+        ARGMIN-WITH-TIES witness (`grouped_topk` deliberately breaks
+        ties; Q2's correlated MIN subquery keeps every tied supplier):
+        region-filtered suppliers collapse driver-side to a
+        (suppkey, name, nation) map (dim-scale, ships once; guard:
+        shuffle join past worker heap); pass 1 is a per-part Min groupby
+        over their lineitems (cent prices exact); pass 2 re-joins the
+        min by EQUALITY via the broadcast stats table and dedups tied
+        (part, supplier) pairs through one packed-int64 groupby."""
+        import numpy as np
+        import ray
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Count, Min
+
+        region = pq.read_table(f"{sf_dir}/region.parquet")
+        rkey = region.filter(pcm.equal(region["r_name"], "ASIA"))[
+            "r_regionkey"].to_pylist()
+        nation = pq.read_table(f"{sf_dir}/nation.parquet")
+        nmask = pcm.is_in(nation["n_regionkey"],
+                          value_set=pa.array(rkey, pa.int32()))
+        nat = nation.filter(nmask)
+        nat_name = {int(k): v for k, v in zip(
+            nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist())}
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_name",
+                                      "s_nationkey"])
+        smask = pcm.is_in(supp["s_nationkey"], value_set=pa.array(
+            list(nat_name), pa.int32()))
+        supp = supp.filter(smask)
+        skeys = supp["s_suppkey"].to_numpy(zero_copy_only=False)
+        sorder = np.argsort(skeys)
+        s_sorted = skeys[sorder]
+        s_names = np.asarray(supp["s_name"].to_pylist())[sorder]
+        s_nats = supp["s_nationkey"].to_numpy(
+            zero_copy_only=False).astype(np.int64)[sorder]
+        supp_ref = ray.put(s_sorted)
+
+        def cents(b: pa.Table, keep) -> tuple:
+            pk = b["l_partkey"].to_numpy(zero_copy_only=False)[keep]
+            pc_ = np.floor(b["l_extendedprice"].to_numpy(
+                zero_copy_only=False)[keep] * 100.0 + 0.5) \
+                .astype(np.int64)
+            return pk, pc_
+
+        def min_partial(b: pa.Table) -> pa.Table:
+            sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            keep = np.isin(sk, ray.get(supp_ref))
+            pk, pc_ = cents(b, keep)
+            keys, inv = np.unique(pk, return_inverse=True)
+            mn = np.full(keys.size, np.iinfo(np.int64).max, np.int64)
+            np.minimum.at(mn, inv, pc_)
+            return pa.table({"l_partkey": pa.array(keys, pa.int64()),
+                             "min_c": pa.array(mn, pa.int64())})
+
+        li_cols = ["l_partkey", "l_suppkey", "l_extendedprice"]
+        mins = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=li_cols) \
+            .map_batches(min_partial, batch_format="pyarrow") \
+            .groupby("l_partkey") \
+            .aggregate(Min("min_c", alias_name="min_c")) \
+            .take_all()  # part-scale stats: broadcast (guard above)
+        mkeys = np.array([r["l_partkey"] for r in mins], np.int64)
+        morder = np.argsort(mkeys)
+        mkeys = mkeys[morder]
+        mvals = np.array([r["min_c"] for r in mins], np.int64)[morder]
+        min_ref = ray.put((mkeys, mvals))
+
+        def tie_partial(b: pa.Table) -> pa.Table:
+            ks, mv = ray.get(min_ref)
+            sk = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            keep = np.isin(sk, ray.get(supp_ref))
+            pk, pc_ = cents(b, keep)
+            sk = sk[keep]
+            pos = np.clip(np.searchsorted(ks, pk), 0,
+                          max(0, ks.size - 1))
+            hit = (ks.size > 0) & (ks[pos] == pk) & (pc_ == mv[pos])
+            packed = np.unique((pk[hit] << 32) | sk[hit])
+            return pa.table({"packed": pa.array(packed, pa.int64())})
+
+        pairs = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                                columns=li_cols) \
+            .map_batches(tie_partial, batch_format="pyarrow") \
+            .groupby("packed").aggregate(Count(alias_name="_n"))
+        lab_ref = ray.put((s_sorted, s_names, s_nats, mkeys, mvals))
+
+        def attach(b: pa.Table) -> pa.Table:
+            ss, sn, st, mk, mv = ray.get(lab_ref)
+            packed = b["packed"].to_numpy(zero_copy_only=False)
+            pk, sk = packed >> 32, packed & 0xFFFFFFFF
+            spos = np.searchsorted(ss, sk)
+            mpos = np.searchsorted(mk, pk)
+            return pa.table({
+                "p_partkey": pa.array(pk, pa.int64()),
+                "s_suppkey": pa.array(sk, pa.int64()),
+                "s_name": pa.array(sn[spos], pa.string()),
+                "n_name": pa.array(
+                    [nat_name[int(t)] for t in st[spos]], pa.string()),
+                "min_c": pa.array(mv[mpos], pa.int64())})
+
+        return pairs.map_batches(attach, batch_format="pyarrow")
+
     def tpch_q9(sf_dir):
         """TPC-H Q9-shaped product-type profit rollup — the widest dim
         fan (part payload + supplier→nation role + order year) on ONE
@@ -4281,6 +4386,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15": tpch_q15,
         "tpch_q11": tpch_q11,
         "tpch_q9": tpch_q9,
+        "tpch_q2": tpch_q2,
         "promo_revenue_monthly": promo_revenue_monthly,
         "props_key_stats": props_key_stats,
         "events_user_anomaly": events_user_anomaly,
@@ -4360,7 +4466,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
         "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19", "tpch_q7",
         "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q22",
-        "tpch_q15", "tpch_q11", "tpch_q9",
+        "tpch_q15", "tpch_q11", "tpch_q9", "tpch_q2",
         "dedup_survivors", "quality_filter_gopher", "dataset_split",
         "orc_roundtrip", "partitioned_parquet_roundtrip",
         "events_watermark",
@@ -5553,6 +5659,29 @@ WHERE CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) * pos.n > pos.s
                   WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
 GROUP BY c_nationkey
+"""
+
+    # Q2: grouped argmin WITH ties (correlated MIN subquery keeps every
+    # tied supplier, unlike grouped_topk's deterministic tie-break)
+    sql["tpch_q2"] = """
+WITH rs AS (
+    SELECT s_suppkey, s_name, n_name
+    FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'),
+mp AS (
+    SELECT l_partkey,
+           MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT))
+             AS min_c
+    FROM lineitem JOIN rs ON l_suppkey = rs.s_suppkey
+    GROUP BY l_partkey)
+SELECT DISTINCT l.l_partkey AS p_partkey, rs.s_suppkey, rs.s_name,
+       rs.n_name, mp.min_c
+FROM lineitem l
+JOIN rs ON l.l_suppkey = rs.s_suppkey
+JOIN mp ON l.l_partkey = mp.l_partkey
+WHERE CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) = mp.min_c
 """
 
     # Q9: widest dim fan (part payload, supplier->nation role, order
