@@ -3321,6 +3321,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pairs.map_batches(attach, batch_format="pyarrow")
 
+    def tpch_q8(sf_dir):
+        """TPC-H Q8-shaped national market share — the SUBSET-SHARE
+        pattern per group: within orders placed by region-ASIA customers,
+        the revenue fraction delivered by NATION_2 suppliers, per order
+        year.  Numerator and denominator stay exact int64 milli-cents
+        (the Q8 share is one float division away, off the hash surface).
+        Region-customer keys and the supplier nation bit both collapse
+        driver-side and broadcast (dim-scale; guards: shuffle joins past
+        worker heap); the only all-to-all is lineitem×orders on
+        orderkey; ≤|years| partials per block."""
+        import numpy as np
+        import ray
+        import pyarrow as pa
+        import pyarrow.compute as pcm
+        import pyarrow.parquet as pq
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import shuffle_hash_join
+
+        region = pq.read_table(f"{sf_dir}/region.parquet")
+        rk = region.filter(pcm.equal(region["r_name"], "ASIA"))[
+            "r_regionkey"].to_pylist()
+        nation = pq.read_table(f"{sf_dir}/nation.parquet")
+        rnat = nation.filter(pcm.is_in(
+            nation["n_regionkey"], value_set=pa.array(rk, pa.int32())))[
+            "n_nationkey"].to_pylist()
+        cust = pq.read_table(f"{sf_dir}/customer.parquet",
+                             columns=["c_custkey", "c_nationkey"])
+        ck = np.sort(cust.filter(pcm.is_in(
+            cust["c_nationkey"], value_set=pa.array(rnat, pa.int32())))[
+            "c_custkey"].to_numpy(zero_copy_only=False))
+        jnat = nation.filter(pcm.equal(nation["n_name"], "NATION_2"))[
+            "n_nationkey"].to_pylist()
+        supp = pq.read_table(f"{sf_dir}/supplier.parquet",
+                             columns=["s_suppkey", "s_nationkey"])
+        jk = np.sort(supp.filter(pcm.is_in(
+            supp["s_nationkey"], value_set=pa.array(jnat, pa.int32())))[
+            "s_suppkey"].to_numpy(zero_copy_only=False))
+        keys_ref = ray.put((ck, jk))
+
+        def ord_shape(b: pa.Table) -> pa.Table:
+            cks, _ = ray.get(keys_ref)
+            oc = b["o_custkey"].to_numpy(zero_copy_only=False)
+            keep = np.isin(oc, cks)
+            t = b.filter(pa.array(keep))
+            od = t["o_orderdate"].cast(pa.timestamp("us"), safe=False)
+            return pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "yr": pcm.year(od).cast(pa.int64())})
+
+        orders = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"]) \
+            .map_batches(ord_shape, batch_format="pyarrow")
+        li = rd.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                     "l_discount"])
+        j = shuffle_hash_join(li, orders, on=("l_orderkey",),
+                              right_on=("o_orderkey",), how="inner")
+
+        def partial(b: pa.Table) -> pa.Table:
+            _, jks = ray.get(keys_ref)
+            price_c = np.floor(b["l_extendedprice"].to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            disc_c = np.floor(b["l_discount"].to_numpy(
+                zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            mc = price_c * (100 - disc_c)
+            isj = np.isin(b["l_suppkey"].to_numpy(zero_copy_only=False),
+                          jks)
+            yr = b["yr"].to_numpy(zero_copy_only=False)
+            keys, inv = np.unique(yr, return_inverse=True)
+            tot = np.zeros(keys.size, np.int64)
+            nat = np.zeros(keys.size, np.int64)
+            np.add.at(tot, inv, mc)
+            np.add.at(nat, inv, mc * isj)
+            return pa.table({"yr": pa.array(keys, pa.int64()),
+                             "nation_mc": pa.array(nat, pa.int64()),
+                             "total_mc": pa.array(tot, pa.int64())})
+
+        return j.map_batches(partial, batch_format="pyarrow") \
+            .groupby("yr") \
+            .aggregate(Sum("nation_mc", alias_name="nation_mc"),
+                       Sum("total_mc", alias_name="total_mc"))
+
     def tpch_q9(sf_dir):
         """TPC-H Q9-shaped product-type profit rollup — the widest dim
         fan (part payload + supplier→nation role + order year) on ONE
@@ -4387,6 +4473,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q11": tpch_q11,
         "tpch_q9": tpch_q9,
         "tpch_q2": tpch_q2,
+        "tpch_q8": tpch_q8,
         "promo_revenue_monthly": promo_revenue_monthly,
         "props_key_stats": props_key_stats,
         "events_user_anomaly": events_user_anomaly,
@@ -4466,7 +4553,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_unpivot", "tpch_q5", "tpch_q10", "tpch_q18",
         "tpch_q4", "tpch_q6", "tpch_q12", "tpch_q19", "tpch_q7",
         "tpch_q13", "tpch_q16", "tpch_q17", "tpch_q22",
-        "tpch_q15", "tpch_q11", "tpch_q9", "tpch_q2",
+        "tpch_q15", "tpch_q11", "tpch_q9", "tpch_q2", "tpch_q8",
         "dedup_survivors", "quality_filter_gopher", "dataset_split",
         "orc_roundtrip", "partitioned_parquet_roundtrip",
         "events_watermark",
@@ -5682,6 +5769,33 @@ FROM lineitem l
 JOIN rs ON l.l_suppkey = rs.s_suppkey
 JOIN mp ON l.l_partkey = mp.l_partkey
 WHERE CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT) = mp.min_c
+"""
+
+    # Q8: subset share per group — exact integer numerator/denominator,
+    # the Q8 share is one float division away (off the hash surface)
+    sql["tpch_q8"] = """
+WITH rc AS (
+    SELECT c_custkey FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'),
+js AS (
+    SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_2')
+SELECT CAST(year(o.o_orderdate) AS BIGINT) AS yr,
+       SUM(CASE WHEN l.l_suppkey IN (SELECT s_suppkey FROM js)
+                THEN CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                     * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5)
+                                   AS BIGINT))
+                ELSE 0 END)::BIGINT AS nation_mc,
+       SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+           * (100 - CAST(FLOOR(l.l_discount * 100 + 0.5) AS BIGINT)))
+         ::BIGINT AS total_mc
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN rc ON o.o_custkey = rc.c_custkey
+GROUP BY yr
 """
 
     # Q9: widest dim fan (part payload, supplier->nation role, order

@@ -329,7 +329,7 @@ def _duck_with_views(tmp_path, tables):
                                   "tpch_q19", "tpch_q7",
                                   "tpch_q13", "tpch_q16", "tpch_q17",
                                   "tpch_q22", "tpch_q15", "tpch_q11",
-                                  "tpch_q9", "tpch_q2"])
+                                  "tpch_q9", "tpch_q2", "tpch_q8"])
 def test_tpch_entry_matches_oracle(ray_session, tmp_path, name):
     _mini_tpch(tmp_path)
     m = _entry_module()
