@@ -1151,6 +1151,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return agg.map_batches(shape, batch_format="pyarrow") \
             .sort(key=["supp_nation", "cust_nation", "l_year"])
 
+    def embedding_centroids(sf_dir):
+        """GROUPED vector aggregation over the list<float> column — the
+        per-label centroid every clustering / per-domain-statistics
+        pipeline needs: each block flattens the ListArray zero-copy,
+        keys (label·64 + dim) feed ONE np.add.at partial, so only
+        ≤|labels|·64 rows per block reach the groupby.  Centroid =
+        sum_q6 / n_vecs is one float division away; the hash surface is
+        exact floor(x·1e6) int64 (float32→float64 exact, matching the
+        `embedding_dim_stats` convention)."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        def partial(b: pa.Table) -> pa.Table:
+            col = b["embedding"].combine_chunks()
+            flat = col.values.to_numpy(zero_copy_only=False) \
+                .astype(np.float64)
+            off = col.offsets.to_numpy(zero_copy_only=False)
+            counts = np.diff(off)
+            starts = np.repeat(off[:-1], counts)
+            dims = np.arange(flat.size, dtype=np.int64) - starts
+            labels = np.repeat(
+                b["label"].to_numpy(zero_copy_only=False).astype(
+                    np.int64), counts)
+            u = np.floor(flat * 1_000_000.0).astype(np.int64)
+            key = labels * 64 + dims
+            keys, inv = np.unique(key, return_inverse=True)
+            sm = np.zeros(keys.size, np.int64)
+            cn = np.zeros(keys.size, np.int64)
+            np.add.at(sm, inv, u)
+            np.add.at(cn, inv, 1)
+            return pa.table({
+                "label": pa.array(keys // 64, pa.int64()),
+                "dim": pa.array(keys % 64, pa.int64()),
+                "sum_q6": pa.array(sm, pa.int64()),
+                "n_vecs": pa.array(cn, pa.int64())})
+
+        return rd.read_parquet(f"{sf_dir}/embeddings.parquet",
+                               columns=["label", "embedding"]) \
+            .map_batches(partial, batch_format="pyarrow") \
+            .groupby(["label", "dim"]) \
+            .aggregate(Sum("sum_q6", alias_name="sum_q6"),
+                       Sum("n_vecs", alias_name="n_vecs"))
+
     def embedding_dim_stats(sf_dir):
         """Per-DIMENSION profiling of the list<float> embedding column —
         the list-column data-shape witness: the Arrow ListArray flattens
@@ -4481,6 +4526,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_spearman": events_spearman,
         "events_iso_weekly": events_iso_weekly,
         "embedding_dim_stats": embedding_dim_stats,
+        "embedding_centroids": embedding_centroids,
         "tpch_q7": tpch_q7,
         "jaccard_prefix": jaccard_prefix,
         "event_type_percentile_refined": event_type_percentile_refined,
@@ -4556,7 +4602,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15", "tpch_q11", "tpch_q9", "tpch_q2", "tpch_q8",
         "dedup_survivors", "quality_filter_gopher", "dataset_split",
         "orc_roundtrip", "partitioned_parquet_roundtrip",
-        "events_watermark",
+        "events_watermark", "embedding_centroids",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
         "events_type_mad", "events_spearman", "events_iso_weekly",
         "customer_orders_merge", "embedding_dim_stats", "audio_spectral",
@@ -6029,6 +6075,20 @@ FROM documents
 """
 
     # list-column profiling: per-dimension stats via unnest + subscripts
+    sql["embedding_centroids"] = """
+SELECT CAST(label AS BIGINT) AS label,
+       (ord - 1)::BIGINT AS dim,
+       SUM(u)::BIGINT AS sum_q6,
+       COUNT(*)::BIGINT AS n_vecs
+FROM (
+    SELECT label, generate_subscripts(embedding, 1) AS ord,
+           CAST(FLOOR(CAST(unnest(embedding) AS DOUBLE) * 1000000)
+                AS BIGINT) AS u
+    FROM embeddings
+)
+GROUP BY label, dim
+"""
+
     sql["embedding_dim_stats"] = """
 SELECT (ord - 1)::BIGINT AS dim,
        COUNT(*)::BIGINT AS n,
