@@ -700,6 +700,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                  value_col="value", qs=(0.5, 0.95, 0.99),
                                  count_alias="n_events")
 
+    def events_winsorized(sf_dir):
+        """Winsorized (clipped) robust mean per event type — the
+        outlier-resistant aggregate that composes the exact grouped
+        quantiles with an aggregate→REJOIN clip: pass 1 takes exact
+        p05/p95 cents per type (quantile_disc element semantics, so the
+        bounds are exact ints), the group-cardinality bounds table
+        broadcasts, pass 2 clips every value into [lo, hi] and collapses
+        to per-type (sum, n) partials.  Winsorized mean = one float
+        division away; hash surface all-int64."""
+        import numpy as np
+        import ray
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        from search_engine_ray.stages.relational import grouped_quantiles
+
+        def cents(b: pa.Table) -> pa.Table:
+            v = np.floor(b["value"].to_numpy(zero_copy_only=False)
+                         * 100.0 + 0.5).astype(np.int64)
+            return pa.table({"event_type": b["event_type"],
+                             "cents": pa.array(v, pa.int64())})
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "value"]) \
+            .map_batches(cents, batch_format="pyarrow")
+        bounds = grouped_quantiles(ds, group_col="event_type",
+                                   value_col="cents", qs=(0.05, 0.95),
+                                   count_alias="n_events").take_all()
+        # group-cardinality rows (|event types|): broadcast the bounds
+        bmap = {r["event_type"]: (int(r["p5"]), int(r["p95"]))
+                for r in bounds}
+        bref = ray.put(bmap)
+
+        def clip_partial(b: pa.Table) -> pa.Table:
+            bm = ray.get(bref)
+            et = b["event_type"].to_numpy(zero_copy_only=False)
+            c = b["cents"].to_numpy(zero_copy_only=False)
+            keys, inv = np.unique(et, return_inverse=True)
+            lo = np.array([bm[k][0] for k in keys], np.int64)[inv]
+            hi = np.array([bm[k][1] for k in keys], np.int64)[inv]
+            clipped = np.clip(c, lo, hi)
+            sums = np.zeros(keys.size, np.int64)
+            cnts = np.zeros(keys.size, np.int64)
+            np.add.at(sums, inv, clipped)
+            np.add.at(cnts, inv, 1)
+            los = np.array([bm[k][0] for k in keys], np.int64)
+            his = np.array([bm[k][1] for k in keys], np.int64)
+            return pa.table({
+                "event_type": pa.array(keys, pa.string()),
+                "lo_c": pa.array(los, pa.int64()),
+                "hi_c": pa.array(his, pa.int64()),
+                "win_sum_c": pa.array(sums, pa.int64()),
+                "n_events": pa.array(cnts, pa.int64())})
+
+        from ray.data.aggregate import Max
+        return ds.map_batches(clip_partial, batch_format="pyarrow") \
+            .groupby("event_type") \
+            .aggregate(Max("lo_c", alias_name="lo_c"),
+                       Max("hi_c", alias_name="hi_c"),
+                       Sum("win_sum_c", alias_name="win_sum_c"),
+                       Sum("n_events", alias_name="n_events"))
+
     def event_value_hist(sf_dir):
         """Histogram-based approximate per-type quantiles (the scale
         sibling of event_value_quantiles: only (group, bin, count)
@@ -4457,6 +4520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_pricing": lineitem_pricing,
         "top_docs_per_lang": top_docs_per_lang,
         "event_value_quantiles": event_value_quantiles,
+        "events_winsorized": events_winsorized,
         "event_value_hist": event_value_hist,
         "lineitem_rollup": lineitem_rollup,
         "custkeys_negative_balance": custkeys_negative_balance,
@@ -4602,7 +4666,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q15", "tpch_q11", "tpch_q9", "tpch_q2", "tpch_q8",
         "dedup_survivors", "quality_filter_gopher", "dataset_split",
         "orc_roundtrip", "partitioned_parquet_roundtrip",
-        "events_watermark", "embedding_centroids",
+        "events_watermark", "embedding_centroids", "events_winsorized",
         "promo_revenue_monthly", "props_key_stats", "events_user_anomaly",
         "events_type_mad", "events_spearman", "events_iso_weekly",
         "customer_orders_merge", "embedding_dim_stats", "audio_spectral",
@@ -5075,6 +5139,25 @@ SELECT lang_id, doc_id, n_uniq_tokens, rank FROM (
     SELECT q.*, ROW_NUMBER() OVER (
         PARTITION BY lang_id ORDER BY n_uniq_tokens DESC, doc_id) AS rank
     FROM q) WHERE rank <= 3
+"""
+
+    # winsorized mean: exact quantile_disc cents bounds, CASE clip, sum
+    sql["events_winsorized"] = """
+WITH c AS (
+    SELECT event_type,
+           CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+    FROM events),
+b AS (
+    SELECT event_type,
+           quantile_disc(cents, 0.05)::BIGINT AS lo_c,
+           quantile_disc(cents, 0.95)::BIGINT AS hi_c
+    FROM c GROUP BY event_type)
+SELECT c.event_type, b.lo_c, b.hi_c,
+       SUM(LEAST(GREATEST(c.cents, b.lo_c), b.hi_c))::BIGINT
+         AS win_sum_c,
+       COUNT(*)::BIGINT AS n_events
+FROM c JOIN b ON c.event_type = b.event_type
+GROUP BY c.event_type, b.lo_c, b.hi_c
 """
 
     sql["event_value_quantiles"] = """

@@ -782,3 +782,45 @@ def test_keep_best_per_cluster_minhash_matches_exact_twin(ray_session):
     assert got_mh == got_ex
     assert [r[1] for r in got_mh] == sorted([1, 4, 6])
     assert all(c == d for c, d, _ in got_mh)   # survivor id = cluster id here
+
+
+def test_events_winsorized_matches_oracle(ray_session, tmp_path):
+    """Winsorized per-type sums: exact quantile_disc bounds (element
+    semantics, ties included) and the clip — checked against the CASE
+    oracle on a fixture with heavy outliers and a constant-valued type
+    (lo == hi: everything clips to one value)."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(31)
+    n = 400
+    vals = rng.uniform(0, 10, n)
+    vals[:8] = 9_999.99               # heavy upper outliers
+    vals[8:12] = 0.0                  # exact-boundary lows
+    et = rng.choice(["a", "b"], n).astype(object)
+    et[:30] = "const"
+    vals[:30] = 5.25                  # constant group: lo == hi
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
+        "ts": pa.array(pd.to_datetime(
+            1_700_000_000 + np.arange(n), unit="s")
+            .astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(1, 50, n), pa.int64()),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(vals),
+        "props": pa.array(["{}"] * n),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    out = m.queries()["events_winsorized"](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["events_winsorized"]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) == 3
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    r = a[a["event_type"] == "const"].iloc[0]
+    assert r["lo_c"] == r["hi_c"] == 525
+    assert r["win_sum_c"] == 525 * 30
