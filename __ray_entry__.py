@@ -2150,14 +2150,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(read_shard, batch_format="pyarrow", batch_size=1)
 
     def partitioned_parquet_roundtrip(sf_dir):
-        """Resumable partitioned SINK witness: documents stream through a
+        """Partitioned SINK witness: documents stream through a
         per-batch hive-style writer (one complete open-write-close file
         per (lang, block) under `lang=<v>/`, the run-writer pattern —
-        a failed run reruns only unfinished partitions and a duplicate
-        file is discarded with its dir), then read back via
-        `read_parquet` on the root, which restores the partition column
-        from the directory key.  Per-lang counts + char sums
-        value-check the round trip against the source parquet."""
+        the layout a resuming caller needs: per-key dirs it can skip or
+        discard wholesale, never a half-written file; the flagship's
+        `_MANIFEST` machinery is the full resume implementation), then
+        read back via `read_parquet` on the root, which restores the
+        partition column from the directory key.  Per-lang counts +
+        char sums value-check the round trip against the source
+        parquet."""
         import hashlib
         import os
         import shutil
