@@ -824,3 +824,125 @@ def test_events_winsorized_matches_oracle(ray_session, tmp_path):
     r = a[a["event_type"] == "const"].iloc[0]
     assert r["lo_c"] == r["hi_c"] == 525
     assert r["win_sum_c"] == 525 * 30
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q21 / Q20 shapes (round-5 completion of the 22-query set) and the
+# fuzzy term query — engineered micro-corpora where every branch (peer
+# EXISTS, sole-failure NOT EXISTS, status filter, nation slice, dominance
+# threshold, distance-1 band) has a positive AND a negative witness.
+# --------------------------------------------------------------------------
+
+def _mini_q2021(tmp_path):
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array([0, 1, 2, 3, 4, 5], pa.int32()),
+        "n_name": pa.array(["NATION_1", "NATION_3", "NATION_5",
+                            "NATION_7", "NATION_11", "NATION_99"]),
+    }), str(tmp_path / "nation.parquet"))
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "s_name": pa.array([f"S{i}" for i in range(1, 7)]),
+        # supp4/supp6 sit OUTSIDE both nation slices
+        "s_nationkey": pa.array([0, 1, 2, 5, 3, 5], pa.int32()),
+    }), str(tmp_path / "supplier.parquet"))
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(list(range(1, 11)), pa.int64()),
+        "o_orderstatus": pa.array(["F", "F", "F", "O", "F",
+                                   "F", "F", "O", "O", "O"]),
+    }), str(tmp_path / "orders.parquet"))
+    pq.write_table(pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 5], pa.int64()),
+        "p_name": pa.array(["red widget", "red bolt", "blue gear",
+                            "red rod", "green gear"]),
+    }), str(tmp_path / "part.parquet"))
+    # (okey, pkey, skey, qty, rflag)
+    rows = [
+        # Q21 witnesses (part 3 = blue gear keeps them out of Q20):
+        (1, 3, 1, 1.0, "R"), (1, 3, 1, 1.0, "R"), (1, 3, 2, 1.0, "A"),
+        # -> order 1 (F): sole failing supp1, 2 failing rows -> +2
+        (2, 3, 1, 1.0, "R"), (2, 3, 2, 1.0, "R"), (2, 3, 3, 1.0, "A"),
+        # -> order 2: TWO failing suppliers -> excluded
+        (3, 3, 1, 1.0, "R"),
+        # -> order 3: no peer supplier -> excluded
+        (4, 3, 1, 1.0, "R"), (4, 3, 2, 1.0, "A"),
+        # -> order 4 is status O -> excluded
+        (5, 3, 3, 1.0, "R"), (5, 3, 2, 1.0, "A"),
+        # -> order 5: sole failing supp3 -> +1
+        (6, 3, 4, 1.0, "R"), (6, 3, 5, 1.0, "A"),
+        # -> order 6: sole failing supp4, but NATION_99 -> nation-sliced
+        (7, 3, 1, 1.0, "A"), (7, 3, 2, 1.0, "A"),
+        # -> order 7: no failure at all -> excluded
+        # Q20 witnesses (orders 8-10 are status O, rflag A -> inert
+        # for Q21).  part1: supp2 dominates (100 * 3 > 2 * 120), split
+        # across two rows to exercise the pair-level sum:
+        (8, 1, 1, 10.0, "A"), (8, 1, 2, 60.0, "A"), (9, 1, 2, 40.0, "A"),
+        (9, 1, 3, 10.0, "A"),
+        # part2: balanced -> nobody dominates
+        (8, 2, 2, 50.0, "A"), (9, 2, 3, 50.0, "A"),
+        # part4: supp6 dominates but sits in NATION_99 -> sliced out
+        (9, 4, 6, 100.0, "A"), (10, 4, 5, 10.0, "A"), (10, 4, 1, 10.0, "A"),
+        # part5 is not 'red %' -> name-filtered no matter the volume
+        (10, 5, 5, 500.0, "A"),
+    ]
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+        "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+        "l_suppkey": pa.array([r[2] for r in rows], pa.int64()),
+        "l_quantity": pa.array([r[3] for r in rows], pa.float64()),
+        "l_returnflag": pa.array([r[4] for r in rows], pa.string()),
+    }), str(tmp_path / "lineitem.parquet"))
+
+
+@pytest.mark.parametrize("name", ["tpch_q21", "tpch_q20"])
+def test_tpch_q2021_matches_oracle(ray_session, tmp_path, name):
+    _mini_q2021(tmp_path)
+    m = _entry_module()
+    out = m.queries()[name](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["nation", "supplier", "orders",
+                                      "part", "lineitem"])
+    exp = con.execute(m.oracle_sql()[name]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) and len(a) > 0
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    if name == "tpch_q21":
+        got = dict(zip(a["s_suppkey"], a["numwait"]))
+        assert got == {1: 2, 3: 1}          # engineered winners only
+    else:
+        got = dict(zip(a["s_suppkey"], a["n_dom"]))
+        assert got == {2: 1}                # supp6 nation-sliced out
+
+
+def test_search_fuzzy_matches_oracle(ray_session, tmp_path):
+    import pyarrow.parquet as pq
+
+    pq.write_table(pa.table({
+        "doc_id": pa.array([1, 2, 3], pa.int64()),
+        "lang": pa.array(["en", "en", "en"]),
+        # doc1: tabls(d0) table(d1) tables(d1) tbls(d1) stable(d>=2)
+        # doc2: ONLY distance-2 near-misses -> must not appear at all
+        # doc3: one matched term, tf=3 -> rollup witness
+        "text": pa.array([
+            "tabls table tables tbls stable",
+            "cable fable tablet",
+            "table table table word",
+        ]),
+    }), str(tmp_path / "documents.parquet"))
+    m = _entry_module()
+    out = m.queries()["search_fuzzy"](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["documents"])
+    exp = con.execute(m.oracle_sql()["search_fuzzy"]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) == 2
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    byid = {r.doc_id: (r.n_terms, r.sum_tf) for r in a.itertuples()}
+    assert byid == {1: (4, 4), 3: (1, 3)}
