@@ -2348,6 +2348,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .groupby("window_start") \
             .aggregate(Sum("n_events", alias_name="n_events"))
 
+    def events_global_rank(sf_dir):
+        """Global ORDER BY + ROW_NUMBER export — the full-table ordered
+        ranking a leaderboard / percentile-cut / ordered-shard-export
+        needs, witnessed end-to-end: range-partitioned distributed sort
+        by (cents DESC, event_id ASC), then the two-pass block scan
+        assigns dense global ranks (one scalar pair per block on the
+        driver).  All-integer output; NULL values filtered on both sides
+        so the tie-break contract is total."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import global_row_number
+
+        def cents_col(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pcm
+            b = b.filter(pcm.is_valid(b["value"]))
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_id": b["event_id"],
+                "cents": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            })
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "value"]) \
+            .map_batches(cents_col, batch_format="pyarrow")
+        return global_row_number(ds, order_cols=["cents", "event_id"],
+                                 descending=[True, False])
+
     def nfc_normalize_docs(sf_dir):
         """Unicode NFC normalization — the canonicalization step every
         text-dedup family assumes upstream (decomposed e + U+0301 must
@@ -4920,6 +4949,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orc_roundtrip": orc_roundtrip,
         "partitioned_parquet_roundtrip": partitioned_parquet_roundtrip,
         "events_watermark": events_watermark,
+        "events_global_rank": events_global_rank,
         "nfc_normalize_docs": nfc_normalize_docs,
         "events_pushdown": events_pushdown,
         "pack_docs": pack_docs,
@@ -4978,7 +5008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_type_corr",
         # newest additions (window is full at 50 — these sit just past
         # it; the judge's local oracle run covers out-of-window entries)
-        "tpch_q21", "tpch_q20", "search_fuzzy",
+        "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -5936,6 +5966,15 @@ SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
 
     # watermark with late discard: arrival = ts + bounded hash jitter,
     # watermark = inclusive running max of ts in arrival order
+    # global ORDER BY + ROW_NUMBER: all-integer surface, NULLs filtered
+    # on both sides so (cents DESC, event_id) is a total order
+    sql["events_global_rank"] = """
+SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+       ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(value * 100) AS BIGINT) DESC,
+                          event_id) AS rnk
+FROM events WHERE value IS NOT NULL
+"""
+
     sql["events_watermark"] = """
 WITH arr AS (
     SELECT event_id,

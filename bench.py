@@ -190,7 +190,9 @@ HEADLINE = [
     "tpch_q15", "tpch_q11",
     "dedup_survivors", "quality_filter_gopher", "dataset_split",
     "orc_roundtrip", "partitioned_parquet_roundtrip",
-    "events_watermark", "minhash_survivors", "search_or", "tpch_q9", "tpch_q2", "tpch_q8", "embedding_centroids", "events_winsorized",
+    "events_watermark", "minhash_survivors", "search_or", "tpch_q9",
+    "tpch_q2", "tpch_q8", "embedding_centroids", "events_winsorized",
+    "tpch_q21", "tpch_q20", "search_fuzzy",
 ]
 
 
@@ -271,7 +273,7 @@ def run_default(sf_dir: str, num_cpus: int) -> dict:
             "spin_effective_cores": eff_cores,
             # cross-round comparability: value covers THIS headline set
             # (ADVICE r4: the set grows each round, readers must detect it)
-            "headline_set": "r5q",   # r5p + winsorized robust mean
+            "headline_set": "r5r",   # r5q + Q21/Q20 + fuzzy term query
             "headline_n": len(HEADLINE),
             "detail_file": "BENCH_QUERIES.json",
         }

@@ -501,6 +501,70 @@ def pack_sequences(ds: rd.Dataset, *, order_col: str, token_col: str,
     return scanned.map_batches(assign, batch_format="pyarrow")
 
 
+def global_row_number(ds: rd.Dataset, *, order_cols: list[str],
+                      descending: bool | list[bool] = False,
+                      out_col: str = "rnk") -> rd.Dataset:
+    """Distributed global ``ORDER BY`` + dense ``ROW_NUMBER()`` — the
+    full-table ordered-export primitive (SQL ``ROW_NUMBER() OVER (ORDER BY
+    ...)`` with no partition clause, rank from 1).
+
+    Scale shape: the range-partitioned ``ds.sort`` is the ONLY all-to-all;
+    rank assignment is the same two-pass parallel scan as
+    :func:`ordered_prefix_sum` with a row COUNT per block instead of a
+    value sum — one ``(n_rows, first_key)`` scalar pair per block reaches
+    the driver, the driver derives exclusive row offsets
+    (metadata-scale), and a second zero-copy pass appends ``offset +
+    arange + 1``.  Nothing row-proportional ever sits on the driver, and
+    the result is bit-identical at any parallelism PROVIDED the combined
+    ``order_cols`` key is unique (same contract as the prefix scans).
+
+    ``descending`` mirrors ``Dataset.sort``'s flag (scalar or per-column
+    list).  Rows whose sort key contains NULL are the caller's problem —
+    filter them first; both Arrow and DuckDB default to nulls-last but
+    the tie-break contract needs real values.
+    """
+    sorted_ds = ds.sort(order_cols, descending=descending).materialize()
+    refs = sorted_ds.to_arrow_refs()
+
+    desc = list(descending) if isinstance(descending, (list, tuple)) \
+        else [descending] * len(order_cols)
+
+    @ray.remote
+    def block_stat(t: pa.Table):
+        if t.num_rows == 0:
+            return (0, None)
+        return (t.num_rows, tuple(t[c][0].as_py() for c in order_cols))
+
+    stats = ray.get([block_stat.remote(r) for r in refs])
+    keyed = [(k, n, i) for i, (n, k) in enumerate(stats) if k is not None]
+    # blocks of a sorted dataset arrive in key order; verify respecting
+    # per-column direction (can't negate strings, so compare pairwise)
+    for (ka, _, _), (kb, _, _) in zip(keyed, keyed[1:]):
+        for a, b, d in zip(ka, kb, desc):
+            if a == b:
+                continue
+            if (a > b) != d:
+                raise AssertionError("sorted dataset blocks out of key order")
+            break
+    offsets = {}
+    acc = 0
+    for _, n, i in keyed:
+        offsets[i] = acc
+        acc += n
+
+    @ray.remote
+    def rank_block(t: pa.Table, off: int) -> pa.Table:
+        rnk = off + 1 + np.arange(t.num_rows, dtype=np.int64)
+        return t.append_column(out_col, pa.array(rnk, pa.int64()))
+
+    out = [rank_block.remote(refs[i], offsets[i]) for _, _, i in keyed]
+    if not out:
+        return sorted_ds.map_batches(
+            lambda t: t.append_column(out_col, pa.array([], pa.int64())),
+            batch_format="pyarrow")
+    return rd.from_arrow_refs(out)
+
+
 def grouped_topk(ds: rd.Dataset, *, group_col: str, order_col: str,
                  tie_col: str, k: int, descending: bool = True) -> rd.Dataset:
     """Top-k rows per group with a deterministic (order, tie) sort.

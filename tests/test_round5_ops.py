@@ -946,3 +946,67 @@ def test_search_fuzzy_matches_oracle(ray_session, tmp_path):
         assert a[c].tolist() == b[c].tolist(), c
     byid = {r.doc_id: (r.n_terms, r.sum_tf) for r in a.itertuples()}
     assert byid == {1: (4, 4), 3: (1, 3)}
+
+
+def test_global_row_number_matches_lexsort(ray_session):
+    """Dense global ranks == numpy lexsort reference at several
+    parallelism levels, mixed ASC/DESC directions, with heavy ties on
+    the primary key broken by a unique secondary."""
+    from search_engine_ray.stages.relational import global_row_number
+
+    rng = np.random.default_rng(71)
+    n = 500
+    v = rng.integers(-50, 50, n)          # heavy ties
+    eid = np.arange(1, n + 1)
+    rng.shuffle(eid)
+    # ORDER BY v DESC, eid ASC  ->  lexsort minor-to-major
+    order = np.lexsort((eid, -v))
+    expect = {int(eid[j]): r + 1 for r, j in enumerate(order)}
+    t = pa.table({"eid": pa.array(eid, pa.int64()),
+                  "v": pa.array(v, pa.int64())})
+    for parts in (1, 4, 13):
+        ds = rd.from_arrow(t).repartition(parts)
+        out = global_row_number(ds, order_cols=["v", "eid"],
+                                descending=[True, False]).take_all()
+        got = {r["eid"]: r["rnk"] for r in out}
+        assert got == expect, parts
+
+
+def test_events_global_rank_matches_oracle(ray_session, tmp_path):
+    """Entry vs DuckDB ROW_NUMBER on an engineered fixture: NULL values
+    excluded on both sides, cent-floor ties (1.231 vs 1.239) broken by
+    event_id, negatives floor away from zero identically."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    n = 300
+    rng = np.random.default_rng(77)
+    vals = rng.uniform(-5, 5, n).astype(object)
+    vals[5] = None
+    vals[17] = None
+    # vals[i] belongs to event_id i+1: events 21/22 share cent bucket 123
+    vals[20], vals[21] = 1.231, 1.239
+    ts_sec = 1_700_000_000 + np.arange(n)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
+        "ts": pa.array(pd.to_datetime(ts_sec, unit="s")
+                       .astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(rng.integers(1, 20, n), pa.int64()),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array(list(vals), pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    out = m.queries()["events_global_rank"](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["events_global_rank"]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) == n - 2
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    # cent-tie must break by event_id: 21 ranks immediately before 22
+    r = dict(zip(a["event_id"], a["rnk"]))
+    assert r[22] == r[21] + 1
