@@ -312,6 +312,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def image_meta_jpeg(sf_dir):
         return dq.q_image_meta_jpeg(sf_dir)
 
+    def image_meta_gif(sf_dir):
+        """Decoded-pixel oracle over REAL LZW-coded GIF streams
+        (functions/gif): a doc_id-keyed two-color checkerboard exercises
+        dictionary growth, code-width transitions and the KwKwK case,
+        while the parity-cell count keeps the mean pure integer
+        arithmetic for DuckDB."""
+        return dq.q_image_meta_gif(sf_dir)
+
     def image_meta_jpeg420(sf_dir):
         """The same decoded-pixel oracle over 4:2:0 CHROMA-SUBSAMPLED
         MCU-interleaved JPEG streams (the dominant real-Common-Crawl
@@ -4833,6 +4841,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta": image_meta,
         "image_meta_png": image_meta_png,
         "image_meta_jpeg": image_meta_jpeg,
+        "image_meta_gif": image_meta_gif,
         "image_meta_jpeg420": image_meta_jpeg420,
         "image_meta_jpeg_prog": image_meta_jpeg_prog,
         "image_dhash": image_dhash,
@@ -5009,6 +5018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newest additions (window is full at 50 — these sit just past
         # it; the judge's local oracle run covers out-of-window entries)
         "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
+        "image_meta_gif",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -5144,6 +5154,34 @@ FROM documents
 
     # real PNG decode path (functions/png): constant-fill pixels make the
     # decoded mean_luma SQL-predictable — the oracle checks pixel CONTENT
+    # GIF decoded-pixel oracle: replays the checkerboard fixture's
+    # palette + parity-cell arithmetic.  even-parity cells in a w x h
+    # grid = ceil(w/2)*ceil(h/2) + floor(w/2)*floor(h/2); the mean is
+    # ONE IEEE division of exact integers on both sides (numpy sums
+    # uint8 pixels exactly in float64, < 2^53)
+    sql["image_meta_gif"] = """
+WITH m AS (
+    SELECT doc_id,
+           (8 + doc_id % 24)::BIGINT AS w,
+           (8 + (5 * doc_id) % 24)::BIGINT AS h,
+           doc_id % 8 AS e,
+           (3 * doc_id + 1) % 8 AS o
+    FROM documents),
+c AS (
+    SELECT doc_id, w, h,
+           ((w + 1) // 2) * ((h + 1) // 2)
+               + (w // 2) * (h // 2) AS cnt_e,
+           (e * 31 + doc_id) % 256 + (e * 59 + 2 * doc_id) % 256
+               + (e * 83 + 3 * doc_id) % 256 AS luma_e,
+           (o * 31 + doc_id) % 256 + (o * 59 + 2 * doc_id) % 256
+               + (o * 83 + 3 * doc_id) % 256 AS luma_o
+    FROM m)
+SELECT doc_id, w AS width, h AS height, 3::BIGINT AS channels,
+       (cnt_e * luma_e + (w * h - cnt_e) * luma_o)::DOUBLE
+           / (3 * w * h)::DOUBLE AS mean_luma
+FROM c
+"""
+
     sql["image_meta_png"] = """
 SELECT doc_id,
        (8 + doc_id % 24)::BIGINT AS width,

@@ -192,7 +192,8 @@ HEADLINE = [
     "orc_roundtrip", "partitioned_parquet_roundtrip",
     "events_watermark", "minhash_survivors", "search_or", "tpch_q9",
     "tpch_q2", "tpch_q8", "embedding_centroids", "events_winsorized",
-    "tpch_q21", "tpch_q20", "search_fuzzy",
+    "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
+    "image_meta_gif",
 ]
 
 

@@ -468,6 +468,55 @@ def q_image_meta_jpeg(sf_dir: str, subsampling: str = "444",
     return meta.map_batches(shape, batch_format="pyarrow")
 
 
+def q_image_meta_gif(sf_dir: str) -> rd.Dataset:
+    """Real-codec multimodal entry over GIF payloads (functions/gif —
+    LZW, variable code width, palette): a two-color CHECKERBOARD of
+    doc_id-derived palette entries, so the stream exercises the real
+    dictionary growth / width-transition / KwKwK machinery while the
+    decoded-pixel mean stays pure doc_id arithmetic for DuckDB.  Both
+    used palette indices are always distinct (2·doc_id+1 is odd, never
+    ≡ 0 mod 8), and the mean is one IEEE division of exact integers on
+    both sides."""
+    import numpy as np
+
+    from ..functions.gif import encode_gif
+    from ..stages.multimodal import DecodeImage
+
+    ds = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+
+    def attach_payload(batch: pa.Table) -> pa.Table:
+        payloads = []
+        for did in batch["doc_id"].to_pylist():
+            w, h = 8 + did % 24, 8 + (5 * did) % 24
+            i = np.arange(8, dtype=np.int64)
+            pal = np.stack([(i * 31 + did) % 256,
+                            (i * 59 + 2 * did) % 256,
+                            (i * 83 + 3 * did) % 256], axis=1) \
+                .astype(np.uint8)
+            e, o = did % 8, (3 * did + 1) % 8
+            y, x = np.mgrid[0:h, 0:w]
+            idx = np.where((x + y) % 2 == 0, e, o).astype(np.uint8)
+            payloads.append(encode_gif(idx, pal))
+        return batch.append_column("payload", pa.array(payloads, pa.binary()))
+
+    meta = ds.map_batches(attach_payload, batch_format="pyarrow",
+                          batch_size=256) \
+        .map_batches(DecodeImage, fn_constructor_kwargs={"decoder": "gif"},
+                     batch_format="pyarrow", batch_size=256,
+                     concurrency=(1, 4), num_cpus=1)
+
+    def shape(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "width": batch["width"].cast(pa.int64()),
+            "height": batch["height"].cast(pa.int64()),
+            "channels": batch["channels"].cast(pa.int64()),
+            "mean_luma": batch["mean_luma"],
+        })
+
+    return meta.map_batches(shape, batch_format="pyarrow")
+
+
 def q_image_meta_png(sf_dir: str) -> rd.Dataset:
     """Real-codec multimodal entry: deterministic PNG payloads (stdlib
     codec, functions/png) decoded back by the DecodeImage actor pool with

@@ -56,10 +56,11 @@ class DecodeImage:
         if decoder == "real":
             raise NotImplementedError(
                 "WebP/AVIF decoding requires PIL/turbojpeg, not present in "
-                "this environment — use decoder='png' or decoder='jpeg' "
-                "(built-in stdlib codecs, functions/png + functions/jpeg) "
-                "or decoder='fake' (deterministic header parser)")
-        if decoder not in ("fake", "png", "jpeg"):
+                "this environment — use decoder='png', decoder='jpeg' or "
+                "decoder='gif' (built-in stdlib codecs, functions/png + "
+                "functions/jpeg + functions/gif) or decoder='fake' "
+                "(deterministic header parser)")
+        if decoder not in ("fake", "png", "jpeg", "gif"):
             raise ValueError(f"unknown decoder {decoder!r}")
         if decoder == "png":
             from ..functions.png import decode_png
@@ -67,6 +68,9 @@ class DecodeImage:
         elif decoder == "jpeg":
             from ..functions.jpeg import decode_jpeg
             self._decode = decode_jpeg
+        elif decoder == "gif":
+            from ..functions.gif import decode_gif
+            self._decode = decode_gif
         else:
             self._decode = None
 
