@@ -2415,6 +2415,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"]) \
             .map_batches(norm, batch_format="pyarrow")
 
+    def fold_accents_docs(sf_dir):
+        """Accent-fold + casefold — the other canonicalization step
+        multilingual dedup/search pipelines run before hashing (so
+        'Café' and 'cafe' collide): NFD-decompose, drop nonspacing
+        marks (category Mn), NFC-recompose, lowercase.  Verified
+        equivalent to DuckDB's lower(strip_accents(x)) (utf8proc) on
+        Latin, Cyrillic, Turkish dotted-İ, Vietnamese multi-accent and
+        pass-through ß/ø/ł probes; the corpus is mostly unaccented, so
+        BOTH sides append the same accent-heavy suffix to make the
+        witness real.  Verbatim string parity."""
+        import unicodedata
+
+        import pyarrow as pa
+        import ray.data as rd
+
+        suffix = (" \u00dcn\u00efc\u00f6d\u00e9 \u00c9LAN \u0130stanbul"
+                  " caf\u00e9 \u1eaf \u00df\u00f8")
+
+        def fold(b: pa.Table) -> pa.Table:
+            texts = [(t or "") + suffix for t in b["text"].to_pylist()]
+            out = []
+            for t in texts:
+                s = "".join(c for c in unicodedata.normalize("NFD", t)
+                            if unicodedata.category(c) != "Mn")
+                out.append(unicodedata.normalize("NFC", s).lower())
+            return pa.table({
+                "doc_id": b["doc_id"].cast(pa.int64()),
+                "folded_text": pa.array(out, pa.string()),
+                "n_before": pa.array([len(t) for t in texts], pa.int64()),
+                "n_after": pa.array([len(t) for t in out], pa.int64()),
+            })
+
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+            .map_batches(fold, batch_format="pyarrow")
+
     def csv_roundtrip(sf_dir):
         """CSV source coverage: events written as CSV shards, read back
         with ray.data.read_csv, aggregated per event_type — value-checked
@@ -4960,6 +4996,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_watermark": events_watermark,
         "events_global_rank": events_global_rank,
         "nfc_normalize_docs": nfc_normalize_docs,
+        "fold_accents_docs": fold_accents_docs,
         "events_pushdown": events_pushdown,
         "pack_docs": pack_docs,
         "warc_extract_tf": warc_extract_tf,
@@ -5018,7 +5055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newest additions (window is full at 50 — these sit just past
         # it; the judge's local oracle run covers out-of-window entries)
         "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
-        "image_meta_gif",
+        "image_meta_gif", "fold_accents_docs",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -6043,6 +6080,23 @@ FROM documents GROUP BY lang
     # NFC normalization, verbatim string parity; the decomposed suffix
     # (combining acute U+0301, combining ring U+030A) is appended on both
     # sides so composition actually fires on the already-NFC corpus
+    # accent-fold + casefold, verbatim string parity: DuckDB's
+    # strip_accents (utf8proc) == NFD-drop-Mn-NFC, lower() == Python
+    # str.lower on every probe class (verified incl. Turkish İ, whose
+    # NFD dot-above is an Mn and drops BEFORE lowering on both sides)
+    sql["fold_accents_docs"] = """
+WITH aug AS (
+    SELECT doc_id,
+           COALESCE(text, '')
+               || ' Ünïcödé ÉLAN İstanbul'
+               || ' café ắ ßø' AS t
+    FROM documents)
+SELECT doc_id, lower(strip_accents(t)) AS folded_text,
+       length(t)::BIGINT AS n_before,
+       length(lower(strip_accents(t)))::BIGINT AS n_after
+FROM aug
+"""
+
     sql["nfc_normalize_docs"] = """
 WITH aug AS (
     SELECT doc_id,

@@ -1010,3 +1010,33 @@ def test_events_global_rank_matches_oracle(ray_session, tmp_path):
     # cent-tie must break by event_id: 21 ranks immediately before 22
     r = dict(zip(a["event_id"], a["rnk"]))
     assert r[22] == r[21] + 1
+
+
+def test_fold_accents_matches_duckdb(ray_session, tmp_path):
+    """lower(strip_accents()) parity on accent-heavy synthetic docs:
+    precomposed AND decomposed inputs, Turkish dotted-I, Cyrillic,
+    pass-through ß/ø/ł, NULL text."""
+    import pyarrow.parquet as pq
+
+    texts = ["Café au LAIT", "naı̈ve", "İstanbul KADIKOY",
+             "ГОРОД Москва", "groß øre Łuk", None,
+             "élève précis"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+    }), str(tmp_path / "documents.parquet"))
+    m = _entry_module()
+    out = m.queries()["fold_accents_docs"](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["documents"])
+    exp = con.execute(m.oracle_sql()["fold_accents_docs"]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) == len(texts)
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    folded = dict(zip(out["doc_id"], out["folded_text"]))
+    assert folded[1].startswith("cafe au lait")
+    assert folded[7].startswith("eleve precis")    # decomposed input folds
