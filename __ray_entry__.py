@@ -4822,6 +4822,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return unigram_logprob_stats(docs).select_columns(
             ["doc_id", "n_tokens", "sum_logp_q"])
 
+    def doc_ppl_bigram(sf_dir):
+        """Self-scored BIGRAM LM quality signal (one order up from
+        doc_ppl): P(w_i | w_{i-1}) with context-normalized counts,
+        integer deci-milli-nat quantization per bigram vocabulary entry
+        so per-doc sums are exact on both sides."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.lm import bigram_logprob_stats
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+        return bigram_logprob_stats(docs)
+
     def bpe_tokenize(sf_dir):
         import ray.data as rd
 
@@ -5015,6 +5028,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "substring_dedup_clean": substring_dedup_clean,
         "pagerank_suppliers": pagerank_suppliers,
         "doc_ppl": doc_ppl,
+        "doc_ppl_bigram": doc_ppl_bigram,
         "tfidf_topk": tfidf_topk,
         "sample_weighted": sample_weighted,
         "user_event_pivot": user_event_pivot,
@@ -5055,7 +5069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # newest additions (window is full at 50 — these sit just past
         # it; the judge's local oracle run covers out-of-window entries)
         "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
-        "image_meta_gif", "fold_accents_docs",
+        "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -7368,6 +7382,40 @@ perdoc AS (
 SELECT d.doc_id,
        COALESCE(p.n_tokens, 0)::BIGINT AS n_tokens,
        COALESCE(p.sum_logp_q, 0)::BIGINT AS sum_logp_q
+FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+"""
+
+    # bigram LM: context-normalized P(w2|w1); same ln-quantization
+    # contract as doc_ppl (one float ln per VOCAB entry, integer sums)
+    sql["doc_ppl_bigram"] = """
+WITH toks AS (
+    SELECT doc_id,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term,
+           generate_subscripts(
+               regexp_extract_all(lower(text), '[a-z]+'), 1) AS pos
+    FROM documents
+),
+big AS (
+    SELECT a.doc_id, a.term AS w1, b.term AS w2
+    FROM toks a JOIN toks b
+      ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+),
+bv AS (SELECT w1, w2, COUNT(*)::BIGINT AS cb FROM big GROUP BY w1, w2),
+ctx AS (SELECT w1, SUM(cb)::BIGINT AS cc FROM bv GROUP BY w1),
+q AS (
+    SELECT w1, w2,
+           CAST(floor(ln(CAST(cb AS DOUBLE) / cc) * 10000 + 0.5) AS BIGINT)
+               AS ql
+    FROM bv JOIN ctx USING (w1)
+),
+perdoc AS (
+    SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+           SUM(ql)::BIGINT AS sum_logp2_q
+    FROM big JOIN q USING (w1, w2) GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(p.sum_logp2_q, 0)::BIGINT AS sum_logp2_q
 FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
 """
 

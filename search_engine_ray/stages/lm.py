@@ -51,7 +51,8 @@ from ray.data.aggregate import Sum
 from .dedup import _WORD_RE
 from ..functions.hashing import stable_hash_array
 
-__all__ = ["unigram_logprob_stats", "train_bpe", "BpeEncoder", "bpe_encode"]
+__all__ = ["unigram_logprob_stats", "bigram_logprob_stats", "train_bpe",
+           "BpeEncoder", "bpe_encode"]
 
 #: quantization scale for integer log-probs (1e4 = deci-milli-nats)
 LOGPROB_QUANT = 1e4
@@ -195,6 +196,169 @@ def _unigram_stats_shuffle(narrow: rd.Dataset, vocab: rd.Dataset, *,
             "n_tokens": pa.array(n_tokens, pa.int64()),
             "sum_logp_q": pa.array(sum_q, pa.int64()),
             "ppl": pa.array(ppl, pa.float64()),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
+#: odd 64-bit mixing multiplier for combining (h1, h2) into one bigram key
+_BIGRAM_MIX = np.uint64(0x9E3779B97F4A7C15)
+
+
+def _bigram_keys(texts: list[str]) -> tuple[np.ndarray, np.ndarray,
+                                            np.ndarray]:
+    """(doc_idx, bigram_key, first_token_hash) for every ADJACENT token
+    pair of the batch.  The bigram key mixes the two 64-bit token hashes
+    (``h1 * odd_const ^ h2``) — same negligible-collision contract as the
+    unigram hash vocabulary."""
+    doc_of, h = _token_hashes(texts)
+    if not len(h):
+        e = np.empty(0, np.int64)
+        return e, np.empty(0, np.uint64), np.empty(0, np.uint64)
+    same_doc = doc_of[1:] == doc_of[:-1]
+    h1 = h[:-1][same_doc]
+    h2 = h[1:][same_doc]
+    with np.errstate(over="ignore"):
+        key = (h1 * _BIGRAM_MIX) ^ h2
+    return doc_of[:-1][same_doc], key, h1
+
+
+def bigram_logprob_stats(docs: rd.Dataset, *, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         max_broadcast: int = 50_000_000,
+                         force_shuffle: bool = False) -> rd.Dataset:
+    """Score every document under the corpus's own BIGRAM LM —
+    ``P(w_i | w_{i-1}) = count(w_{i-1} w_i) / count_ctx(w_{i-1})`` where
+    the context count sums the bigram counts sharing the first token
+    (so probabilities per context sum to exactly 1; no smoothing needed:
+    self-scoring has no OOV path).  The CCNet-style quality signal one
+    order up from :func:`unigram_logprob_stats` — repetitive boilerplate
+    scores near 0 nats while natural prose does not, a separation the
+    unigram model cannot see.
+
+    Output per document: ``(doc_id, n_bigrams, sum_logp2_q)`` —
+    ``n_bigrams = max(n_tokens - 1, 0)`` and the int64 sum over adjacent
+    pairs of ``floor(ln(cb/cctx) * 1e4 + 0.5)`` quantized ONCE per bigram
+    vocabulary entry (order-free exact sums, same contract as unigram).
+
+    Plan selection mirrors the unigram operator: the sorted
+    (bigram_key, q) model broadcasts under ``max_broadcast``; past the
+    guard (or with ``force_shuffle``) the positional pair table
+    hash-partitions into an inner join against the distributed
+    (key, q) table — built by joining the bigram-count table with the
+    context-count table on the first-token hash — then one
+    ``groupby(doc_id)`` and a doc-keyed left join restores short
+    documents.  Identical output either way.
+    """
+    from ray.data.aggregate import Count, Min
+
+    from .relational import drop_empty_blocks, shuffle_hash_join
+
+    narrow = docs.select_columns([id_col, text_col])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        _, key, h1 = _bigram_keys(batch[text_col].to_pylist())
+        uniq, idx, cnt = np.unique(key, return_index=True,
+                                   return_counts=True)
+        return pa.table({
+            "big": pa.array(uniq.view(np.int64), pa.int64()),
+            "h1": pa.array(h1[idx].view(np.int64), pa.int64()),
+            "c": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    # h1 is functionally dependent on the key (Min = the value)
+    bv = narrow.map_batches(partial_counts, batch_format="pyarrow") \
+        .groupby("big").aggregate(Min("h1", alias_name="h1"),
+                                  Sum("c", alias_name="c")).materialize()
+    ctx = bv.groupby("h1").aggregate(Sum("c", alias_name="cc"))
+
+    if force_shuffle or bv.count() > max_broadcast:
+        return _bigram_stats_shuffle(narrow, bv, ctx, text_col=text_col,
+                                     id_col=id_col)
+
+    ctx_rows = ctx.take_all()
+    ctx_h = np.array([r["h1"] for r in ctx_rows], np.int64)
+    ctx_c = np.array([r["cc"] for r in ctx_rows], np.int64)
+    co = np.argsort(ctx_h)
+    ctx_h, ctx_c = ctx_h[co], ctx_c[co]
+    rows = bv.take_all()
+    # sort in UNSIGNED key order — score() searches the uint64 view
+    keys = np.array([r["big"] for r in rows], np.int64).view(np.uint64)
+    h1s = np.array([r["h1"] for r in rows], np.int64)
+    cb = np.array([r["c"] for r in rows], np.int64)
+    ko = np.argsort(keys)
+    keys, h1s, cb = keys[ko], h1s[ko], cb[ko]
+    cc = ctx_c[np.searchsorted(ctx_h, h1s)]
+    q = np.floor(np.log(cb / cc) * LOGPROB_QUANT + 0.5).astype(np.int64)
+    model = ray.put((keys, q))
+
+    def score(batch: pa.Table) -> pa.Table:
+        ks, qs = ray.get(model)
+        ids = batch[id_col].to_numpy()
+        doc_of, key, _ = _bigram_keys(batch[text_col].to_pylist())
+        pos = np.searchsorted(ks, key)  # every corpus bigram is in-vocab
+        n_big = np.bincount(doc_of, minlength=len(ids)).astype(np.int64)
+        sum_q = np.zeros(len(ids), np.int64)
+        np.add.at(sum_q, doc_of, qs[pos])
+        return pa.table({
+            "doc_id": pa.array(ids, pa.int64()),
+            "n_bigrams": pa.array(n_big, pa.int64()),
+            "sum_logp2_q": pa.array(sum_q, pa.int64()),
+        })
+
+    return narrow.map_batches(score, batch_format="pyarrow")
+
+
+def _bigram_stats_shuffle(narrow: rd.Dataset, bv: rd.Dataset,
+                          ctx: rd.Dataset, *, text_col: str,
+                          id_col: str) -> rd.Dataset:
+    """No-broadcast plan for :func:`bigram_logprob_stats` (see its
+    docstring): all-distributed, nothing model-sized on the driver."""
+    from ray.data.aggregate import Count
+
+    from .relational import drop_empty_blocks, shuffle_hash_join
+
+    withcc = shuffle_hash_join(bv, ctx, on=("h1",), how="inner")
+
+    def add_q(batch: pa.Table) -> pa.Table:
+        cb = batch["c"].to_numpy()
+        cc = batch["cc"].to_numpy()
+        # same float expression as the broadcast path — bit-identical q
+        q = np.floor(np.log(cb / cc) * LOGPROB_QUANT + 0.5).astype(np.int64)
+        return pa.table({"big": batch["big"], "q": pa.array(q, pa.int64())})
+
+    vq = drop_empty_blocks(
+        withcc.map_batches(add_q, batch_format="pyarrow"),
+        empty_schema=pa.schema([("big", pa.int64()), ("q", pa.int64())]))
+
+    def positions(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].to_numpy()
+        doc_of, key, _ = _bigram_keys(batch[text_col].to_pylist())
+        return pa.table({id_col: pa.array(ids[doc_of], pa.int64()),
+                         "big": pa.array(key.view(np.int64), pa.int64())})
+
+    joined = shuffle_hash_join(
+        narrow.map_batches(positions, batch_format="pyarrow"), vq,
+        on=("big",), how="inner")
+    sums = drop_empty_blocks(
+        joined.groupby(id_col).aggregate(
+            Sum("q", alias_name="sum_logp2_q"),
+            Count(alias_name="n_bigrams")),
+        empty_schema=pa.schema([(id_col, pa.int64()),
+                                ("sum_logp2_q", pa.int64()),
+                                ("n_bigrams", pa.int64())]))
+    all_ids = narrow.map_batches(
+        lambda b: pa.table({id_col: b[id_col]}), batch_format="pyarrow")
+    out = shuffle_hash_join(all_ids, sums, on=(id_col,), how="left")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table({
+            id_col: batch[id_col],
+            "n_bigrams": pc.fill_null(batch["n_bigrams"], 0)
+            .cast(pa.int64()),
+            "sum_logp2_q": pc.fill_null(batch["sum_logp2_q"], 0)
+            .cast(pa.int64()),
         })
 
     return out.map_batches(finish, batch_format="pyarrow")

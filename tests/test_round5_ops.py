@@ -1040,3 +1040,52 @@ def test_fold_accents_matches_duckdb(ray_session, tmp_path):
     folded = dict(zip(out["doc_id"], out["folded_text"]))
     assert folded[1].startswith("cafe au lait")
     assert folded[7].startswith("eleve precis")    # decomposed input folds
+
+
+def test_bigram_lm_plans_and_oracle(ray_session, tmp_path):
+    """Broadcast and shuffle plans return identical rows, both match the
+    DuckDB bigram oracle on an engineered corpus (repeated boilerplate
+    doc scores ~0 nats; empty and one-token docs come back with zero
+    bigrams), and context probabilities sum to 1 by construction."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.stages.lm import bigram_logprob_stats
+
+    texts = [
+        "the cat sat on the mat the cat sat again",
+        "buy now buy now buy now buy now",        # boilerplate: P(now|buy)=1
+        "completely different words entirely here",
+        "",                                        # no tokens
+        "single",                                  # one token, no bigram
+        None,
+        "the cat ran off the mat quickly today",
+    ]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(1, len(texts) + 1)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(texts)),
+    }), str(tmp_path / "documents.parquet"))
+    m = _entry_module()
+    out = m.queries()["doc_ppl_bigram"](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["documents"])
+    exp = con.execute(m.oracle_sql()["doc_ppl_bigram"]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) == len(texts)
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    rowmap = {r.doc_id: (r.n_bigrams, r.sum_logp2_q) for r in a.itertuples()}
+    assert rowmap[4] == (0, 0) and rowmap[5] == (0, 0)
+    # P(now|buy) = 1 and P(buy|now) = 1 within doc 2's chain: only the
+    # sentence-internal transitions cost anything -> score exactly 0
+    assert rowmap[2][0] == 7 and rowmap[2][1] == 0
+    # plan parity: shuffle == broadcast, bit-exact
+    import ray.data as rd2
+    docs = rd2.read_parquet(str(tmp_path / "documents.parquet"),
+                            columns=["doc_id", "text"])
+    sh = bigram_logprob_stats(docs, force_shuffle=True).to_pandas()
+    s = sh[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        assert s[c].tolist() == a[c].tolist(), c
