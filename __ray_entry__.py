@@ -4835,6 +4835,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"])
         return bigram_logprob_stats(docs)
 
+    def lang_pmi_keywords(sf_dir):
+        """Per-language PMI keyword extraction (feature selection /
+        characteristic vocabulary): integer deci-milli-nat PMI over
+        token occurrences, rare-term guard, deterministic top-10 per
+        language by (pmi_q DESC, term)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.lm import pmi_keywords
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["lang", "text"])
+        return pmi_keywords(docs, k=10, min_count=5)
+
     def bpe_tokenize(sf_dir):
         import ray.data as rd
 
@@ -5029,6 +5042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_suppliers": pagerank_suppliers,
         "doc_ppl": doc_ppl,
         "doc_ppl_bigram": doc_ppl_bigram,
+        "lang_pmi_keywords": lang_pmi_keywords,
         "tfidf_topk": tfidf_topk,
         "sample_weighted": sample_weighted,
         "user_event_pivot": user_event_pivot,
@@ -5070,6 +5084,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # it; the judge's local oracle run covers out-of-window entries)
         "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
         "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
+        "lang_pmi_keywords",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -7417,6 +7432,33 @@ SELECT d.doc_id,
        COALESCE(p.n_bigrams, 0)::BIGINT AS n_bigrams,
        COALESCE(p.sum_logp2_q, 0)::BIGINT AS sum_logp2_q
 FROM documents d LEFT JOIN perdoc p ON p.doc_id = d.doc_id
+"""
+
+    # per-language PMI keywords: every count exact int64; pmi_q is ONE
+    # float expression — (n_tl·N)/(n_t·n_l) as doubles, ln, ·1e4,
+    # floor+0.5 — evaluated in the same order by numpy and DuckDB
+    sql["lang_pmi_keywords"] = """
+WITH toks AS (
+    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+),
+tl AS (SELECT lang, term, COUNT(*)::BIGINT AS n_tl
+       FROM toks GROUP BY lang, term),
+t AS (SELECT term, SUM(n_tl)::BIGINT AS n_t FROM tl GROUP BY term),
+l AS (SELECT lang, SUM(n_tl)::BIGINT AS n_l FROM tl GROUP BY lang),
+tot AS (SELECT SUM(n_tl)::BIGINT AS n FROM tl),
+p AS (
+    SELECT tl.lang, tl.term, n_tl,
+           CAST(floor(ln((CAST(n_tl AS DOUBLE) * CAST(n AS DOUBLE))
+                         / (CAST(n_t AS DOUBLE) * CAST(n_l AS DOUBLE)))
+                      * 10000 + 0.5) AS BIGINT) AS pmi_q
+    FROM tl JOIN t USING (term) JOIN l USING (lang) CROSS JOIN tot
+    WHERE n_tl >= 5
+)
+SELECT lang, term, n_tl, pmi_q, rank FROM (
+    SELECT p.*, ROW_NUMBER() OVER (
+        PARTITION BY lang ORDER BY pmi_q DESC, term) AS rank
+    FROM p) WHERE rank <= 10
 """
 
     # Count-Min heavy hitters: est_count is an overestimate bounded by

@@ -364,6 +364,121 @@ def _bigram_stats_shuffle(narrow: rd.Dataset, bv: rd.Dataset,
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def pmi_keywords(docs: rd.Dataset, *, text_col: str = "text",
+                 lang_col: str = "lang", k: int = 10, min_count: int = 5,
+                 max_broadcast: int = 50_000_000,
+                 force_shuffle: bool = False) -> rd.Dataset:
+    """Per-language PMI keyword extraction — the feature-selection /
+    characteristic-vocabulary primitive (which terms are diagnostic of a
+    language / domain slice; the same shape selects features for a
+    fastText-style quality or language classifier).
+
+    ``PMI(term, lang) = ln( P(term, lang) / (P(term) P(lang)) )`` over
+    token OCCURRENCES, quantized to integer deci-milli-nats per
+    (term, lang) cell: ``pmi_q = floor(ln((n_tl·N) / (n_t·n_l)) · 1e4
+    + 0.5)`` with every count an exact int64 and ONE float expression
+    evaluated identically by DuckDB, so ranking and output are bit-exact.
+    Cells with ``n_tl < min_count`` drop (the standard PMI
+    rare-term guard); top-``k`` per language by ``(pmi_q DESC, term)``.
+
+    Scale shape: per-batch partial (lang, term) counts before the one
+    vocabulary-scale groupby; the per-term totals table broadcasts under
+    ``max_broadcast`` (vectorized ``pc.index_in`` lookup) and
+    hash-partition-joins past the guard (``force_shuffle`` — identical
+    output, see the plan-parity test); per-language totals are
+    language-scale (driver dict); the final top-k is
+    :func:`..relational.grouped_topk` (per-batch partial top-k bounds
+    the exchange to k rows per (lang, block)).
+    """
+    import pyarrow.compute as pc
+
+    from .relational import drop_empty_blocks, grouped_topk, \
+        shuffle_hash_join
+
+    narrow = docs.select_columns([lang_col, text_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[tuple, int] = {}
+        langs = batch[lang_col].to_pylist()
+        for lang, t in zip(langs, batch[text_col].to_pylist()):
+            for w in _WORD_RE.findall((t or "").lower()):
+                key = (lang, w)
+                counts[key] = counts.get(key, 0) + 1
+        ks = list(counts.keys())
+        return pa.table({
+            lang_col: pa.array([a for a, _ in ks], pa.string()),
+            "term": pa.array([b for _, b in ks], pa.string()),
+            "c": pa.array(list(counts.values()), pa.int64())})
+
+    tl = narrow.map_batches(partial, batch_format="pyarrow") \
+        .groupby([lang_col, "term"]) \
+        .aggregate(Sum("c", alias_name="n_tl")).materialize()
+
+    # language totals: language-scale, driver-side by construction
+    l_rows = tl.groupby(lang_col) \
+        .aggregate(Sum("n_tl", alias_name="n_l")).take_all()
+    n_l = {r[lang_col]: int(r["n_l"]) for r in l_rows}
+    n_total = sum(n_l.values())
+
+    nt = tl.groupby("term").aggregate(Sum("n_tl", alias_name="n_t"))
+
+    if force_shuffle or nt.count() > max_broadcast:
+        joined = shuffle_hash_join(tl, nt, on=("term",), how="inner")
+
+        def add_pmi_joined(batch: pa.Table) -> pa.Table:
+            return _pmi_columns(batch, batch["n_t"].to_numpy(), n_l,
+                                n_total, lang_col, min_count)
+
+        scored = drop_empty_blocks(
+            joined.map_batches(add_pmi_joined, batch_format="pyarrow"),
+            empty_schema=pa.schema([(lang_col, pa.string()),
+                                    ("term", pa.string()),
+                                    ("n_tl", pa.int64()),
+                                    ("pmi_q", pa.int64())]))
+    else:
+        vt = nt.take_all()
+        terms = pa.array([r["term"] for r in vt], pa.string())
+        counts = np.array([r["n_t"] for r in vt], np.int64)
+        model = ray.put((terms, counts))
+
+        def add_pmi(batch: pa.Table) -> pa.Table:
+            ts, cs = ray.get(model)
+            pos = pc.index_in(batch["term"], value_set=ts) \
+                .to_numpy(zero_copy_only=False)
+            return _pmi_columns(batch, cs[pos], n_l, n_total, lang_col,
+                                min_count)
+
+        scored = drop_empty_blocks(
+            tl.map_batches(add_pmi, batch_format="pyarrow"),
+            empty_schema=pa.schema([(lang_col, pa.string()),
+                                    ("term", pa.string()),
+                                    ("n_tl", pa.int64()),
+                                    ("pmi_q", pa.int64())]))
+    return grouped_topk(scored, group_col=lang_col, order_col="pmi_q",
+                        tie_col="term", k=k, descending=True)
+
+
+def _pmi_columns(batch: pa.Table, n_t: np.ndarray, n_l: dict, n_total: int,
+                 lang_col: str, min_count: int) -> pa.Table:
+    """Shared pmi_q computation — ONE float expression, identical in both
+    plans and in the SQL oracle: ln((n_tl·N) / (n_t·n_l))·1e4, floor+0.5."""
+    n_tl = batch["n_tl"].to_numpy()
+    keep = n_tl >= min_count
+    langs = np.asarray(batch[lang_col].to_pylist(), object)
+    nl = np.array([n_l[x] for x in langs], np.int64)
+    with np.errstate(divide="ignore"):
+        ratio = (n_tl.astype(np.float64) * float(n_total)) \
+            / (n_t.astype(np.float64) * nl.astype(np.float64))
+        q = np.floor(np.log(ratio) * LOGPROB_QUANT + 0.5).astype(np.int64)
+    return pa.table({
+        lang_col: pa.array(langs[keep], pa.string()),
+        "term": pa.array(np.asarray(batch["term"].to_pylist(),
+                                    object)[keep], pa.string()),
+        "n_tl": pa.array(n_tl[keep], pa.int64()),
+        "pmi_q": pa.array(q[keep], pa.int64()),
+    })
+
+
 # --------------------------------------------------------------------------
 # BPE tokenizer training
 # --------------------------------------------------------------------------

@@ -1089,3 +1089,48 @@ def test_bigram_lm_plans_and_oracle(ray_session, tmp_path):
     s = sh[cols].sort_values(cols).reset_index(drop=True)
     for c in cols:
         assert s[c].tolist() == a[c].tolist(), c
+
+
+def test_pmi_keywords_plans_and_oracle(ray_session, tmp_path):
+    """Engineered two-language corpus: a lang-exclusive term tops its
+    language (max PMI), a uniform cross-language term scores ~0, the
+    rare-term guard drops below-min_count cells, broadcast == shuffle
+    plan bit-exact, and both match DuckDB."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.stages.lm import pmi_keywords
+
+    en = "common shared words appear here " * 3 + "python exclusive gem " * 2
+    fr = "common shared words appear here " * 3 + "baguette exclusive vin " * 2
+    texts = [en] * 5 + [fr] * 5 + ["rareword only once"]
+    langs = ["en"] * 5 + ["fr"] * 5 + ["en"]
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(range(1, 12)), pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(langs, pa.string()),
+    }), str(tmp_path / "documents.parquet"))
+    m = _entry_module()
+    out = m.queries()["lang_pmi_keywords"](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["documents"])
+    exp = con.execute(m.oracle_sql()["lang_pmi_keywords"]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) > 0
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    top_en = out[(out["lang"] == "en") & (out["rank"] == 1)]["term"].iloc[0]
+    top_fr = out[(out["lang"] == "fr") & (out["rank"] == 1)]["term"].iloc[0]
+    assert top_en in ("python", "gem")        # en-exclusive, tie on pmi_q
+    assert top_fr in ("baguette", "vin")
+    assert "rareword" not in set(out["term"])  # min_count guard
+    # plan parity
+    import ray.data as rd2
+    docs = rd2.read_parquet(str(tmp_path / "documents.parquet"),
+                            columns=["lang", "text"])
+    sh = pmi_keywords(docs, k=10, min_count=5,
+                      force_shuffle=True).to_pandas()
+    s = sh[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        assert s[c].tolist() == a[c].tolist(), c
