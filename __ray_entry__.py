@@ -4848,6 +4848,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["lang", "text"])
         return pmi_keywords(docs, k=10, min_count=5)
 
+    def term_drift(sf_dir):
+        """Snapshot-to-snapshot term drift: the corpus split by doc_id
+        parity stands in for crawl N vs N+1; Haldane-corrected
+        log-odds-ratio per term, integer deci-milli-nat quantization,
+        exact counts — the distribution-shift monitor of a recurring
+        ingestion pipeline."""
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.stages.lm import term_drift_stats
+
+        docs = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"])
+
+        def with_side(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pcm
+            side = pcm.bit_wise_and(b["doc_id"], 1).cast(pa.int64())
+            return pa.table({"side": side, "text": b["text"]})
+
+        return term_drift_stats(
+            docs.map_batches(with_side, batch_format="pyarrow"),
+            min_total=10)
+
     def bpe_tokenize(sf_dir):
         import ray.data as rd
 
@@ -5043,6 +5066,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_ppl": doc_ppl,
         "doc_ppl_bigram": doc_ppl_bigram,
         "lang_pmi_keywords": lang_pmi_keywords,
+        "term_drift": term_drift,
         "tfidf_topk": tfidf_topk,
         "sample_weighted": sample_weighted,
         "user_event_pivot": user_event_pivot,
@@ -5084,7 +5108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # it; the judge's local oracle run covers out-of-window entries)
         "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
         "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
-        "lang_pmi_keywords",
+        "lang_pmi_keywords", "term_drift",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -7459,6 +7483,29 @@ SELECT lang, term, n_tl, pmi_q, rank FROM (
     SELECT p.*, ROW_NUMBER() OVER (
         PARTITION BY lang ORDER BY pmi_q DESC, term) AS rank
     FROM p) WHERE rank <= 10
+"""
+
+    # snapshot term drift: Haldane-corrected log-odds, ONE float
+    # expression on exact int64 counts (integer sub/add BEFORE the 0.5
+    # promotion, single division, single ln) — same order as numpy
+    sql["term_drift"] = """
+WITH toks AS (
+    SELECT doc_id % 2 AS side,
+           unnest(regexp_extract_all(lower(text), '[a-z]+')) AS term
+    FROM documents
+),
+tc AS (
+    SELECT term,
+           SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END)::BIGINT AS n_a,
+           SUM(CASE WHEN side = 1 THEN 1 ELSE 0 END)::BIGINT AS n_b
+    FROM toks GROUP BY term
+),
+tot AS (SELECT SUM(n_a)::BIGINT AS ta, SUM(n_b)::BIGINT AS tb FROM tc)
+SELECT term, n_a, n_b,
+       CAST(floor(ln(((n_a + 0.5) * ((tb - n_b) + 0.5))
+                     / ((n_b + 0.5) * ((ta - n_a) + 0.5)))
+                  * 10000 + 0.5) AS BIGINT) AS logodds_q
+FROM tc, tot WHERE n_a + n_b >= 10
 """
 
     # Count-Min heavy hitters: est_count is an overestimate bounded by

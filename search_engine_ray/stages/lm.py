@@ -479,6 +479,72 @@ def _pmi_columns(batch: pa.Table, n_t: np.ndarray, n_l: dict, n_total: int,
     })
 
 
+def term_drift_stats(docs: rd.Dataset, *, text_col: str = "text",
+                     side_col: str = "side",
+                     min_total: int = 10) -> rd.Dataset:
+    """Term-frequency DRIFT between two corpus snapshots — the
+    distribution-shift monitor a recurring crawl pipeline runs between
+    snapshot N and N+1 (which vocabulary surged / collapsed; feeds both
+    quality alerts and dedup-threshold retuning).
+
+    Input rows carry ``side`` ∈ {0, 1} (snapshot id).  Output per term
+    with ``n_a + n_b >= min_total``: exact counts ``(n_a, n_b)`` and the
+    Haldane-corrected log-odds-ratio (the classic 0.5-cell 2×2
+    correction, so zero cells stay finite) quantized to integer
+    deci-milli-nats: ``logodds_q = floor(ln(((n_a+0.5)·(N_b−n_b+0.5)) /
+    ((n_b+0.5)·(N_a−n_a+0.5))) · 1e4 + 0.5)`` — ONE float expression on
+    exact int64 counts, evaluated identically by DuckDB.
+
+    Scale shape: per-batch partial (term, c_a, c_b) counts before the
+    single vocabulary-scale groupby; the two corpus totals are scalars
+    (one tiny aggregate); scoring is a stateless vectorized batch pass —
+    no broadcast table, no second exchange.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        counts: dict[str, list] = {}
+        sides = batch[side_col].to_pylist()
+        for side, t in zip(sides, batch[text_col].to_pylist()):
+            j = 1 if side else 0
+            for w in _WORD_RE.findall((t or "").lower()):
+                e = counts.get(w)
+                if e is None:
+                    counts[w] = e = [0, 0]
+                e[j] += 1
+        return pa.table({
+            "term": pa.array(list(counts.keys()), pa.string()),
+            "c_a": pa.array([v[0] for v in counts.values()], pa.int64()),
+            "c_b": pa.array([v[1] for v in counts.values()], pa.int64())})
+
+    tc = docs.select_columns([side_col, text_col]) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby("term").aggregate(Sum("c_a", alias_name="n_a"),
+                                   Sum("c_b", alias_name="n_b")) \
+        .materialize()
+    tot = tc.aggregate(Sum("n_a", alias_name="ta"),
+                       Sum("n_b", alias_name="tb"))
+    n_tot_a, n_tot_b = int(tot["ta"]), int(tot["tb"])
+
+    def score(batch: pa.Table) -> pa.Table:
+        n_a = batch["n_a"].to_numpy()
+        n_b = batch["n_b"].to_numpy()
+        keep = (n_a + n_b) >= min_total
+        n_a, n_b = n_a[keep], n_b[keep]
+        # ONE float expression, same operation order as the SQL oracle
+        ratio = ((n_a + 0.5) * ((n_tot_b - n_b) + 0.5)) \
+            / ((n_b + 0.5) * ((n_tot_a - n_a) + 0.5))
+        q = np.floor(np.log(ratio) * LOGPROB_QUANT + 0.5).astype(np.int64)
+        terms = np.asarray(batch["term"].to_pylist(), object)[keep]
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "n_a": pa.array(n_a, pa.int64()),
+            "n_b": pa.array(n_b, pa.int64()),
+            "logodds_q": pa.array(q, pa.int64()),
+        })
+
+    return tc.map_batches(score, batch_format="pyarrow")
+
+
 # --------------------------------------------------------------------------
 # BPE tokenizer training
 # --------------------------------------------------------------------------

@@ -1134,3 +1134,39 @@ def test_pmi_keywords_plans_and_oracle(ray_session, tmp_path):
     s = sh[cols].sort_values(cols).reset_index(drop=True)
     for c in cols:
         assert s[c].tolist() == a[c].tolist(), c
+
+
+def test_term_drift_matches_oracle(ray_session, tmp_path):
+    """Engineered snapshots: a term EXCLUSIVE to side A gets a large
+    positive log-odds (finite thanks to the Haldane 0.5), a balanced
+    term sits near 0, min_total drops rare terms; bit-exact vs DuckDB."""
+    import pyarrow.parquet as pq
+
+    a = "surge boom balanced words everywhere " * 4
+    b = "crash drop balanced words everywhere " * 4
+    texts, ids = [], []
+    for i in range(12):
+        ids.append(i)
+        texts.append(a if i % 2 == 0 else b)
+    texts[0] += " rare rare"          # below min_total across both sides
+    pq.write_table(pa.table({
+        "doc_id": pa.array(ids, pa.int64()),
+        "text": pa.array(texts, pa.string()),
+        "lang": pa.array(["en"] * len(ids)),
+    }), str(tmp_path / "documents.parquet"))
+    m = _entry_module()
+    out = m.queries()["term_drift"](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["documents"])
+    exp = con.execute(m.oracle_sql()["term_drift"]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    x = out[cols].sort_values(cols).reset_index(drop=True)
+    y = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(x) == len(y) > 0
+    for c in cols:
+        assert x[c].tolist() == y[c].tolist(), c
+    r = {t.term: t for t in out.itertuples()}
+    assert "rare" not in r
+    assert r["surge"].n_b == 0 and r["surge"].logodds_q > 0
+    assert r["crash"].n_a == 0 and r["crash"].logodds_q < 0
+    assert abs(r["balanced"].logodds_q) < abs(r["surge"].logodds_q)
