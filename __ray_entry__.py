@@ -2385,6 +2385,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return global_row_number(ds, order_cols=["cents", "event_id"],
                                  descending=[True, False])
 
+    def events_rolling_distinct(sf_dir):
+        """Per-user rolling COUNT(DISTINCT event_type) over the trailing
+        600 s (peer-inclusive RANGE frame) — exact, via the vectorized
+        first-occurrence-dominance scan in pipelines/windows."""
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import rolling_distinct_time
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+        return rolling_distinct_time(ds, window_sec=600)
+
     def nfc_normalize_docs(sf_dir):
         """Unicode NFC normalization — the canonicalization step every
         text-dedup family assumes upstream (decomposed e + U+0301 must
@@ -4987,6 +5000,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_analytic": events_analytic,
         "events_rolling": events_rolling,
         "events_rolling_time": events_rolling_time,
+        "events_rolling_distinct": events_rolling_distinct,
         "events_first_last": events_first_last,
         "event_cents_quantiles_global": event_cents_quantiles_global,
         "event_percentile_cont": event_percentile_cont,
@@ -5108,7 +5122,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # it; the judge's local oracle run covers out-of-window entries)
         "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
         "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
-        "lang_pmi_keywords", "term_drift",
+        "lang_pmi_keywords", "term_drift", "events_rolling_distinct",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -6861,6 +6875,19 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
     # Time-based rolling window: RANGE frames are peer-inclusive (every row
     # whose ts_sec falls in [ts_i-600, ts_i], regardless of tie order) —
     # exactly the two-searchsorted frame in pipelines/windows.py
+    # rolling COUNT(DISTINCT): DuckDB supports DISTINCT window
+    # aggregates natively; peers share frames on both sides
+    sql["events_rolling_distinct"] = """
+SELECT event_id, user_id,
+       (COUNT(*) OVER w)::BIGINT AS win_n,
+       (COUNT(DISTINCT event_type) OVER w)::BIGINT AS win_distinct
+FROM (SELECT event_id, user_id, event_type,
+             epoch_us(ts) // 1000000 AS ts_sec
+      FROM events)
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN 600 PRECEDING AND CURRENT ROW)
+"""
+
     sql["events_rolling_time"] = """
 SELECT event_id, user_id,
        (COUNT(*) OVER w)::BIGINT AS win_n,

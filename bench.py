@@ -194,7 +194,7 @@ HEADLINE = [
     "tpch_q2", "tpch_q8", "embedding_centroids", "events_winsorized",
     "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
     "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
-    "lang_pmi_keywords", "term_drift",
+    "lang_pmi_keywords", "term_drift", "events_rolling_distinct",
 ]
 
 

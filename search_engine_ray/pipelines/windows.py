@@ -226,6 +226,70 @@ def rolling_time_agg(events: rd.Dataset, *, window_sec: int = 600,
     return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
+def rolling_distinct_time(events: rd.Dataset, *, window_sec: int = 600,
+                          key_col: str = "user_id", ts_col: str = "ts",
+                          order_col: str = "event_id",
+                          value_col: str = "event_type") -> rd.Dataset:
+    """Per-key rolling COUNT(DISTINCT value) over the trailing
+    ``window_sec`` seconds (``RANGE BETWEEN window_sec PRECEDING AND
+    CURRENT ROW``, peer-inclusive like :func:`rolling_time_agg`) — the
+    "distinct event types / distinct pages in the last N minutes"
+    engagement feature that plain rolling counts can't express.
+
+    Exact and fully vectorized via first-occurrence dominance: with the
+    key's rows ts-sorted, let ``p_j`` be the index of value ``v_j``'s
+    previous occurrence (−1 if none) and ``lo_i = searchsorted(ts,
+    ts_i − W)``.  A row ``j`` inside the frame is a FIRST occurrence
+    within it iff ``p_j < lo_i``; every ``j < lo_i`` trivially satisfies
+    that (``p_j < j``), so ``distinct(i) = #{j ≤ i : p_j < lo_i} −
+    lo_i``.  Because ``lo`` is nondecreasing, ``p_j < lo_i ⇔ i ≥ t_j``
+    with ``t_j = searchsorted(lo, p_j, 'right')`` — each ``j``
+    contributes to all ``i ≥ max(j, t_j)``, one ``bincount`` + one
+    ``cumsum``.  Peers (equal ts) share a frame: the value computed at
+    the run's LAST row broadcasts back over the run.  O(n log n), no
+    Python loop.
+
+    Scale shape: ONE shuffle (``groupby(key)``), same
+    one-key-fits-a-worker contract as the rest of this module.
+    """
+
+    def per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending"),
+                                                  (order_col, "ascending")])
+        g = group.take(order)
+        n = g.num_rows
+        ts = g[ts_col].cast(pa.timestamp("us"), safe=False) \
+            .cast(pa.int64()).to_numpy() // 1_000_000
+        vcol = g[value_col]
+        enc = (vcol.combine_chunks() if isinstance(vcol, pa.ChunkedArray)
+               else vcol).dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        # previous same-value index per row: stable sort by code keeps
+        # position order inside each code run
+        by_code = np.argsort(codes, kind="stable")
+        prev = np.full(n, -1, np.int64)
+        if n > 1:
+            same = codes[by_code][1:] == codes[by_code][:-1]
+            prev[by_code[1:][same]] = by_code[:-1][same]
+        lo = np.searchsorted(ts, ts - window_sec, side="left")
+        hi = np.searchsorted(ts, ts, side="right")
+        t_j = np.searchsorted(lo, prev, side="right")
+        start = np.maximum(np.arange(n, dtype=np.int64), t_j)
+        firsts = np.cumsum(np.bincount(start, minlength=n))
+        # evaluate at each peer run's last row (hi-1), where frame end
+        # == row index + 1; identical for the whole run by equal (ts)
+        d = firsts[hi - 1] - lo
+        return pa.table({
+            order_col: g[order_col],
+            key_col: g[key_col],
+            "win_n": pa.array(hi - lo, pa.int64()),
+            "win_distinct": pa.array(d, pa.int64()),
+        })
+
+    return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
+
+
 def rank_features(events: rd.Dataset, *, key_col: str = "user_id",
                   value_col: str = "value", order_col: str = "event_id",
                   ntiles: int = 4) -> rd.Dataset:

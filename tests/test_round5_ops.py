@@ -1170,3 +1170,50 @@ def test_term_drift_matches_oracle(ray_session, tmp_path):
     assert r["surge"].n_b == 0 and r["surge"].logodds_q > 0
     assert r["crash"].n_a == 0 and r["crash"].logodds_q < 0
     assert abs(r["balanced"].logodds_q) < abs(r["surge"].logodds_q)
+
+
+def test_rolling_distinct_bruteforce_and_oracle(ray_session, tmp_path):
+    """Fuzz the dominance-scan COUNT(DISTINCT) against a per-row brute
+    force (heavy ts ties = shared peer frames, tiny type alphabet =
+    dense repeats), then the entry vs DuckDB's native DISTINCT window
+    aggregate on the same fixture."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.pipelines.windows import rolling_distinct_time
+
+    rng = np.random.default_rng(97)
+    n = 600
+    uid = rng.integers(1, 8, n)
+    base = 1_700_000_000
+    ts_sec = base + rng.integers(0, 3000, n)       # many exact ties
+    et = rng.choice(["view", "click", "buy"], n)
+    W = 600
+    # brute force per row: distinct types of same-user rows in
+    # [ts-600, ts] inclusive (peer rows regardless of event_id order)
+    expect = {}
+    for i in range(n):
+        m = (uid == uid[i]) & (ts_sec >= ts_sec[i] - W) & \
+            (ts_sec <= ts_sec[i])
+        expect[i + 1] = len(set(et[m]))
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
+        "ts": pa.array(pd.to_datetime(ts_sec, unit="s")
+                       .astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(et),
+        "value": pa.array(rng.uniform(0, 10, n)),
+        "props": pa.array(["{}"] * n),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    out = m.queries()["events_rolling_distinct"](str(tmp_path)).to_pandas()
+    got = dict(zip(out["event_id"], out["win_distinct"]))
+    assert got == expect
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["events_rolling_distinct"]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
