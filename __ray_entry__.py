@@ -2203,20 +2203,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .map_batches(read_shard, batch_format="pyarrow", batch_size=1)
 
     def partitioned_parquet_roundtrip(sf_dir):
-        """Partitioned SINK witness: documents stream through a
-        per-batch hive-style writer (one complete open-write-close file
-        per (lang, block) under `lang=<v>/`, the run-writer pattern —
-        the layout a resuming caller needs: per-key dirs it can skip or
-        discard wholesale, never a half-written file; the flagship's
-        `_MANIFEST` machinery is the full resume implementation), then
-        read back via `read_parquet` on the root, which restores the
-        partition column from the directory key.  Per-lang counts +
-        char sums value-check the round trip against the source
-        parquet."""
+        """Resumable partitioned SINK witness (sources/sink.py): the
+        corpus split into 4 input shards; a first pass writes only half
+        of them (a simulated mid-job crash), then the full resumed pass
+        skips the committed shards via their _done markers (asserted)
+        and completes the rest — per-shard deterministic file names +
+        tmp-rename commit make re-runs idempotent.  read_parquet on the
+        hive dirs restores the partition column; per-lang counts + char
+        sums value-check the result against the source parquet."""
         import hashlib
         import os
         import shutil
-        import uuid as _uuid
 
         import numpy as np
         import pyarrow as pa
@@ -2225,38 +2222,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import ray.data as rd
         from ray.data.aggregate import Sum
 
+        from search_engine_ray.sources.sink import write_partitioned
+
         tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
-        root = f"/tmp/serx_hive_{tag}"
-        shutil.rmtree(root, ignore_errors=True)
+        base = f"/tmp/serx_hive_{tag}"
+        shutil.rmtree(base, ignore_errors=True)
+        shards_dir = os.path.join(base, "shards")
+        root = os.path.join(base, "out")
+        os.makedirs(shards_dir, exist_ok=True)
         os.makedirs(root, exist_ok=True)
+        docs = pq.read_table(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        n_shards = 4
+        paths = []
+        for i in range(n_shards):
+            idx = np.arange(i, docs.num_rows, n_shards, dtype=np.int64)
+            p = os.path.join(shards_dir, f"in-{i}.parquet")
+            pq.write_table(docs.take(pa.array(idx)), p)
+            paths.append(p)
 
-        def write_part(b: pa.Table) -> pa.Table:
-            langs = b["lang"].to_numpy(zero_copy_only=False)
-            order = np.argsort(langs, kind="stable")
-            bb = b.take(pa.array(order, pa.int64()))
-            ls = langs[order]
-            bounds = np.flatnonzero(ls[1:] != ls[:-1]) + 1
-            starts = np.concatenate(([0], bounds))
-            ends = np.concatenate((bounds, [ls.size]))
-            out = []
-            for s, e in zip(starts, ends):
-                lang = str(ls[s])
-                d = os.path.join(root, f"lang={lang}")
-                os.makedirs(d, exist_ok=True)
-                tmp = os.path.join(d, f".tmp-{_uuid.uuid4().hex}.parquet")
-                pq.write_table(bb.slice(s, e - s).drop_columns(["lang"]),
-                               tmp)
-                os.rename(tmp, tmp.replace(".tmp-", "blk-"))
-                out.append((lang, e - s))
-            return pa.table({
-                "lang": pa.array([o[0] for o in out], pa.string()),
-                "rows": pa.array([int(o[1]) for o in out], pa.int64())})
-
-        # drain the writer (ack rows only reach the driver)
-        rd.read_parquet(f"{sf_dir}/documents.parquet",
-                        columns=["doc_id", "text", "lang"]) \
-            .map_batches(write_part, batch_format="pyarrow") \
-            .materialize()
+        # pass 1: "crash" after the first two shards commit
+        first = write_partitioned(paths[:2], root, partition_col="lang")
+        assert not any(first["skipped"].to_pylist())
+        # pass 2: resume over ALL shards — the two committed ones skip
+        acks = write_partitioned(paths, root, partition_col="lang")
+        skipped = {os.path.basename(p) for p, s in
+                   zip(acks["path"].to_pylist(),
+                       acks["skipped"].to_pylist()) if s}
+        assert skipped == {"in-0.parquet", "in-1.parquet"}, skipped
 
         def shape(b: pa.Table) -> pa.Table:
             return pa.table({
@@ -2266,7 +2259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 "sum_chars": pcm.utf8_length(b["text"]).cast(pa.int64()),
             })
 
-        return rd.read_parquet(root) \
+        return rd.read_parquet(root, file_extensions=["parquet"]) \
             .map_batches(shape, batch_format="pyarrow") \
             .groupby("lang") \
             .aggregate(Sum("n_docs", alias_name="n_docs"),

@@ -1217,3 +1217,62 @@ def test_rolling_distinct_bruteforce_and_oracle(ray_session, tmp_path):
     b = exp[cols].sort_values(cols).reset_index(drop=True)
     for c in cols:
         assert a[c].tolist() == b[c].tolist(), c
+
+
+def test_partitioned_sink_resume_and_idempotency(ray_session, tmp_path):
+    """The three resume contracts of sources/sink.write_partitioned:
+    (1) committed shards skip on resume; (2) a shard that crashed AFTER
+    renaming some partition files but BEFORE its marker re-runs and
+    overwrites its own deterministic names — no duplicate rows; (3) the
+    resumed output is value-identical to a one-shot run."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.sources.sink import write_partitioned
+
+    rng = np.random.default_rng(31)
+    n = 200
+    t = pa.table({
+        "doc_id": pa.array(np.arange(n), pa.int64()),
+        "lang": pa.array(rng.choice(["en", "ru", "de"], n)),
+        "text": pa.array([f"doc {i}" for i in range(n)]),
+    })
+    shards = []
+    for i in range(4):
+        p = str(tmp_path / f"in-{i}.parquet")
+        pq.write_table(t.slice(i * 50, 50), p)
+        shards.append(p)
+
+    ref_root = str(tmp_path / "oneshot")
+    os.makedirs(ref_root)
+    write_partitioned(shards, ref_root, partition_col="lang")
+
+    root = str(tmp_path / "resumed")
+    os.makedirs(root)
+    a1 = write_partitioned(shards[:2], root, partition_col="lang")
+    assert a1["skipped"].to_pylist() == [False, False]
+    # simulate crash-mid-shard on shard 2: its partition files exist
+    # (deterministic names) but the marker does not
+    a_partial = write_partitioned([shards[2]], root, partition_col="lang")
+    assert a_partial["skipped"].to_pylist() == [False]
+    from search_engine_ray.sources.sink import _shard_tag
+    os.remove(os.path.join(root, "_done", _shard_tag(shards[2]) + ".done"))
+    a2 = write_partitioned(shards, root, partition_col="lang")
+    sk = dict(zip([os.path.basename(p) for p in a2["path"].to_pylist()],
+                  a2["skipped"].to_pylist()))
+    assert sk == {"in-0.parquet": True, "in-1.parquet": True,
+                  "in-2.parquet": False, "in-3.parquet": False}
+
+    def load(r):
+        import glob
+        rows = []
+        for f in glob.glob(f"{r}/lang=*/*.parquet"):
+            lang = f.split("lang=")[1].split("/")[0]
+            tt = pq.read_table(f)
+            for rec in tt.to_pylist():
+                rows.append((rec["doc_id"], lang, rec["text"]))
+        return sorted(rows)
+
+    assert load(root) == load(ref_root)
+    assert len(load(root)) == n                      # no duplicates
