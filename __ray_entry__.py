@@ -1534,6 +1534,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = minhash_lsh_pairs(docs, threshold=0.5)
         return keep_best_per_cluster(docs, pairs)
 
+    def events_quarantine(sf_dir):
+        """Dead-letter routing — the validation gate every production
+        ingestion pipeline puts ahead of the warehouse: each record is
+        routed to its FIRST violated rule (deterministic priority:
+        error event > value out of range > oversized props payload >
+        ok), and the entry returns the per-route accounting a
+        dead-letter queue monitor alerts on.  One vectorized pass, only
+        route-scale partials reach the groupby."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+        from ray.data.aggregate import Sum
+
+        def route(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pcm
+
+            et = np.asarray(b["event_type"].to_pylist(), object)
+            valid = pcm.is_valid(b["value"]).to_numpy(zero_copy_only=False)
+            v = pcm.fill_null(b["value"], 0.0).to_numpy(zero_copy_only=False)
+            cents = np.floor(v * 100.0).astype(np.int64)
+            cents[~valid] = 0
+            # vectorized RE2 extraction of the props "k" payload
+            km = pcm.extract_regex(pcm.fill_null(b["props"], ""),
+                                   pattern=r'"k"\s*:\s*(?P<k>-?\d+)')
+            kv = pcm.struct_field(km, "k")
+            ks = pcm.fill_null(kv.cast(pa.int64(), safe=False), -1) \
+                .to_numpy(zero_copy_only=False)
+            rule = np.where(
+                et == "error", "error_event",
+                np.where(~valid | (v < 0) | (v > 150), "value_range",
+                         np.where(ks > 90, "props_k_high", "ok")))
+            uniq, inv = np.unique(rule, return_inverse=True)
+            n = np.bincount(inv, minlength=len(uniq)).astype(np.int64)
+            s = np.zeros(len(uniq), np.int64)
+            np.add.at(s, inv, cents)
+            return pa.table({
+                "rule": pa.array(uniq.astype(object), pa.string()),
+                "n_rows": pa.array(n, pa.int64()),
+                "sum_cents": pa.array(s, pa.int64())})
+
+        return rd.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["event_type", "value", "props"]) \
+            .map_batches(route, batch_format="pyarrow") \
+            .groupby("rule") \
+            .aggregate(Sum("n_rows", alias_name="n_rows"),
+                       Sum("sum_cents", alias_name="sum_cents"))
+
     def quality_filter_gopher(sf_dir):
         """Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1
         repetition/quality heuristics family) — the standard pre-training
@@ -4977,6 +5024,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_survivors": dedup_survivors,
         "minhash_survivors": minhash_survivors,
         "quality_filter_gopher": quality_filter_gopher,
+        "events_quarantine": events_quarantine,
         "dataset_split": dataset_split,
         "minhash_lsh": minhash_lsh,
         "simhash_dedup": simhash_dedup,
@@ -5116,6 +5164,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
         "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
         "lang_pmi_keywords", "term_drift", "events_rolling_distinct",
+        "events_quarantine",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -5922,6 +5971,26 @@ SELECT cluster, doc_id, n_chars FROM (
         PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
     FROM lab)
 WHERE rn = 1
+"""
+
+    # dead-letter routing: first-violated-rule CASE chain, same priority
+    # order; sum skips NULL values exactly like the engine's masked cents
+    sql["events_quarantine"] = """
+WITH r AS (
+    SELECT CASE
+             WHEN event_type = 'error' THEN 'error_event'
+             WHEN value IS NULL OR value < 0 OR value > 150
+                 THEN 'value_range'
+             WHEN COALESCE(TRY_CAST(regexp_extract(COALESCE(props, ''),
+                     '"k"\\s*:\\s*(-?\\d+)', 1) AS BIGINT), -1) > 90
+                 THEN 'props_k_high'
+             ELSE 'ok'
+           END AS rule,
+           CASE WHEN value IS NULL THEN 0
+                ELSE CAST(FLOOR(value * 100) AS BIGINT) END AS cents
+    FROM events)
+SELECT rule, COUNT(*)::BIGINT AS n_rows, SUM(cents)::BIGINT AS sum_cents
+FROM r GROUP BY rule
 """
 
     sql["quality_filter_gopher"] = f"""

@@ -1276,3 +1276,47 @@ def test_partitioned_sink_resume_and_idempotency(ray_session, tmp_path):
 
     assert load(root) == load(ref_root)
     assert len(load(root)) == n                      # no duplicates
+
+
+def test_events_quarantine_priority_and_oracle(ray_session, tmp_path):
+    """Every route has a witness; a row violating MULTIPLE rules lands
+    on the highest-priority one only (error event that also has a bad
+    value and an oversized k); NULL value/props route correctly."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rows = [
+        # (event_type, value, props)            -> expected route
+        ("error", 999.0, '{"k": 95}'),          # all three -> error_event
+        ("click", -1.0, '{"k": 95}'),           # two -> value_range
+        ("click", None, '{"k": 1}'),            # NULL value -> value_range
+        ("view", 5.0, '{"k": 91}'),             # props_k_high
+        ("view", 5.0, '{"k": 90}'),             # boundary k -> ok
+        ("view", 150.0, '{"k": 1}'),            # boundary value -> ok
+        ("view", 3.0, None),                    # NULL props -> ok
+        ("purchase", 2.0, "not json"),          # unparseable -> ok
+    ]
+    n = len(rows)
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
+        "ts": pa.array(pd.to_datetime(
+            1_700_000_000 + np.arange(n), unit="s")
+            .astype("datetime64[us]"), pa.timestamp("us")),
+        "user_id": pa.array(np.ones(n, np.int64), pa.int64()),
+        "event_type": pa.array([r[0] for r in rows]),
+        "value": pa.array([r[1] for r in rows], pa.float64()),
+        "props": pa.array([r[2] for r in rows], pa.string()),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    out = m.queries()["events_quarantine"](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["events_quarantine"]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    got = {r.rule: r.n_rows for r in out.itertuples()}
+    assert got == {"error_event": 1, "value_range": 2,
+                   "props_k_high": 1, "ok": 4}
