@@ -1581,6 +1581,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Sum("n_rows", alias_name="n_rows"),
                        Sum("sum_cents", alias_name="sum_cents"))
 
+    def events_entropy(sf_dir):
+        """Exact Shannon-entropy column profile (event_type + user_id):
+        per-value ln-quantized integers sum exactly, so the
+        concentration signal is bit-reproducible; H derives off-surface
+        as ln(n) - sum/(1e4 n)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.profile import column_entropy
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_type", "user_id"])
+        return column_entropy(ds, ["event_type", "user_id"])
+
     def quality_filter_gopher(sf_dir):
         """Gopher-style rule-based quality gate (Rae et al. 2021, §A1.1
         repetition/quality heuristics family) — the standard pre-training
@@ -5025,6 +5038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_survivors": minhash_survivors,
         "quality_filter_gopher": quality_filter_gopher,
         "events_quarantine": events_quarantine,
+        "events_entropy": events_entropy,
         "dataset_split": dataset_split,
         "minhash_lsh": minhash_lsh,
         "simhash_dedup": simhash_dedup,
@@ -5164,7 +5178,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
         "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
         "lang_pmi_keywords", "term_drift", "events_rolling_distinct",
-        "events_quarantine",
+        "events_quarantine", "events_entropy",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -5971,6 +5985,22 @@ SELECT cluster, doc_id, n_chars FROM (
         PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
     FROM lab)
 WHERE rn = 1
+"""
+
+    # exact column entropy: per-distinct-value floor(c·ln(c)·1e4+0.5)
+    # ints sum order-free; NULL folds to the same sentinel both sides
+    sql["events_entropy"] = """
+WITH u AS (
+    SELECT 'event_type' AS col,
+           COALESCE(event_type, '__null__') AS val FROM events
+    UNION ALL
+    SELECT 'user_id', COALESCE(CAST(user_id AS VARCHAR), '__null__')
+    FROM events),
+c AS (SELECT col, val, COUNT(*)::BIGINT AS c FROM u GROUP BY col, val)
+SELECT col AS "column", SUM(c)::BIGINT AS n, COUNT(*)::BIGINT AS ndv,
+       SUM(CAST(floor(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 10000
+                      + 0.5) AS BIGINT))::BIGINT AS sum_clnc_q
+FROM c GROUP BY col
 """
 
     # dead-letter routing: first-violated-rule CASE chain, same priority

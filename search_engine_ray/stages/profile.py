@@ -339,3 +339,64 @@ def _hll_ndv(ds: rd.Dataset, columns: list[str],
         .groupby("column").map_groups(merge, batch_format="pyarrow") \
         .take_all()
     return {r["column"]: int(r["n_distinct"]) for r in rows}
+
+
+def column_entropy(ds: rd.Dataset, columns: list[str]) -> rd.Dataset:
+    """Exact Shannon-entropy profile per column — the distribution-
+    concentration signal a data-quality dashboard tracks next to NDV
+    (a column whose entropy collapses between snapshots went
+    near-constant even if its NDV did not move).
+
+    Output per column: ``(column, n, ndv, sum_clnc_q)`` where
+    ``sum_clnc_q = Σ_v floor(c_v·ln(c_v)·1e4 + 0.5)`` over the column's
+    distinct-value counts — quantized ONCE per distinct value so the
+    sum is exact int64 and order-free (the proven ln-quantization
+    contract); ``H = ln(n) − sum_clnc_q / (1e4·n)`` nats is one float
+    expression away and stays off the hash surface.
+
+    Scale shape: one pass emits per-batch partial (column, value, c)
+    counts (values stringified, NULL → a sentinel, matching the SQL
+    UNION ALL shape); ONE (column, value) groupby at
+    distinct-values-scale; quantization is a stateless batch map; the
+    final per-column rollup is column-count-sized.
+    """
+    from ray.data.aggregate import Count, Sum
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols_out, vals_out, cnt_out = [], [], []
+        for col in columns:
+            arr = batch[col]
+            vals = ["__null__" if v is None else str(v)
+                    for v in arr.to_pylist()]
+            uniq, cnt = np.unique(np.asarray(vals, object),
+                                  return_counts=True)
+            cols_out.extend([col] * len(uniq))
+            vals_out.extend(uniq.tolist())
+            cnt_out.extend(cnt.astype(np.int64).tolist())
+        return pa.table({
+            "column": pa.array(cols_out, pa.string()),
+            "val": pa.array(vals_out, pa.string()),
+            "c": pa.array(cnt_out, pa.int64())})
+
+    counts = ds.select_columns(columns) \
+        .map_batches(partial, batch_format="pyarrow") \
+        .groupby(["column", "val"]).aggregate(Sum("c", alias_name="c"))
+
+    def quantize(batch: pa.Table) -> pa.Table:
+        c = batch["c"].to_numpy().astype(np.float64)
+        q = np.floor(c * np.log(c) * 1e4 + 0.5).astype(np.int64)
+        return pa.table({
+            "column": batch["column"],
+            "c": batch["c"],
+            "qv": pa.array(q, pa.int64())})
+
+    from .relational import drop_empty_blocks
+
+    quantized = drop_empty_blocks(
+        counts.map_batches(quantize, batch_format="pyarrow"),
+        empty_schema=pa.schema([("column", pa.string()),
+                                ("c", pa.int64()), ("qv", pa.int64())]))
+    return quantized.groupby("column").aggregate(
+        Sum("c", alias_name="n"),
+        Count(alias_name="ndv"),
+        Sum("qv", alias_name="sum_clnc_q"))

@@ -1320,3 +1320,51 @@ def test_events_quarantine_priority_and_oracle(ray_session, tmp_path):
     got = {r.rule: r.n_rows for r in out.itertuples()}
     assert got == {"error_event": 1, "value_range": 2,
                    "props_k_high": 1, "ok": 4}
+
+
+def test_column_entropy_matches_scipy_formula(ray_session, tmp_path):
+    """Entropy recovered from the integer surface equals the direct
+    -sum(p ln p) within quantization error (1e-4 nats per distinct
+    value); constant column -> H == 0 exactly; NULLs fold to one
+    sentinel value on both sides; oracle parity."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(41)
+    n = 500
+    et = rng.choice(["a", "b", "c", "d"], n, p=[0.7, 0.2, 0.05, 0.05])
+    et = et.astype(object)
+    et[::50] = None                      # NULL bucket
+    uid = np.ones(n, np.int64)           # constant -> zero entropy
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(n), pa.int64()),
+        "ts": pa.array(pd.to_datetime(1_700_000_000 + np.arange(n),
+                                      unit="s").astype("datetime64[us]"),
+                       pa.timestamp("us")),
+        "user_id": pa.array(uid, pa.int64()),
+        "event_type": pa.array(list(et), pa.string()),
+        "value": pa.array(rng.uniform(0, 1, n)),
+        "props": pa.array(["{}"] * n),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    out = m.queries()["events_entropy"](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["events_entropy"]).df()
+    cols = sorted(out.columns)
+    assert cols == sorted(exp.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    r = {x.column: x for x in out.itertuples()}
+    # H from the integer surface vs direct computation
+    vals, cnts = np.unique(np.array(
+        ["__null__" if v is None else v for v in et], object),
+        return_counts=True)
+    p = cnts / n
+    h_direct = float(-(p * np.log(p)).sum())
+    h_q = np.log(r["event_type"].n) \
+        - r["event_type"].sum_clnc_q / (1e4 * r["event_type"].n)
+    assert abs(h_q - h_direct) < 1e-4 * len(vals)
+    assert r["user_id"].ndv == 1 and r["user_id"].sum_clnc_q == \
+        int(np.floor(n * np.log(n) * 1e4 + 0.5))
