@@ -1581,6 +1581,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Sum("n_rows", alias_name="n_rows"),
                        Sum("sum_cents", alias_name="sum_cents"))
 
+    def doc_compression_ratio(sf_dir):
+        """zlib compression-ratio quality proxy (rows-only: the
+        compressed byte count depends on the zlib build, so the gate is
+        the repetitive << natural << random property pytest, like the
+        other sketch-class entries)."""
+        import ray.data as rd
+
+        from search_engine_ray.functions.textstats import (
+            compression_ratio_batch)
+
+        return rd.read_parquet(f"{sf_dir}/documents.parquet",
+                               columns=["doc_id", "text"]) \
+            .map_batches(compression_ratio_batch, batch_format="pyarrow")
+
     def events_entropy(sf_dir):
         """Exact Shannon-entropy column profile (event_type + user_id):
         per-value ln-quantized integers sum exactly, so the
@@ -5039,6 +5053,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter_gopher": quality_filter_gopher,
         "events_quarantine": events_quarantine,
         "events_entropy": events_entropy,
+        "doc_compression_ratio": doc_compression_ratio,
         "dataset_split": dataset_split,
         "minhash_lsh": minhash_lsh,
         "simhash_dedup": simhash_dedup,
@@ -5178,7 +5193,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
         "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
         "lang_pmi_keywords", "term_drift", "events_rolling_distinct",
-        "events_quarantine", "events_entropy",
+        "events_quarantine", "events_entropy", "doc_compression_ratio",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",

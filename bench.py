@@ -195,7 +195,7 @@ HEADLINE = [
     "tpch_q21", "tpch_q20", "search_fuzzy", "events_global_rank",
     "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
     "lang_pmi_keywords", "term_drift", "events_rolling_distinct",
-    "events_quarantine", "events_entropy",
+    "events_quarantine", "events_entropy", "doc_compression_ratio",
 ]
 
 

@@ -100,3 +100,31 @@ def token_count_batch(batch: pa.Table, text_col: str = "text") -> pa.Table:
     out = out.append_column("n_words", pa.array(n_words, pa.int64()))
     out = out.append_column("n_subwords", pa.array(n_sub, pa.int64()))
     return out
+
+
+def compression_ratio_batch(batch: pa.Table, text_col: str = "text",
+                            level: int = 6) -> pa.Table:
+    """zlib compression-ratio quality signal (the Gopher-family proxy:
+    highly repetitive boilerplate compresses far below natural prose).
+    Output per doc: utf-8 byte length, zlib-compressed length at the
+    frozen ``level``, and ``ratio_q = floor(n_comp * 10000 / max(n, 1))``
+    — an exact integer given the bytes, but the bytes depend on the
+    zlib build, so this operator is pytest-gated (property: repetitive
+    << natural << random), not SQL-oracled.  Stateless, vectorizes at
+    the document level (zlib is per-payload C code)."""
+    import zlib
+
+    ids = batch["doc_id"]
+    n_raw, n_comp = [], []
+    for t in batch[text_col].to_pylist():
+        b = (t or "").encode()
+        n_raw.append(len(b))
+        n_comp.append(len(zlib.compress(b, level)))
+    n = np.maximum(np.array(n_raw, np.int64), 1)
+    c = np.array(n_comp, np.int64)
+    return pa.table({
+        "doc_id": ids,
+        "n_bytes": pa.array(n_raw, pa.int64()),
+        "n_compressed": pa.array(c, pa.int64()),
+        "ratio_q": pa.array(c * 10_000 // n, pa.int64()),
+    })

@@ -1368,3 +1368,33 @@ def test_column_entropy_matches_scipy_formula(ray_session, tmp_path):
     assert abs(h_q - h_direct) < 1e-4 * len(vals)
     assert r["user_id"].ndv == 1 and r["user_id"].sum_clnc_q == \
         int(np.floor(n * np.log(n) * 1e4 + 0.5))
+
+
+def test_compression_ratio_quality_ordering(ray_session, tmp_path):
+    """The Gopher-proxy property the operator exists for: repetitive
+    boilerplate << natural prose << incompressible noise; empty doc is
+    well-defined (ratio of the 8-byte zlib header over max(n,1))."""
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(3)
+    noise = "".join(chr(33 + c) for c in rng.integers(0, 90, 4000))
+    texts = {
+        1: "spam " * 800,                               # repetitive
+        2: ("the quick brown fox jumps over the lazy dog and keeps "
+            "running through fields of barley while the sun sets ") * 40,
+        3: noise,                                       # incompressible
+        4: "",
+    }
+    pq.write_table(pa.table({
+        "doc_id": pa.array(list(texts), pa.int64()),
+        "text": pa.array(list(texts.values()), pa.string()),
+        "lang": pa.array(["en"] * 4),
+    }), str(tmp_path / "documents.parquet"))
+    m = _entry_module()
+    out = m.queries()["doc_compression_ratio"](str(tmp_path)).to_pandas()
+    r = dict(zip(out["doc_id"], out["ratio_q"]))
+    assert r[1] < r[2] < r[3]
+    assert r[1] < 300                                  # boilerplate: <3%
+    assert r[3] > 8000                                 # noise: >80%
+    n = dict(zip(out["doc_id"], out["n_bytes"]))
+    assert n[4] == 0 and r[4] > 0
