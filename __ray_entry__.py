@@ -477,6 +477,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
                          batch_format="pyarrow", batch_size=256,
                          concurrency=(1, 4), num_cpus=1)
 
+    def audio_resample(sf_dir):
+        """Integer-factor decimation (block-mean downsample by 2) over
+        real WAV payloads; the SQL oracle replays the sample formula and
+        the floor((s0+s1)/2) block mean exactly — wrong decode, block
+        split, trailing-sample rule, or rounding all mismatch."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.stages.multimodal import (ResampleAudio,
+                                                         encode_wav)
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id"])
+
+        def attach(batch: pa.Table) -> pa.Table:
+            payloads = []
+            for did in batch["doc_id"].to_pylist():
+                # odd length: the trailing-sample DROP rule gets a witness
+                n = 801 + (did % 50) * 16
+                k = 3 + did % 5
+                i = np.arange(n, dtype=np.int64)
+                s = ((i * k + did) % 4001 - 2000).astype(np.int16)
+                payloads.append(encode_wav(s, rate=8000))
+            return batch.append_column("payload",
+                                       pa.array(payloads, pa.binary()))
+
+        return ds.map_batches(attach, batch_format="pyarrow",
+                              batch_size=256) \
+            .map_batches(ResampleAudio, fn_constructor_kwargs={"factor": 2},
+                         batch_format="pyarrow", batch_size=256,
+                         concurrency=(1, 4), num_cpus=1)
+
     def audio_spectral(sf_dir):
         """REAL framed-STFT path: synthetic stationary tones at EXACT
         frame-bin frequencies (f_bin = 3 + doc_id mod 60 cycles per
@@ -5107,6 +5140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jaccard_prefix": jaccard_prefix,
         "event_type_percentile_refined": event_type_percentile_refined,
         "audio_spectral": audio_spectral,
+        "audio_resample": audio_resample,
         "event_type_corr": event_type_corr,
         "events_rank": events_rank,
         "events_funnel": events_funnel,
@@ -5194,6 +5228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
         "lang_pmi_keywords", "term_drift", "events_rolling_distinct",
         "events_quarantine", "events_entropy", "doc_compression_ratio",
+        "audio_resample",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -5534,6 +5569,32 @@ FROM clusters
     # WAV round trip: the oracle recomputes the synthetic waveform's
     # features from the formula; note DuckDB % keeps C truncation semantics
     # but (i*k + doc_id) is nonnegative, so % == mod here
+    # decimation-by-2 replay: block pairs (2j, 2j+1), floor((v0+v1)/2.0)
+    # = true floor division incl. negatives; odd input length -> the
+    # trailing sample drops on both sides
+    sql["audio_resample"] = """
+WITH d AS (
+    SELECT doc_id, (801 + (doc_id % 50) * 16)::BIGINT AS n,
+           (3 + doc_id % 5)::BIGINT AS k
+    FROM documents
+),
+o AS (
+    SELECT d.doc_id, d.n,
+           CAST(floor((
+               ((2 * j.j) * d.k + d.doc_id) % 4001 - 2000
+               + ((2 * j.j + 1) * d.k + d.doc_id) % 4001 - 2000
+           ) / 2.0) AS BIGINT) AS v
+    FROM d, range(800) j(j) WHERE j.j < d.n // 2
+)
+SELECT doc_id,
+       MAX(n) AS n_in,
+       (MAX(n) // 2)::BIGINT AS n_out,
+       4000::BIGINT AS rate_out,
+       SUM(v)::BIGINT AS sum_out,
+       SUM(ABS(v))::BIGINT AS sum_abs_out
+FROM o GROUP BY doc_id
+"""
+
     sql["audio_features"] = """
 WITH d AS (
     SELECT doc_id, (800 + (doc_id % 50) * 16)::BIGINT AS n,

@@ -205,6 +205,61 @@ class DecodeAudio:
         return out
 
 
+class ResampleAudio:
+    """Actor-pool stage: integer-factor audio DOWNSAMPLE (decimation by
+    block mean) over real WAV payloads — the rate-normalization step an
+    audio-training pipeline runs before feature extraction (16 kHz
+    models over mixed-rate crawls).
+
+    Frozen spec, integer-exact so SQL can replay it: the PCM16 stream
+    splits into non-overlapping blocks of ``factor`` samples (a trailing
+    partial block DROPS), each output sample is ``floor(block_sum /
+    factor)`` (true floor, negatives round down — SQL's
+    ``floor(sum / factor·1.0)``).  Emitted: ``n_in, n_out, rate_out``
+    and the exact int64 ``sum_out`` / ``sum_abs_out`` checksums of the
+    resampled signal.  mp3/flac stay the documented seam
+    (:class:`DecodeAudio`)."""
+
+    def __init__(self, factor: int = 2, payload_col: str = "payload"):
+        if factor < 1:
+            raise ValueError("factor must be >= 1")
+        self.factor = factor
+        self.payload_col = payload_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import io
+        import wave
+
+        f = self.factor
+        n_in, n_out, rates, sums, sabs = [], [], [], [], []
+        for payload in batch[self.payload_col].to_pylist():
+            with wave.open(io.BytesIO(payload)) as w:
+                rate = w.getframerate()
+                n = w.getnframes()
+                ch = w.getnchannels()
+                if w.getsampwidth() != 2:
+                    raise ValueError("ResampleAudio expects PCM16")
+                raw = w.readframes(n)
+            s = np.frombuffer(raw, "<i2")
+            if ch > 1:
+                s = s[::ch]
+            m = (len(s) // f) * f
+            blocks = s[:m].astype(np.int64).reshape(-1, f)
+            out = np.floor_divide(blocks.sum(axis=1), f)
+            n_in.append(int(len(s)))
+            n_out.append(int(len(out)))
+            rates.append(int(rate) // f)
+            sums.append(int(out.sum()))
+            sabs.append(int(np.abs(out).sum()))
+        o = batch.drop_columns([self.payload_col])
+        o = o.append_column("n_in", pa.array(n_in, pa.int64()))
+        o = o.append_column("n_out", pa.array(n_out, pa.int64()))
+        o = o.append_column("rate_out", pa.array(rates, pa.int64()))
+        o = o.append_column("sum_out", pa.array(sums, pa.int64()))
+        o = o.append_column("sum_abs_out", pa.array(sabs, pa.int64()))
+        return o
+
+
 def encode_wav(samples: np.ndarray, rate: int = 8000) -> bytes:
     """int16 mono samples -> RIFF PCM16 WAV bytes (stdlib writer)."""
     import io

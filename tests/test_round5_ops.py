@@ -1398,3 +1398,26 @@ def test_compression_ratio_quality_ordering(ray_session, tmp_path):
     assert r[3] > 8000                                 # noise: >80%
     n = dict(zip(out["doc_id"], out["n_bytes"]))
     assert n[4] == 0 and r[4] > 0
+
+
+def test_resample_audio_block_mean_floor(ray_session):
+    """Decimation spec against a hand-computed signal: true floor on
+    negative block sums, trailing-sample drop at odd length, factor 3,
+    and stereo channel-0 selection."""
+    from search_engine_ray.stages.multimodal import (ResampleAudio,
+                                                     encode_wav)
+
+    s = np.array([5, 6, -5, -6, 7, 0, 9], np.int16)   # len 7, factor 2
+    # blocks: (5,6)->5, (-5,-6)->-6 (floor!), (7,0)->3; trailing 9 drops
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array([1], pa.int64()),
+        "payload": pa.array([encode_wav(s, rate=8000)], pa.binary())}))
+    r = ds.map_batches(ResampleAudio, fn_constructor_kwargs={"factor": 2},
+                       batch_format="pyarrow", concurrency=1).take_all()[0]
+    assert (r["n_in"], r["n_out"], r["rate_out"]) == (7, 3, 4000)
+    assert r["sum_out"] == 5 - 6 + 3 and r["sum_abs_out"] == 5 + 6 + 3
+    # factor 3: (5,6,-5)->2, (-6,7,0)->0 (floor(1/3)=0); trailing 9 drops
+    r3 = ds.map_batches(ResampleAudio, fn_constructor_kwargs={"factor": 3},
+                        batch_format="pyarrow", concurrency=1).take_all()[0]
+    assert (r3["n_out"], r3["rate_out"]) == (2, 2666)
+    assert r3["sum_out"] == 2 + 0
