@@ -1628,6 +1628,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                columns=["doc_id", "text"]) \
             .map_batches(compression_ratio_batch, batch_format="pyarrow")
 
+    def event_transitions(sf_dir):
+        """First-order Markov transition counts over per-user ordered
+        event streams — at most |types|^2 rows leave each user group."""
+        import ray.data as rd
+
+        from search_engine_ray.pipelines.windows import event_transitions
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "ts", "user_id",
+                                      "event_type"])
+        return event_transitions(ds)
+
     def events_entropy(sf_dir):
         """Exact Shannon-entropy column profile (event_type + user_id):
         per-value ln-quantized integers sum exactly, so the
@@ -5087,6 +5099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_quarantine": events_quarantine,
         "events_entropy": events_entropy,
         "doc_compression_ratio": doc_compression_ratio,
+        "event_transitions": event_transitions,
         "dataset_split": dataset_split,
         "minhash_lsh": minhash_lsh,
         "simhash_dedup": simhash_dedup,
@@ -5228,7 +5241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
         "lang_pmi_keywords", "term_drift", "events_rolling_distinct",
         "events_quarantine", "events_entropy", "doc_compression_ratio",
-        "audio_resample",
+        "audio_resample", "event_transitions",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -6061,6 +6074,18 @@ SELECT cluster, doc_id, n_chars FROM (
         PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
     FROM lab)
 WHERE rn = 1
+"""
+
+    # Markov transitions: LEAD over the same (ts, event_id) order as the
+    # engine's per-key sort; boundary rows (no successor) drop
+    sql["event_transitions"] = """
+WITH s AS (
+    SELECT event_type,
+           LEAD(event_type) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS nxt
+    FROM events)
+SELECT event_type AS from_type, nxt AS to_type, COUNT(*)::BIGINT AS n
+FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2
 """
 
     # exact column entropy: per-distinct-value floor(c·ln(c)·1e4+0.5)

@@ -290,6 +290,51 @@ def rolling_distinct_time(events: rd.Dataset, *, window_sec: int = 600,
     return events.groupby(key_col).map_groups(per_key, batch_format="pyarrow")
 
 
+def event_transitions(events: rd.Dataset, *, key_col: str = "user_id",
+                      ts_col: str = "ts", order_col: str = "event_id",
+                      type_col: str = "event_type") -> rd.Dataset:
+    """Corpus-level Markov TRANSITION counts over per-key ordered event
+    streams: ``(from_type, to_type, n)`` for every adjacent pair in each
+    key's (ts, order)-sorted history — the first-order behavioral model
+    behind next-event prediction, anomaly scoring and funnel design.
+
+    Scale shape: ONE key shuffle; each group emits at most
+    ``|types|²`` partial rows (vectorized: dictionary codes, one
+    ``np.unique`` over packed from·K+to keys), then a transition-matrix-
+    scale groupby sums partials — nothing event-proportional re-shuffles.
+    """
+    from ray.data.aggregate import Sum
+
+    def per_key(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group, sort_keys=[(ts_col, "ascending"),
+                                                  (order_col, "ascending")])
+        g = group.take(order)
+        tcol = g[type_col]
+        enc = (tcol.combine_chunks() if isinstance(tcol, pa.ChunkedArray)
+               else tcol).dictionary_encode()
+        codes = np.asarray(enc.indices.to_numpy(zero_copy_only=False),
+                           np.int64)
+        vocab = enc.dictionary.to_pylist()
+        k = max(len(vocab), 1)
+        if len(codes) < 2:
+            return pa.table({"from_type": pa.array([], pa.string()),
+                             "to_type": pa.array([], pa.string()),
+                             "n": pa.array([], pa.int64())})
+        packed = codes[:-1] * k + codes[1:]
+        uniq, cnt = np.unique(packed, return_counts=True)
+        return pa.table({
+            "from_type": pa.array([vocab[int(u) // k] for u in uniq],
+                                  pa.string()),
+            "to_type": pa.array([vocab[int(u) % k] for u in uniq],
+                                pa.string()),
+            "n": pa.array(cnt.astype(np.int64), pa.int64())})
+
+    return events.groupby(key_col) \
+        .map_groups(per_key, batch_format="pyarrow") \
+        .groupby(["from_type", "to_type"]) \
+        .aggregate(Sum("n", alias_name="n"))
+
+
 def rank_features(events: rd.Dataset, *, key_col: str = "user_id",
                   value_col: str = "value", order_col: str = "event_id",
                   ntiles: int = 4) -> rd.Dataset:

@@ -1421,3 +1421,42 @@ def test_resample_audio_block_mean_floor(ray_session):
                         batch_format="pyarrow", concurrency=1).take_all()[0]
     assert (r3["n_out"], r3["rate_out"]) == (2, 2666)
     assert r3["sum_out"] == 2 + 0
+
+
+def test_event_transitions_matches_oracle(ray_session, tmp_path):
+    """Per-user chains split correctly (no cross-user transition), ties
+    break by event_id identically, single-event users emit nothing."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    # user 1: a->b->b->c ; user 2: c->a ; user 3: single event (none);
+    # user 4: tie ts resolved by event_id -> a->c->b
+    rows = [
+        (1, 1, 100, "a"), (2, 1, 110, "b"), (3, 1, 120, "b"),
+        (4, 1, 130, "c"),
+        (5, 2, 100, "c"), (6, 2, 105, "a"),
+        (7, 3, 100, "b"),
+        (8, 4, 200, "a"), (9, 4, 210, "c"), (10, 4, 210, "b"),
+    ]
+    pq.write_table(pa.table({
+        "event_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array(pd.to_datetime([1_700_000_000 + r[2] for r in rows],
+                                      unit="s").astype("datetime64[us]"),
+                       pa.timestamp("us")),
+        "user_id": pa.array([r[1] for r in rows], pa.int64()),
+        "event_type": pa.array([r[3] for r in rows]),
+        "value": pa.array([1.0] * len(rows)),
+        "props": pa.array(["{}"] * len(rows)),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    out = m.queries()["event_transitions"](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["event_transitions"]).df()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
+    assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "c"): 1,
+                   ("c", "a"): 1, ("a", "c"): 1, ("c", "b"): 1}
