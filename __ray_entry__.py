@@ -1640,6 +1640,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       "event_type"])
         return event_transitions(ds)
 
+    def supplier_triangles(sf_dir):
+        """Exact triangle count over the supplier co-supply graph
+        (suppliers sharing an order): per-order supplier pairs feed the
+        node-iterator++ wedge probe of stages/graph.triangle_count —
+        the clustering-density primitive for community / collusion
+        structure."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.stages.graph import triangle_count
+
+        li = rd.read_parquet(f"{sf_dir}/lineitem.parquet",
+                             columns=["l_orderkey", "l_suppkey"])
+
+        def pairs(group: pa.Table) -> pa.Table:
+            s = np.unique(group["l_suppkey"].to_numpy(
+                zero_copy_only=False).astype(np.int64))
+            if len(s) < 2:
+                return pa.table({"a": pa.array([], pa.int64()),
+                                 "b": pa.array([], pa.int64())})
+            iu, ju = np.triu_indices(len(s), k=1)
+            return pa.table({"a": pa.array(s[iu], pa.int64()),
+                             "b": pa.array(s[ju], pa.int64())})
+
+        edges = li.groupby("l_orderkey").map_groups(
+            pairs, batch_format="pyarrow")
+        return triangle_count(edges)
+
     def events_entropy(sf_dir):
         """Exact Shannon-entropy column profile (event_type + user_id):
         per-value ln-quantized integers sum exactly, so the
@@ -5100,6 +5129,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_entropy": events_entropy,
         "doc_compression_ratio": doc_compression_ratio,
         "event_transitions": event_transitions,
+        "supplier_triangles": supplier_triangles,
         "dataset_split": dataset_split,
         "minhash_lsh": minhash_lsh,
         "simhash_dedup": simhash_dedup,
@@ -5241,7 +5271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
         "lang_pmi_keywords", "term_drift", "events_rolling_distinct",
         "events_quarantine", "events_entropy", "doc_compression_ratio",
-        "audio_resample", "event_transitions",
+        "audio_resample", "event_transitions", "supplier_triangles",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -6074,6 +6104,21 @@ SELECT cluster, doc_id, n_chars FROM (
         PARTITION BY cluster ORDER BY n_chars DESC, doc_id) AS rn
     FROM lab)
 WHERE rn = 1
+"""
+
+    # triangles a<b<c: e1=(a,b), e2=(a,c), e3=(b,c) — each counted once
+    sql["supplier_triangles"] = """
+WITH e AS (
+    SELECT DISTINCT a.l_suppkey AS sa, b.l_suppkey AS sb
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey),
+nn AS (SELECT COUNT(DISTINCT s)::BIGINT AS n_nodes FROM
+        (SELECT sa AS s FROM e UNION SELECT sb FROM e)),
+ne AS (SELECT COUNT(*)::BIGINT AS n_edges FROM e),
+tr AS (SELECT COUNT(*)::BIGINT AS n_triangles
+       FROM e e1 JOIN e e2 ON e2.sa = e1.sa AND e2.sb > e1.sb
+                 JOIN e e3 ON e3.sa = e1.sb AND e3.sb = e2.sb)
+SELECT n_nodes, n_edges, n_triangles FROM nn, ne, tr
 """
 
     # Markov transitions: LEAD over the same (ts, event_id) order as the

@@ -196,7 +196,7 @@ HEADLINE = [
     "image_meta_gif", "fold_accents_docs", "doc_ppl_bigram",
     "lang_pmi_keywords", "term_drift", "events_rolling_distinct",
     "events_quarantine", "events_entropy", "doc_compression_ratio",
-    "audio_resample", "event_transitions",
+    "audio_resample", "event_transitions", "supplier_triangles",
 ]
 
 

@@ -139,3 +139,29 @@ def test_pagerank_sink_and_isolated_direction(ray_session):
     ref = _ref_pagerank([(1, 2)], num_iters=3)
     assert out.pr.tolist() == [ref[1], ref[2]]
     assert out.pr[1] > out.pr[0]
+
+
+def test_triangle_count_known_graphs(ray_session):
+    """K4 has 4 triangles, C5 (5-cycle) has 0, two K3 sharing a vertex
+    have 2; duplicate edge rows dedup; a >= b rows fail loudly."""
+    import pytest as _pytest
+
+    from search_engine_ray.stages.graph import triangle_count
+
+    def run(pairs):
+        ds = rd.from_arrow(pa.table({
+            "a": pa.array([p[0] for p in pairs], pa.int64()),
+            "b": pa.array([p[1] for p in pairs], pa.int64())}))
+        return triangle_count(ds).take_all()[0]
+
+    k4 = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4)]
+    r = run(k4 + k4[:2])                     # dup rows collapse
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (4, 6, 4)
+    c5 = [(1, 2), (2, 3), (3, 4), (4, 5), (1, 5)]
+    r = run(c5)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (5, 5, 0)
+    bowtie = [(1, 2), (1, 3), (2, 3), (3, 4), (3, 5), (4, 5)]
+    r = run(bowtie)
+    assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (5, 6, 2)
+    with _pytest.raises(Exception):
+        run([(2, 1)])
