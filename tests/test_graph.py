@@ -165,3 +165,22 @@ def test_triangle_count_known_graphs(ray_session):
     assert (r["n_nodes"], r["n_edges"], r["n_triangles"]) == (5, 6, 2)
     with _pytest.raises(Exception):
         run([(2, 1)])
+
+
+def test_triangle_count_dense_sparse_parity(ray_session):
+    """The dense trace(A^3)/6 path and the wedge-probe path agree on a
+    random graph (dense_threshold toggles the plan)."""
+    from search_engine_ray.stages.graph import triangle_count
+
+    rng = np.random.default_rng(7)
+    n = 60
+    m = rng.random((n, n)) < 0.25
+    iu, ju = np.triu_indices(n, k=1)
+    keep = m[iu, ju]
+    ds = rd.from_arrow(pa.table({
+        "a": pa.array(iu[keep] + 1, pa.int64()),
+        "b": pa.array(ju[keep] + 1, pa.int64())}))
+    dense = triangle_count(ds, dense_threshold=4096).take_all()[0]
+    sparse = triangle_count(ds, dense_threshold=0).take_all()[0]
+    assert dense == sparse
+    assert dense["n_triangles"] > 0
