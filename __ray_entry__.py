@@ -2539,6 +2539,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                       "event_type"])
         return rolling_distinct_time(ds, window_sec=600)
 
+    def events_global_ntile(sf_dir):
+        """Global NTILE(10) decile assignment — the percentile-bucket
+        export a feature store materializes (value decile per event
+        across the WHOLE corpus, not per key): dense global ranks from
+        the two-pass scan, then DuckDB's NTILE split (first n%k tiles
+        get one extra row) as pure integer arithmetic on the rank."""
+        import numpy as np
+        import pyarrow as pa
+        import ray.data as rd
+
+        from search_engine_ray.stages.relational import global_row_number
+
+        def cents_col(b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pcm
+            b = b.filter(pcm.is_valid(b["value"]))
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "event_id": b["event_id"],
+                "cents": pa.array(np.floor(v * 100.0).astype(np.int64)),
+            })
+
+        ds = rd.read_parquet(f"{sf_dir}/events.parquet",
+                             columns=["event_id", "value"]) \
+            .map_batches(cents_col, batch_format="pyarrow")
+        ranked = global_row_number(ds, order_cols=["cents", "event_id"])
+        n = ranked.count()
+        k = 10
+        base, rem = divmod(n, k)
+        cut = rem * (base + 1)
+
+        def tile(b: pa.Table) -> pa.Table:
+            r = b["rnk"].to_numpy() - 1
+            if base:
+                t = np.where(r < cut, r // (base + 1),
+                             rem + (r - cut) // base) + 1
+            else:
+                t = r + 1
+            return pa.table({
+                "event_id": b["event_id"],
+                "cents": b["cents"],
+                "tile": pa.array(t.astype(np.int64), pa.int64()),
+            })
+
+        return ranked.map_batches(tile, batch_format="pyarrow")
+
     def nfc_normalize_docs(sf_dir):
         """Unicode NFC normalization — the canonicalization step every
         text-dedup family assumes upstream (decomposed e + U+0301 must
@@ -5205,6 +5250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partitioned_parquet_roundtrip": partitioned_parquet_roundtrip,
         "events_watermark": events_watermark,
         "events_global_rank": events_global_rank,
+        "events_global_ntile": events_global_ntile,
         "nfc_normalize_docs": nfc_normalize_docs,
         "fold_accents_docs": fold_accents_docs,
         "events_pushdown": events_pushdown,
@@ -5272,6 +5318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_pmi_keywords", "term_drift", "events_rolling_distinct",
         "events_quarantine", "events_entropy", "doc_compression_ratio",
         "audio_resample", "event_transitions", "supplier_triangles",
+        "events_global_ntile",
         # (b) r5-touched paths (stop-term df threading, banded verify,
         # scatter reference gather, dhash bucket cap)
         "doc_cosine_pairs", "sparse_stop_pairs", "search_scatter",
@@ -6352,6 +6399,15 @@ SELECT doc_id, lang, length(text)::BIGINT AS n_chars_rt FROM documents
 SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
        ROW_NUMBER() OVER (ORDER BY CAST(FLOOR(value * 100) AS BIGINT) DESC,
                           event_id) AS rnk
+FROM events WHERE value IS NOT NULL
+"""
+
+    # global NTILE: same total order and the same first-tiles-get-extra
+    # split as the engine's rank arithmetic
+    sql["events_global_ntile"] = """
+SELECT event_id, CAST(FLOOR(value * 100) AS BIGINT) AS cents,
+       NTILE(10) OVER (ORDER BY CAST(FLOOR(value * 100) AS BIGINT),
+                       event_id) AS tile
 FROM events WHERE value IS NOT NULL
 """
 

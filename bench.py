@@ -197,6 +197,7 @@ HEADLINE = [
     "lang_pmi_keywords", "term_drift", "events_rolling_distinct",
     "events_quarantine", "events_entropy", "doc_compression_ratio",
     "audio_resample", "event_transitions", "supplier_triangles",
+    "events_global_ntile",
 ]
 
 

@@ -1460,3 +1460,38 @@ def test_event_transitions_matches_oracle(ray_session, tmp_path):
     got = {(r.from_type, r.to_type): r.n for r in out.itertuples()}
     assert got == {("a", "b"): 1, ("b", "b"): 1, ("b", "c"): 1,
                    ("c", "a"): 1, ("a", "c"): 1, ("c", "b"): 1}
+
+
+def test_global_ntile_uneven_split(ray_session, tmp_path):
+    """n=103, k=10: DuckDB gives the first 3 tiles 11 rows and the rest
+    10 — the engine's rank arithmetic must match exactly, including a
+    NULL-value row excluded on both sides."""
+    import pandas as pd
+    import pyarrow.parquet as pq
+
+    n = 104
+    rng = np.random.default_rng(11)
+    vals = rng.uniform(-3, 3, n).astype(object)
+    vals[7] = None                       # -> 103 ranked rows
+    pq.write_table(pa.table({
+        "event_id": pa.array(np.arange(1, n + 1), pa.int64()),
+        "ts": pa.array(pd.to_datetime(1_700_000_000 + np.arange(n),
+                                      unit="s").astype("datetime64[us]"),
+                       pa.timestamp("us")),
+        "user_id": pa.array(np.ones(n, np.int64)),
+        "event_type": pa.array(["click"] * n),
+        "value": pa.array(list(vals), pa.float64()),
+        "props": pa.array(["{}"] * n),
+    }), str(tmp_path / "events.parquet"))
+    m = _entry_module()
+    out = m.queries()["events_global_ntile"](str(tmp_path)).to_pandas()
+    con = _duck_with_views(tmp_path, ["events"])
+    exp = con.execute(m.oracle_sql()["events_global_ntile"]).df()
+    cols = sorted(out.columns)
+    a = out[cols].sort_values(cols).reset_index(drop=True)
+    b = exp[cols].sort_values(cols).reset_index(drop=True)
+    assert len(a) == len(b) == n - 1
+    for c in cols:
+        assert a[c].tolist() == b[c].tolist(), c
+    sizes = out.groupby("tile").size().to_dict()
+    assert sizes == {t: (11 if t <= 3 else 10) for t in range(1, 11)}
