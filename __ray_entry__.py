@@ -4790,6 +4790,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["doc_id", "text", "lang"])
         return edit_distance_pairs(ds, prefix_len=24, max_dist=3)
 
+    def similar_docs_jw(sf_dir):
+        """Jaro-Winkler fuzzy self-join over 20-char text prefixes,
+        blocked by lang: pair-vectorized scorer bit-identical to DuckDB's
+        jaro_winkler_similarity (UTF-8-byte alphabet, window/boost/edge
+        rules fuzz-verified), exported as the integer floor(jw*1e6) so
+        the oracle hash has no float surface (stages/strings.py)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.strings import jaro_winkler_pairs
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        return jaro_winkler_pairs(ds, prefix_len=20,
+                                  threshold_micro=880000)
+
     def user_retention(sf_dir):
         """Cohort retention matrix: per-user distinct active days (one key
         shuffle), then one metadata-scale (cohort, offset) groupby."""
@@ -5237,6 +5252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube": lineitem_cube,
         "kmeans_embed": kmeans_embed,
         "similar_docs": similar_docs,
+        "similar_docs_jw": similar_docs_jw,
         "doc_cosine_pairs": doc_cosine_pairs,
         "sparse_stop_pairs": sparse_stop_pairs,
         "doc_linreg": doc_linreg,
@@ -7384,6 +7400,20 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.s, b.s)::BIGINT AS dist
 FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE levenshtein(a.s, b.s) <= 3
+"""
+
+    # Jaro-Winkler over UTF-8 bytes — DuckDB's jaro_winkler_similarity and
+    # the engine's vectorized scorer produce bit-identical doubles
+    # (fuzz-verified, stages/strings.py), so flooring both to micro-units
+    # yields exact integer parity with no float hash surface
+    sql["similar_docs_jw"] = """
+WITH p AS (SELECT doc_id, lang, substr(text, 1, 20) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(FLOOR(jaro_winkler_similarity(a.s, b.s) * 1000000)
+            AS BIGINT) AS jw_micro
+FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE CAST(FLOOR(jaro_winkler_similarity(a.s, b.s) * 1000000)
+           AS BIGINT) >= 880000
 """
 
     # ANY-completion ordered funnel via the same prefix-MAX dynamic program

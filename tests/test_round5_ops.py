@@ -1495,3 +1495,68 @@ def test_global_ntile_uneven_split(ray_session, tmp_path):
         assert a[c].tolist() == b[c].tolist(), c
     sizes = out.groupby("tile").size().to_dict()
     assert sizes == {t: (11 if t <= 3 else 10) for t in range(1, 11)}
+
+
+def test_jaro_winkler_scores_bitexact_vs_duckdb():
+    """The vectorized JW scorer == DuckDB jaro_winkler_similarity to the
+    BIT on random multibyte strings (the similar_docs_jw oracle
+    contract): same byte alphabet, window, transpositions, boost, and
+    the empty/equal edge rules."""
+    import random
+    import struct
+
+    import duckdb
+
+    from search_engine_ray.stages.strings import (_codes,
+                                                  jaro_winkler_scores)
+
+    rng = random.Random(11)
+    strings = ["".join(rng.choice("abcd é日")
+                       for _ in range(rng.randint(0, 20)))
+               for _ in range(120)]
+    codes, lens = _codes(strings)
+    ia, ib = np.triu_indices(len(strings), k=1)
+    got = jaro_winkler_scores(codes, lens, ia, ib)
+    con = duckdb.connect()
+    sample = rng.sample(range(len(ia)), 1200)
+    for k in sample:
+        exp = con.execute("SELECT jaro_winkler_similarity(?, ?)",
+                          [strings[ia[k]], strings[ib[k]]]).fetchone()[0]
+        assert struct.pack("d", got[k]) == struct.pack("d", exp), (
+            strings[ia[k]], strings[ib[k]], got[k], exp)
+
+
+def test_jaro_winkler_pairs_matches_duckdb(ray_session):
+    """End-to-end blocked self-join parity incl. the micro-int floor."""
+    import duckdb
+    import pandas as pd
+
+    from search_engine_ray.stages.strings import jaro_winkler_pairs
+
+    rng = np.random.RandomState(7)
+    words = ["martha", "marhta", "dwayne", "duane", "dixon", "dicksonx",
+             "jellyfish", "smellyfish", "ветер", "вечер"]
+    rows = []
+    for i in range(90):
+        w = words[rng.randint(len(words))]
+        if rng.rand() < 0.4:
+            pos = rng.randint(len(w))
+            w = w[:pos] + chr(97 + rng.randint(26)) + w[pos + 1:]
+        rows.append((i, w + " tail", ["en", "ru"][rng.randint(2)]))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    out = jaro_winkler_pairs(rd.from_pandas(df), prefix_len=12,
+                             threshold_micro=850000) \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    ref = duckdb.sql("""
+        WITH p AS (SELECT doc_id, lang, substr(text, 1, 12) AS s FROM df)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               CAST(FLOOR(jaro_winkler_similarity(a.s, b.s) * 1000000)
+                    AS BIGINT) AS jw_micro
+        FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE CAST(FLOOR(jaro_winkler_similarity(a.s, b.s) * 1000000)
+                   AS BIGINT) >= 850000
+        ORDER BY id_a, id_b""").fetchdf()
+    assert len(out) > 0
+    assert out["id_a"].tolist() == ref["id_a"].tolist()
+    assert out["id_b"].tolist() == ref["id_b"].tolist()
+    assert out["jw_micro"].tolist() == ref["jw_micro"].tolist()
