@@ -4790,6 +4790,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              columns=["doc_id", "text", "lang"])
         return edit_distance_pairs(ds, prefix_len=24, max_dist=3)
 
+    def similar_docs_dl(sf_dir):
+        """True Damerau-Levenshtein self-join (unrestricted
+        transpositions, DuckDB damerau_levenshtein semantics over UTF-8
+        bytes) over 16-char prefixes, lang-blocked — same loss-free
+        prefilters as the Levenshtein join, pair-vectorized
+        alphabet-tracked DP verify (stages/strings.py)."""
+        import ray.data as rd
+
+        from search_engine_ray.stages.strings import edit_distance_pairs
+
+        ds = rd.read_parquet(f"{sf_dir}/documents.parquet",
+                             columns=["doc_id", "text", "lang"])
+        return edit_distance_pairs(ds, prefix_len=16, max_dist=3,
+                                   variant="damerau")
+
     def similar_docs_jw(sf_dir):
         """Jaro-Winkler fuzzy self-join over 20-char text prefixes,
         blocked by lang: pair-vectorized scorer bit-identical to DuckDB's
@@ -5252,6 +5267,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_cube": lineitem_cube,
         "kmeans_embed": kmeans_embed,
         "similar_docs": similar_docs,
+        "similar_docs_dl": similar_docs_dl,
         "similar_docs_jw": similar_docs_jw,
         "doc_cosine_pairs": doc_cosine_pairs,
         "sparse_stop_pairs": sparse_stop_pairs,
@@ -7400,6 +7416,17 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        levenshtein(a.s, b.s)::BIGINT AS dist
 FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
 WHERE levenshtein(a.s, b.s) <= 3
+"""
+
+    # DuckDB's damerau_levenshtein is the TRUE (alphabet-tracked) variant
+    # over UTF-8 bytes — verified CA/ABC = 2, not OSA's 3 — and so is the
+    # engine's vectorized DP (stages/strings.py); all-integer output
+    sql["similar_docs_dl"] = """
+WITH p AS (SELECT doc_id, lang, substr(text, 1, 16) AS s FROM documents)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       damerau_levenshtein(a.s, b.s)::BIGINT AS dist
+FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE damerau_levenshtein(a.s, b.s) <= 3
 """
 
     # Jaro-Winkler over UTF-8 bytes — DuckDB's jaro_winkler_similarity and

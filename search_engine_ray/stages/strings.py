@@ -36,8 +36,9 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data as rd
 
-__all__ = ["edit_distance_pairs", "levenshtein_pairs",
-           "jaro_winkler_pairs", "jaro_winkler_scores"]
+__all__ = ["damerau_levenshtein_pairs", "edit_distance_pairs",
+           "jaro_winkler_pairs", "jaro_winkler_scores",
+           "levenshtein_pairs"]
 
 _CHUNK = 65536  # candidate pairs scored per L1 slab
 
@@ -86,12 +87,67 @@ def levenshtein_pairs(codes: np.ndarray, lens: np.ndarray,
     return out
 
 
+def damerau_levenshtein_pairs(codes: np.ndarray, lens: np.ndarray,
+                              ia: np.ndarray, ib: np.ndarray) -> np.ndarray:
+    """TRUE Damerau-Levenshtein (alphabet-tracked, unrestricted
+    transpositions — ``CA -> ABC`` costs 2, not OSA's 3) for each
+    candidate pair, matching DuckDB's ``damerau_levenshtein`` over UTF-8
+    bytes (fuzz-verified incl. multibyte).  Vectorized across pairs: the
+    python loops cover only the character grid; the per-pair
+    ``last-seen-row`` alphabet table and ``last-match-column`` scalar of
+    the textbook algorithm become a (pairs, 257) gather table and a
+    (pairs,) vector.  Needs the FULL (pairs, L1+2, L2+2) DP tensor (the
+    transposition term reads arbitrary earlier rows), so callers slab
+    candidates — ``_DL_CHUNK`` pairs is ~40 MB at width 24."""
+    p = len(ia)
+    if not p:
+        return np.empty(0, np.int64)
+    a, b = codes[ia], codes[ib]
+    la, lb = lens[ia], lens[ib]
+    l1m, l2m = int(la.max()), int(lb.max())
+    rows = np.arange(p)
+    maxd = (la + lb).astype(np.int32)     # the textbook INF guard row/col
+    d = np.zeros((p, l1m + 2, l2m + 2), np.int32)
+    d[:, 0, 0] = maxd
+    for i in range(l1m + 1):
+        d[:, i + 1, 0] = maxd
+        d[:, i + 1, 1] = i
+    for j in range(l2m + 1):
+        d[:, 0, j + 1] = maxd
+        d[:, 1, j + 1] = j
+    da = np.zeros((p, 257), np.int32)     # last row each byte appeared at
+    for i in range(1, l1m + 1):
+        db = np.zeros(p, np.int32)        # last matching column this row
+        ai = a[:, i - 1].astype(np.intp)  # pad byte 256 never equals a
+        for j in range(1, l2m + 1):       # real byte, so out-of-range
+            bj = b[:, j - 1].astype(np.intp)  # rows can't pollute da/db
+            k = da[rows, bj]
+            l = db
+            eq = ai == bj
+            cost = np.where(eq, 0, 1).astype(np.int32)
+            trans = d[rows, k, l] + (i - k - 1) + 1 + (j - l - 1)
+            db = np.where(eq, j, db)
+            d[:, i + 1, j + 1] = np.minimum(
+                np.minimum(d[:, i, j] + cost, d[:, i + 1, j] + 1),
+                np.minimum(d[:, i, j + 1] + 1, trans))
+        da[rows, ai] = i
+    return d[rows, la + 1, lb + 1].astype(np.int64)
+
+
+_DL_CHUNK = 16384  # DL verify slab (full DP tensor per slab, see above)
+
+
 def edit_distance_pairs(docs: rd.Dataset, *, key_col: str = "doc_id",
                         text_col: str = "text", block_col: str = "lang",
-                        prefix_len: int = 24,
-                        max_dist: int = 3) -> rd.Dataset:
+                        prefix_len: int = 24, max_dist: int = 3,
+                        variant: str = "levenshtein") -> rd.Dataset:
     """Pairs ``(id_a, id_b, dist)`` with ``dist <= max_dist`` over
-    ``text[:prefix_len]``, blocked by ``block_col`` (see module doc)."""
+    ``text[:prefix_len]``, blocked by ``block_col`` (see module doc).
+
+    ``variant="damerau"`` swaps the verify kernel for the true
+    Damerau-Levenshtein; BOTH prefilters remain loss-free for it (a
+    transposition changes neither length nor the byte bag, so
+    ``|len diff| <= d`` and ``bag-L1 <= 2d`` are still necessary)."""
 
     def prep(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -136,7 +192,14 @@ def edit_distance_pairs(docs: rd.Dataset, *, key_col: str = "doc_id",
         ib = np.concatenate(cand_b) if cand_b else np.empty(0, np.int64)
         if not len(ia):
             return empty
-        dist = levenshtein_pairs(codes, lens, ia, ib)
+        if variant == "damerau":
+            dist = np.concatenate([
+                damerau_levenshtein_pairs(codes, lens,
+                                          ia[at:at + _DL_CHUNK],
+                                          ib[at:at + _DL_CHUNK])
+                for at in range(0, len(ia), _DL_CHUNK)])
+        else:
+            dist = levenshtein_pairs(codes, lens, ia, ib)
         hit = dist <= max_dist
         return pa.table({
             "id_a": pa.array(ids[ia[hit]], pa.int64()),

@@ -1560,3 +1560,64 @@ def test_jaro_winkler_pairs_matches_duckdb(ray_session):
     assert out["id_a"].tolist() == ref["id_a"].tolist()
     assert out["id_b"].tolist() == ref["id_b"].tolist()
     assert out["jw_micro"].tolist() == ref["jw_micro"].tolist()
+
+
+def test_damerau_levenshtein_true_variant_vs_duckdb():
+    """The DL verify kernel == DuckDB damerau_levenshtein on random
+    multibyte strings, including the case separating true DL from OSA
+    (CA/ABC = 2, where OSA says 3)."""
+    import random
+
+    import duckdb
+
+    from search_engine_ray.stages.strings import (
+        _codes, damerau_levenshtein_pairs)
+
+    strings = ["CA", "ABC"]
+    rng = random.Random(5)
+    strings += ["".join(rng.choice("abc é日")
+                        for _ in range(rng.randint(0, 14)))
+                for _ in range(100)]
+    codes, lens = _codes(strings)
+    ia, ib = np.triu_indices(len(strings), k=1)
+    got = damerau_levenshtein_pairs(codes, lens, ia, ib)
+    assert got[0] == 2  # CA -> ABC: unrestricted transposition + insert
+    con = duckdb.connect()
+    for k in rng.sample(range(len(ia)), 1000):
+        exp = con.execute("SELECT damerau_levenshtein(?, ?)",
+                          [strings[ia[k]], strings[ib[k]]]).fetchone()[0]
+        assert got[k] == exp, (strings[ia[k]], strings[ib[k]], got[k], exp)
+
+
+def test_edit_distance_pairs_damerau_variant(ray_session):
+    """Blocked self-join end-to-end with variant='damerau' == DuckDB."""
+    import duckdb
+    import pandas as pd
+
+    from search_engine_ray.stages.strings import edit_distance_pairs
+
+    rng = np.random.RandomState(9)
+    words = ["kitten", "iktten", "sititng", "sitting", "abcdef",
+             "bacdef", "abdcef", "вечер", "веечр"]
+    rows = []
+    for i in range(80):
+        w = words[rng.randint(len(words))]
+        if rng.rand() < 0.3:
+            pos = rng.randint(len(w) - 1)
+            w = w[:pos] + w[pos + 1] + w[pos] + w[pos + 2:]  # transpose
+        rows.append((i, w + " tail", ["en", "ru"][rng.randint(2)]))
+    df = pd.DataFrame(rows, columns=["doc_id", "text", "lang"])
+    out = edit_distance_pairs(rd.from_pandas(df), prefix_len=10,
+                              max_dist=3, variant="damerau") \
+        .to_pandas().sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    ref = duckdb.sql("""
+        WITH p AS (SELECT doc_id, lang, substr(text, 1, 10) AS s FROM df)
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               damerau_levenshtein(a.s, b.s)::BIGINT AS dist
+        FROM p a JOIN p b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE damerau_levenshtein(a.s, b.s) <= 3
+        ORDER BY id_a, id_b""").fetchdf()
+    assert len(out) > 0
+    assert out["id_a"].tolist() == ref["id_a"].tolist()
+    assert out["id_b"].tolist() == ref["id_b"].tolist()
+    assert out["dist"].tolist() == ref["dist"].tolist()
